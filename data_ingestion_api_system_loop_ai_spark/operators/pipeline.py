@@ -1,0 +1,497 @@
+"""Tier-A pipeline operators (SURVEY.md section 2.1, A2-A11).
+
+The reference implements a priority-scheduled, rate-limited, batched
+ingestion pipeline as imperative JS (heap + setTimeout + in-place status
+mutation). Here the *entire* pipeline is one deterministic, declarative
+DataFrame program:
+
+- requests are derived from the driver's test tables (FIXTURES.md:
+  ``o_orderkey -> request_id``, ``o_orderpriority -> priority``,
+  ``o_orderdate -> created_at``, the order's lineitem ``l_partkey``s -> ids);
+- chunking (reference ``src/services/ingestService.js:171-179``) is a pure
+  array expression — no shuffle at all;
+- the min-heap drain (``src/utils/priorityQueue.js:25-92``) becomes a
+  window ``row_number`` over (priority_rank, created_at, tie-breaks);
+- the 5 s rate limiter (``ingestService.js:5,99-116``) has the closed form
+  ``scheduled_start = t0 + (rn-1) * 5s`` — start-to-start spacing;
+- per-id work time (``ingestService.js:45`` random 100-500 ms) is made
+  deterministic as ``100 + id % 401`` ms so status at any ``as_of`` time is
+  a pure CASE expression (``ingestService.js:78,89,133-134``);
+- the overall-status rollup (``ingestService.js:15-35``) is a conditional
+  aggregation.
+
+Scale notes (100 TB): everything except the schedule's global
+``row_number`` is embarrassingly parallel (narrow array ops, one hash
+aggregation keyed by order). The global rank models an *inherently
+serial* resource (one rate-limited queue), so a single ordered window is
+semantically forced; at extreme request volumes the rank can be computed
+in two phases (sort-partition counts -> prefix-sum offsets, i.e. the
+zipWithIndex trick) without changing results. Batch status derivation is
+per-row after that and fully parallel again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..schemas import BATCH_SIZE, RATE_LIMIT_MS
+from ..sources.loader import load_table
+
+
+def _ids_str(col: str) -> Column:
+    """Canonical '|'-joined string form of an id array (arrays are
+    projected to strings in oracle-compared outputs so value hashing is
+    representation-independent across engines)."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), "|")
+
+# ---------------------------------------------------------------------------
+# Shared builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the ``ingest_requests`` table from orders + lineitem.
+
+    ``ids`` preserves lineitem order (l_linenumber) exactly the way the
+    reference preserves input order within a request
+    (``tests/api.test.js:131-133`` asserts chunk order). The groupBy is
+    the only shuffle; it is keyed on the join key so the join that
+    follows reuses the partitioning.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    ids = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("ids")
+    )
+    priority = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("HIGH"))
+        .when(F.col("o_orderpriority") == "5-LOW", F.lit("LOW"))
+        .otherwise(F.lit("MEDIUM"))
+    )
+    return orders.join(ids, orders.o_orderkey == ids.l_orderkey).select(
+        F.col("o_orderkey").alias("request_key"),
+        F.col("o_orderkey").cast("string").alias("request_id"),
+        priority.alias("priority"),
+        F.col("o_orderdate").alias("created_at"),
+        F.col("ids"),
+    )
+
+
+def _priority_rank(col: Column) -> Column:
+    # reference src/utils/priorityQueue.js:7 — {HIGH:1, MEDIUM:2, LOW:3}
+    return (
+        F.when(col == "HIGH", F.lit(1)).when(col == "MEDIUM", F.lit(2)).otherwise(F.lit(3))
+    )
+
+
+def batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk ids into consecutive batches of ``BATCH_SIZE`` preserving
+    order — reference ``ingestService.js:171-179``. Pure array expression
+    (``transform(sequence(...), i -> slice(ids, ...))``): shuffle-free,
+    whole-stage-codegen'd, order-exact by construction."""
+    req = requests(spark, sf_dir)
+    n_batches = F.ceil(F.size("ids") / F.lit(BATCH_SIZE)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_batches - 1),
+        lambda i: F.slice(F.col("ids"), i * BATCH_SIZE + 1, BATCH_SIZE),
+    )
+    return (
+        req.filter(F.size("ids") > 0)
+        .select(
+            "request_key",
+            "request_id",
+            "priority",
+            "created_at",
+            F.posexplode(chunks).alias("batch_index", "batch_ids"),
+        )
+        .withColumn("batch_id", F.concat_ws("-", "request_id", "batch_index"))
+        .withColumn("priority_rank", _priority_rank(F.col("priority")))
+    )
+
+
+# Parquet timestamps surface as TIMESTAMP_NTZ; all epoch arithmetic is done
+# NTZ-native so results are independent of session/OS timezone.
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form rate limiter (reference ``ingestService.js:5,99-116``):
+    one batch starts per RATE_LIMIT_MS, start-to-start, in heap order
+    (priority major, created_at then request/batch index tie-break —
+    ``priorityQueue.js:12-23``). ``scheduled_start = t0 + (rn-1)*5s``.
+
+    Deterministic per-id work time ``100 + id % 401`` ms replaces the
+    reference's ``Math.random()*400+100`` (``ingestService.js:45``); ids in
+    a batch run serially (``ingestService.js:70-77``) so batch work is the
+    sum. ``as_of`` (the status-observation instant) is pinned mid-schedule
+    so all three statuses appear.
+    """
+    b = batches(spark, sf_dir)
+    order = W.orderBy("priority_rank", "created_at", "request_key", "batch_index")
+    everything = W.partitionBy()
+    work_ms = F.aggregate(
+        "batch_ids",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.lit(100) + x % 401,
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(order).cast("long"))
+        .withColumn("t0", F.min("created_at").over(everything))
+        .withColumn("total_batches", F.count("*").over(everything))
+        .withColumn("t0_ms", F.expr(f"timestampdiff(MILLISECOND, {_EPOCH}, t0)"))
+        .withColumn("work_ms", work_ms)
+        .withColumn(
+            "scheduled_start",
+            F.expr(
+                f"timestampadd(MILLISECOND, t0_ms + (rn - 1) * {RATE_LIMIT_MS}, {_EPOCH})"
+            ),
+        )
+        .withColumn(
+            "completed_at",
+            F.expr("timestampadd(MILLISECOND, work_ms, scheduled_start)"),
+        )
+        .withColumn(
+            "as_of",
+            F.expr(
+                f"timestampadd(MILLISECOND, t0_ms + (total_batches div 2) * {RATE_LIMIT_MS}, {_EPOCH})"
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("as_of") < F.col("scheduled_start"), "yet_to_start")
+            .when(F.col("as_of") < F.col("completed_at"), "triggered")
+            .otherwise("completed"),
+        )
+    )
+
+
+def _overall_status_agg() -> Column:
+    """Status algebra of reference ``ingestService.js:15-35``: all
+    yet_to_start -> yet_to_start; all completed -> completed; else
+    triggered (empty case cannot occur post-chunking)."""
+    n = F.count("*")
+    return (
+        F.when(n == F.count(F.when(F.col("status") == "completed", 1)), "completed")
+        .when(n == F.count(F.when(F.col("status") == "yet_to_start", 1)), "yet_to_start")
+        .otherwise("triggered")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries — each takes (spark, sf_dir) and returns a DataFrame
+# ---------------------------------------------------------------------------
+
+
+def q_validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — reference ``ingestController.js:10-15``: reject missing/empty
+    ids and invalid priority, with the exact reference error strings."""
+    req = requests(spark, sf_dir).select("request_id", "ids", "priority", "created_at")
+    bad = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('bad-1', CAST(NULL AS ARRAY<BIGINT>), 'HIGH',   TIMESTAMP '2024-01-01'),
+          ('bad-2', CAST(ARRAY() AS ARRAY<BIGINT>), 'HIGH', TIMESTAMP '2024-01-01'),
+          ('bad-3', ARRAY(1L, 2L), CAST(NULL AS STRING),   TIMESTAMP '2024-01-01'),
+          ('bad-4', ARRAY(1L, 2L), 'URGENT',               TIMESTAMP '2024-01-01')
+        AS t(request_id, ids, priority, created_at)
+        """
+    )
+    ids_ok = F.col("ids").isNotNull() & (F.size("ids") > 0)
+    prio_ok = F.upper(F.coalesce(F.col("priority"), F.lit(""))).isin("HIGH", "MEDIUM", "LOW")
+    return req.unionByName(bad).select(
+        "request_id",
+        (ids_ok & prio_ok).alias("is_valid"),
+        F.when(
+            ~ids_ok, F.lit("Invalid input: ids array is required and cannot be empty.")
+        )
+        .when(
+            ~prio_ok,
+            F.lit("Invalid input: priority is required and must be HIGH, MEDIUM, or LOW."),
+        )
+        .alias("error"),
+    )
+
+
+def q_normalize_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — case normalization (reference ``ingestController.js:13,24``).
+    Mixed-case inputs are simulated on even request keys."""
+    req = requests(spark, sf_dir)
+    raw = F.when(F.col("request_key") % 2 == 0, F.lower("priority")).otherwise(
+        F.col("priority")
+    )
+    return req.select(
+        "request_id",
+        raw.alias("raw_priority"),
+        F.upper(raw).alias("priority"),
+    )
+
+
+def q_batch_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — fixed-size order-preserving chunking (BATCH_SIZE=3)."""
+    return batches(spark, sf_dir).select(
+        "request_id",
+        "batch_index",
+        "batch_id",
+        _ids_str("batch_ids").alias("ids_str"),
+        F.size("batch_ids").alias("n_ids"),
+    )
+
+
+def q_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — total drain order of the min-heap (priority major,
+    created_at/request/batch tie-break, ``priorityQueue.js:12-23``)."""
+    return schedule(spark, sf_dir).select(
+        "rn", "batch_id", "priority", "priority_rank", "created_at"
+    )
+
+
+def q_rate_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — closed-form 1-batch-per-5s schedule."""
+    return schedule(spark, sf_dir).select("batch_id", "rn", "scheduled_start")
+
+
+def q_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — per-id enrichment map: ``{id, data:'processed'}`` plus the
+    deterministic latency model (reference ``ingestService.js:42-50``)."""
+    return schedule(spark, sf_dir).select(
+        "batch_id", F.explode("batch_ids").alias("id")
+    ).select(
+        "batch_id",
+        "id",
+        F.lit("processed").alias("data"),
+        (F.lit(100) + F.col("id") % 401).alias("latency_ms"),
+    )
+
+
+def q_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — batch status at the pinned ``as_of`` instant (the batch state
+    machine yet_to_start -> triggered -> completed as a CASE over the
+    closed-form schedule)."""
+    return schedule(spark, sf_dir).select(
+        "batch_id", "scheduled_start", "completed_at", "as_of", "status"
+    )
+
+
+def q_overall_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — request-level conditional rollup of batch statuses."""
+    return (
+        schedule(spark, sf_dir)
+        .groupBy("request_id")
+        .agg(
+            _overall_status_agg().alias("status"),
+            F.count("*").cast("long").alias("n_batches"),
+        )
+    )
+
+
+def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — point lookup of one request (min key, stable across sf) with
+    batch projection + overall status (reference ``ingestController.js:35-55``)."""
+    sched = schedule(spark, sf_dir)
+    target = sched.groupBy().agg(F.min("request_key").alias("request_key"))
+    per_req = W.partitionBy("request_id")
+    n = F.count("*").over(per_req)
+    overall = (
+        F.when(
+            n == F.count(F.when(F.col("status") == "completed", 1)).over(per_req),
+            "completed",
+        )
+        .when(
+            n == F.count(F.when(F.col("status") == "yet_to_start", 1)).over(per_req),
+            "yet_to_start",
+        )
+        .otherwise("triggered")
+    )
+    return (
+        sched.join(F.broadcast(target), "request_key")
+        .withColumn("overall_status", overall)
+        .select(
+            "request_id",
+            "overall_status",
+            "batch_id",
+            _ids_str("batch_ids").alias("ids_str"),
+            "status",
+        )
+    )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite flagship — validate -> chunk -> order -> schedule ->
+    status -> per-request rollup, the whole reference pipeline as one
+    deterministic DataFrame program (SURVEY.md section 2.1)."""
+    return (
+        schedule(spark, sf_dir)
+        .groupBy("request_id", "priority", "created_at")
+        .agg(
+            F.count("*").cast("long").alias("n_batches"),
+            F.min("scheduled_start").alias("first_start"),
+            F.max("completed_at").alias("last_completed"),
+            _overall_status_agg().alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (shared CTE prefix + per-query SELECTs)
+# ---------------------------------------------------------------------------
+
+PIPELINE_CTE = """
+WITH ids_by_order AS (
+  SELECT l_orderkey, list(l_partkey ORDER BY l_linenumber, l_partkey) AS ids
+  FROM lineitem GROUP BY l_orderkey
+),
+requests AS (
+  SELECT o_orderkey AS request_key,
+         CAST(o_orderkey AS VARCHAR) AS request_id,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HIGH'
+              WHEN o_orderpriority = '5-LOW' THEN 'LOW'
+              ELSE 'MEDIUM' END AS priority,
+         o_orderdate AS created_at,
+         ids
+  FROM orders JOIN ids_by_order ON o_orderkey = l_orderkey
+),
+batches_flat AS (
+  SELECT request_key, request_id, priority, created_at, ids,
+         unnest(range(0, CAST(ceil(len(ids) / 3.0) AS BIGINT))) AS bi
+  FROM requests
+),
+batches AS (
+  SELECT request_key, request_id, priority, created_at,
+         CAST(bi AS INTEGER) AS batch_index,
+         request_id || '-' || CAST(bi AS VARCHAR) AS batch_id,
+         list_slice(ids, CAST(bi*3+1 AS BIGINT), CAST(bi*3+3 AS BIGINT)) AS batch_ids,
+         CASE priority WHEN 'HIGH' THEN 1 WHEN 'MEDIUM' THEN 2 ELSE 3 END AS priority_rank
+  FROM batches_flat
+),
+sched AS (
+  SELECT *,
+         row_number() OVER (ORDER BY priority_rank, created_at, request_key, batch_index) AS rn,
+         epoch_ms(min(created_at) OVER ()) AS t0_ms,
+         count(*) OVER () AS total_batches,
+         CAST(list_aggregate(list_transform(batch_ids, x -> 100 + x % 401), 'sum') AS BIGINT) AS work_ms
+  FROM batches
+),
+timed AS (
+  SELECT *,
+         make_timestamp((t0_ms + (rn-1)*5000) * 1000) AS scheduled_start,
+         make_timestamp((t0_ms + (rn-1)*5000 + work_ms) * 1000) AS completed_at,
+         make_timestamp((t0_ms + (total_batches // 2) * 5000) * 1000) AS as_of
+  FROM sched
+),
+statused AS (
+  SELECT *,
+         CASE WHEN as_of < scheduled_start THEN 'yet_to_start'
+              WHEN as_of < completed_at THEN 'triggered'
+              ELSE 'completed' END AS status
+  FROM timed
+)
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "q_validate_requests": PIPELINE_CTE
+    + """
+, with_invalid AS (
+  SELECT request_id, ids, priority FROM requests
+  UNION ALL SELECT 'bad-1', CAST(NULL AS BIGINT[]), 'HIGH'
+  UNION ALL SELECT 'bad-2', CAST([] AS BIGINT[]), 'HIGH'
+  UNION ALL SELECT 'bad-3', [1, 2], CAST(NULL AS VARCHAR)
+  UNION ALL SELECT 'bad-4', [1, 2], 'URGENT'
+)
+SELECT request_id,
+       (ids IS NOT NULL AND len(ids) > 0
+        AND upper(coalesce(priority, '')) IN ('HIGH','MEDIUM','LOW')) AS is_valid,
+       CASE WHEN ids IS NULL OR len(ids) = 0
+              THEN 'Invalid input: ids array is required and cannot be empty.'
+            WHEN priority IS NULL OR upper(priority) NOT IN ('HIGH','MEDIUM','LOW')
+              THEN 'Invalid input: priority is required and must be HIGH, MEDIUM, or LOW.'
+       END AS error
+FROM with_invalid
+""",
+    "q_normalize_priority": PIPELINE_CTE
+    + """
+SELECT request_id,
+       CASE WHEN request_key % 2 = 0 THEN lower(priority) ELSE priority END AS raw_priority,
+       upper(CASE WHEN request_key % 2 = 0 THEN lower(priority) ELSE priority END) AS priority
+FROM requests
+""",
+    "q_batch_chunking": PIPELINE_CTE
+    + """
+SELECT request_id, batch_index, batch_id,
+       array_to_string(batch_ids, '|') AS ids_str,
+       CAST(len(batch_ids) AS INTEGER) AS n_ids
+FROM batches
+""",
+    "q_priority_order": PIPELINE_CTE
+    + """
+SELECT rn, batch_id, priority, priority_rank, created_at FROM sched
+""",
+    "q_rate_schedule": PIPELINE_CTE
+    + """
+SELECT batch_id, rn, scheduled_start FROM timed
+""",
+    "q_process_batch": PIPELINE_CTE
+    + """
+SELECT batch_id, unnest(batch_ids) AS id, 'processed' AS data,
+       100 + unnest(batch_ids) % 401 AS latency_ms
+FROM batches
+""",
+    "q_status_transitions": PIPELINE_CTE
+    + """
+SELECT batch_id, scheduled_start, completed_at, as_of, status FROM statused
+""",
+    "q_overall_status": PIPELINE_CTE
+    + """
+SELECT request_id,
+       CASE WHEN count(*) = count(*) FILTER (WHERE status = 'completed') THEN 'completed'
+            WHEN count(*) = count(*) FILTER (WHERE status = 'yet_to_start') THEN 'yet_to_start'
+            ELSE 'triggered' END AS status,
+       count(*) AS n_batches
+FROM statused GROUP BY request_id
+""",
+    "q_status_lookup": PIPELINE_CTE
+    + """
+SELECT request_id,
+       CASE WHEN count(*) OVER (PARTITION BY request_id)
+              = count(CASE WHEN status = 'completed' THEN 1 END) OVER (PARTITION BY request_id)
+              THEN 'completed'
+            WHEN count(*) OVER (PARTITION BY request_id)
+              = count(CASE WHEN status = 'yet_to_start' THEN 1 END) OVER (PARTITION BY request_id)
+              THEN 'yet_to_start'
+            ELSE 'triggered' END AS overall_status,
+       batch_id,
+       array_to_string(batch_ids, '|') AS ids_str,
+       status
+FROM statused
+WHERE request_key = (SELECT min(request_key) FROM statused)
+""",
+    "q_pipeline_e2e": PIPELINE_CTE
+    + """
+SELECT request_id, priority, created_at,
+       count(*) AS n_batches,
+       min(scheduled_start) AS first_start,
+       max(completed_at) AS last_completed,
+       CASE WHEN count(*) = count(*) FILTER (WHERE status = 'completed') THEN 'completed'
+            WHEN count(*) = count(*) FILTER (WHERE status = 'yet_to_start') THEN 'yet_to_start'
+            ELSE 'triggered' END AS status
+FROM statused GROUP BY request_id, priority, created_at
+""",
+}
+
+PIPELINE_QUERIES = {
+    "q_validate_requests": q_validate_requests,
+    "q_normalize_priority": q_normalize_priority,
+    "q_batch_chunking": q_batch_chunking,
+    "q_priority_order": q_priority_order,
+    "q_rate_schedule": q_rate_schedule,
+    "q_process_batch": q_process_batch,
+    "q_status_transitions": q_status_transitions,
+    "q_overall_status": q_overall_status,
+    "q_status_lookup": q_status_lookup,
+    "q_pipeline_e2e": q_pipeline_e2e,
+}

@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local test profile targets ``local[N]`` (single JVM); the same builder
+settings are what we would ship as cluster defaults — AQE on (runtime
+coalesce + skew-join handling), shuffle partitions sized to the
+parallelism at hand, UTC session time so results are comparable against
+the DuckDB oracle, and Arrow enabled for every pandas-UDF boundary.
+
+At 100 TB these knobs change value but not shape: shuffle partitions
+scale to ~2-3x total executor cores (or are left to AQE's
+``coalescePartitions``), ``maxPartitionBytes`` stays at 128-256 MB so a
+scan task fits comfortably in executor memory, and broadcast threshold
+is raised only as far as driver memory allows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_ingestion_api_system_loop_ai_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — on a real cluster this would
+    be ~2x total cores, but AQE coalescing makes the exact value soft.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+from .loader import load_table, register_views  # noqa: F401

@@ -1,0 +1,40 @@
+"""Sources: parquet loaders for the test star schema + generic readers.
+
+The reference's only source is HTTP JSON (``src/app.js:7``); here the
+source layer is Spark's readers — columnar parquet with predicate
+pushdown and column pruning by default. At 100 TB the same call reads a
+partitioned parquet/lakehouse layout; nothing here assumes local files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import TPCH_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain ``spark.read.parquet`` so Catalyst
+    keeps pushdown/pruning; do not cache here — callers decide."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (mirrors the driver's
+    DuckDB view registration so SQL-form queries share table names)."""
+    for name in TPCH_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_source(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON source with a fixed schema (no inference) — the batch
+    analogue of the reference's ``express.json()`` ingest parsing."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv_source(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).option("header", "true").csv(path)
