@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TPCH_TABLES
 
@@ -19,8 +20,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain ``spark.read.parquet`` so Catalyst
-    keeps pushdown/pruning; do not cache here — callers decide."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    keeps pushdown/pruning; do not cache here — callers decide.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as raw nanos (legacy conf) and
+    truncated to microsecond TIMESTAMP_NTZ — the same ns->us truncation
+    DuckDB applies, so oracle comparisons agree exactly.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
