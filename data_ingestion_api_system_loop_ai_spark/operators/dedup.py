@@ -1,0 +1,245 @@
+"""Deduplication operators over ``documents`` (and ``embeddings``):
+
+- exact dedup            (sha256 hash-groupBy)                -> oracle
+- n-gram Jaccard near-dup (5-shingle inverted-index self-join) -> oracle
+- SimHash near-dup       (hamming distance on 32-bit simhash)  -> oracle
+- MinHash-LSH near-dup   (spark.ml banded MinHash)             -> rows-only
+- embedding-cosine near-dup (same-bucket pair scan)            -> oracle
+
+Scale notes (100 TB): exact dedup is one hash-partitioned aggregation on
+the digest — embarrassingly scalable. The shingle join is the classic
+inverted-index pattern: explode shingles, shuffle by shingle, pair only
+within a posting list; hot shingles are the skew risk, so the scale path
+is MinHash-LSH (q_dedup_minhash_lsh) where the join key is a (band,
+bucket-hash) with bounded posting lists. Embedding near-dup pairs only
+within a coarse bucket (here the ``label`` cell) — the IVF trick — so
+the pair scan is per-cell quadratic, not global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_k, sql_tokens, tokenize
+from ..sources.loader import load_table
+from .similarity import cosine_expr
+
+SHINGLE_K = 5
+JACCARD_THRESHOLD = 0.5
+HAMMING_MAX = 3
+EMBED_PAIRS_PER_CELL = 3
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 — exact dedup by content digest: one shuffle on sha256(text),
+    keep the minimum doc_id per group."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(shingles_k(tokenize(F.col("text")), SHINGLE_K)).alias("s"),
+    )
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 — exact n-gram Jaccard near-dup via inverted-index self-join:
+    shuffle by shingle, emit pairs within a posting list, then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Threshold 0.5 on 5-shingles."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs whose 32-bit simhash hamming distance is
+    <= 6. At scale the pair scan is bucketed by simhash prefix (pigeonhole:
+    any pair within distance d shares one of d+1 prefix bands); the small-sf
+    oracle form compares all pairs."""
+    from .text_analysis import q_doc_fingerprint
+
+    sh = q_doc_fingerprint(spark, sf_dir).select("doc_id", "simhash")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup — the 100 TB scale path (bounded posting
+    lists instead of raw shingle joins). spark.ml MinHashLSH with a fixed
+    seed over binary HashingTF shingle vectors; engine-specific hashing,
+    so rows-only check by design."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", shingles_k(tokenize(F.col("text")), SHINGLE_K).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: same-bucket (label cell)
+    pair scan, top-3 most-similar pairs per cell — the IVF-style bucketed
+    form of semantic dedup (a production run would threshold instead;
+    this corpus has no semantic dups seeded, max same-cell cosine ~0.47)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    w = W.partitionBy("label").orderBy(
+        F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_expr("emb_a", "emb_b"), 6))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= EMBED_PAIRS_PER_CELL)
+        .select("label", "vec_a", "vec_b", "cosine", "rnk")
+    )
+
+
+DEDUP_QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near": q_dedup_near,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+_TOKS = sql_tokens("text")
+
+_SHINGLE_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tokens FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tokens) - {SHINGLE_K - 1}, 0) + 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+                tokens[i+3] || ' ' || tokens[i+4]))) AS s
+  FROM toks
+)
+"""
+
+_SIMHASH_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+th AS (
+  SELECT doc_id, token, count(*) AS cnt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM tok GROUP BY doc_id, token
+),
+bits AS (SELECT doc_id, cnt, h, unnest(range(0, 32)) AS b FROM th),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                  THEN cnt ELSE -cnt END) AS v
+  FROM bits GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+DEDUP_ORACLES = {
+    "q_dedup_exact": """
+SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    "q_dedup_near": _SHINGLE_CTE
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
+""",
+    "q_dedup_simhash": _SIMHASH_CTE
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+""",
+    "q_dedup_embedding": f"""
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding)+1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(b.embedding)+1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine DESC, vec_a, vec_b) AS rnk
+  FROM pairs
+) WHERE rnk <= {EMBED_PAIRS_PER_CELL}
+""",
+}

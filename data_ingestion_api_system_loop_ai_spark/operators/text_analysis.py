@@ -1,0 +1,253 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md B16 +
+the training-data-pipeline extensions: language-ID, quality scoring,
+token counting, document fingerprinting).
+
+All tokenization/hashing is built from JVM-side expressions with exact
+DuckDB twins (see ``functions/text.py``), so every query here is
+hash-checkable against the oracle. No Python in the hot path.
+
+Scale notes: everything is per-document (narrow) except the word-count
+groupBy, which partial-aggregates map-side; the SimHash vote aggregation
+shuffles (doc_id, bit) pairs — 32 rows per distinct (doc, token), still
+linear in corpus size and key-balanced by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    sql_tokens,
+    stopword_hits,
+    token_hash32,
+    tokenize,
+)
+from ..sources.loader import load_table
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.withColumn("tokens", tokenize(F.col("text")))
+
+
+_SQL_TOKS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars, {sql_tokens('text')} AS tokens
+  FROM documents
+)
+"""
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 — top-10 tokens per language by frequency (tokenize ->
+    explode -> count -> windowed top-k)."""
+    t = _docs_tokens(spark, sf_dir)
+    counts = (
+        t.select("lang", F.explode("tokens").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-word tokens plus a BPE-ish regex count
+    (letter runs / digit runs / other non-space marks)."""
+    d = _docs_tokens(spark, sf_dir)
+    bpe_ish = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+    )
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        bpe_ish.alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword-ratio heuristics — the deterministic
+    core of a C4/Gopher-style quality filter."""
+    d = _docs_tokens(spark, sf_dir)
+    n_tokens = F.size("tokens")
+    stop_hits = stopword_hits(F.col("tokens"), STOPWORDS["en"])
+    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - stop_hits / n_tokens), 6
+    )
+    return d.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-list voting with a fixed tie order
+    (en > fr > es > de); emits per-language scores + the argmax."""
+    d = _docs_tokens(spark, sf_dir)
+    scores = {lang: stopword_hits(F.col("tokens"), ws) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]), "fr")
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (set fingerprint) + a 32-bit SimHash (weighted bit votes over
+    md5-derived token hashes) — both engine-portable and oracle-exact."""
+    t = _docs_tokens(spark, sf_dir)
+    fp = t.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("tokens")))).alias(
+            "fingerprint"
+        ),
+    )
+    tok_counts = (
+        t.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", token_hash32(F.col("token")))
+    )
+    bit = F.floor(F.col("h") / F.pow(F.lit(2), F.col("b"))).cast("long") % 2
+    votes = (
+        tok_counts.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .withColumn("vote", F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt")))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    simhash = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+    return fp.join(simhash, "doc_id")
+
+
+TEXT_QUERIES = {
+    "q_text_analysis": q_text_analysis,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+_EN = "', '".join(STOPWORDS["en"])
+_FR = "', '".join(STOPWORDS["fr"])
+_ES = "', '".join(STOPWORDS["es"])
+_DE = "', '".join(STOPWORDS["de"])
+
+TEXT_ORACLES = {
+    "q_text_analysis": _SQL_TOKS
+    + """
+, counts AS (
+  SELECT lang, unnest(tokens) AS token FROM toks
+), agg AS (
+  SELECT lang, token, count(*) AS n FROM counts GROUP BY lang, token
+)
+SELECT lang, token, n, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM agg
+) WHERE rnk <= 10
+""",
+    "q_token_count": _SQL_TOKS
+    + """
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_ish,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM toks JOIN documents USING (doc_id)
+""",
+    "q_quality_score": _SQL_TOKS
+    + f"""
+, scored AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS stop_hits
+  FROM toks
+)
+SELECT doc_id, n_tokens, stop_hits,
+       round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 6) AS quality
+FROM scored WHERE n_tokens > 0
+""",
+    "q_lang_id": _SQL_TOKS
+    + f"""
+, scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS s_en,
+         CAST(len(list_filter(tokens, t -> t IN ('{_FR}'))) AS INTEGER) AS s_fr,
+         CAST(len(list_filter(tokens, t -> t IN ('{_ES}'))) AS INTEGER) AS s_es,
+         CAST(len(list_filter(tokens, t -> t IN ('{_DE}'))) AS INTEGER) AS s_de
+  FROM toks
+)
+SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
+       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM scored
+""",
+    "q_doc_fingerprint": _SQL_TOKS
+    + """
+, tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+th AS (
+  SELECT doc_id, token, count(*) AS cnt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM tok GROUP BY doc_id, token
+),
+bits AS (SELECT doc_id, cnt, h, unnest(range(0, 32)) AS b FROM th),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
+                  THEN cnt ELSE -cnt END) AS v
+  FROM bits GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+  FROM toks
+)
+SELECT fp.doc_id, fingerprint, simhash FROM fp JOIN sh ON fp.doc_id = sh.doc_id
+""",
+}

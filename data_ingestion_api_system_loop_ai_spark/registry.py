@@ -70,6 +70,12 @@ def _optional_modules() -> None:
         _register(UDF_QUERIES, UDF_ORACLES)
     except ImportError:
         pass
+    try:
+        from .operators.multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
+
+        _register(MULTIMODAL_QUERIES, MULTIMODAL_ORACLES)
+    except ImportError:
+        pass
 
 
 _optional_modules()
