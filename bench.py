@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink (full execution, no
+driver-side row transfer). A trivial warm-up query first amortizes JVM/
+session startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from data_ingestion_api_system_loop_ai_spark.registry import QUERIES
+from data_ingestion_api_system_loop_ai_spark.session import get_spark
+
+HEADLINE = [
+    "q_pipeline_e2e",
+    "q_hash_agg",
+    "q_join_shuffle",
+    "q_join_broadcast",
+    "q_scan_filter_project",
+    "q_window_rank",
+    "q_window_running",
+    "q_topk_sort_limit",
+    "q_rollup_cube",
+    "q_set_ops",
+    "q_scalar_funcs",
+    "q_distinct_agg",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_similarity_topk",
+    "q_similarity_ivf",
+    "q_text_analysis",
+    "q_doc_fingerprint",
+    "q_sessionize",
+    "q_asof_join",
+    "q_stream_tumbling",
+    "q_udf_surface",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+
+    # warm-up: JVM + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

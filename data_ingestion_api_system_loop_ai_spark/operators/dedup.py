@@ -45,10 +45,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 5-grams per doc, built as posexplode + windowed
+    ``lead`` rather than array lambdas: Catalyst inlines Project aliases
+    into Generate lambdas, so the array form re-tokenizes the text once
+    per (position x k) — O(len^2) work per doc. The explode form runs the
+    tokenizer exactly once per doc and keeps everything in codegen; the
+    doc_id shuffle it adds is linear and key-balanced."""
+    from pyspark.sql import Window as W
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(shingles_k(tokenize(F.col("text")), SHINGLE_K)).alias("s"),
+    tok = d.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, SHINGLE_K)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+            leads[-1].alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
     )
 
 

@@ -1,0 +1,261 @@
+"""Time-series / event-stream operators over ``events`` (SURVEY.md
+B17-B21): tumbling & sliding windows, sessionization, watermark/late-data
+semantics, as-of join, and a wide pivot.
+
+Each has a deterministic batch form with an exact DuckDB oracle; the
+*same* logic runs incrementally under Structured Streaming in
+``streaming/live.py`` (q_streaming_exec_tumbling shares its oracle with
+q_stream_tumbling — streaming and batch must agree).
+
+Scale notes: windowed aggs shuffle once on (window, key) with map-side
+partials; sessionization shuffles once on user and is linear per user
+(lag + running sum); the as-of join is the union-sort trick — one shuffle
+on the join key, no range-explosion, skew-safe under AQE. Spark's
+``window()`` aligns to the epoch, so the DuckDB oracle can reproduce
+bucket boundaries with integer epoch math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+SESSION_GAP_MIN = 30
+WATERMARK_MIN = 10
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 — tumbling 1-hour counts/sums per event type (batch form of
+    the streaming windowed aggregation; epoch-aligned buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 — sliding 1-hour window every 15 minutes, average value per
+    window (each event lands in 4 overlapping windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("*")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            n.alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / n, 6
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 — sessionize per user with a 30-minute inactivity gap:
+    lag -> gap flag -> running sum = session index; emit session rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    prev_ts = F.lag("ts").over(order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.expr("timestampdiff(MILLISECOND, prev_ts, ts)") > gap_ms),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("prev_ts", prev_ts)
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 — watermark semantics, batch-deterministic form: replay events
+    in arrival order (event_id), watermark = max event time seen so far
+    minus 10 minutes; an event strictly older than the watermark is late
+    (what ``withWatermark('ts','10 minutes')`` would drop)."""
+    ev = load_table(spark, sf_dir, "events")
+    arrival = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+    max_seen = F.max("ts").over(arrival)
+    return (
+        ev.withColumn("max_ts_seen", max_seen)
+        .withColumn(
+            "is_late",
+            F.when(
+                F.col("max_ts_seen").isNotNull()
+                & (
+                    F.expr("timestampdiff(MILLISECOND, ts, max_ts_seen)")
+                    > WATERMARK_MIN * 60 * 1000
+                ),
+                True,
+            ).otherwise(False),
+        )
+        .select("event_id", "ts", "is_late")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21 — as-of join: each event matched to the latest order of the
+    same customer with o_orderdate <= ts. Union-sort implementation: tag
+    both sides, sort by (time, side, key) within customer, carry the last
+    non-null order key forward — one shuffle, no range explosion."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id",
+        F.lit(1).alias("is_event"),
+    )
+    u = o.unionByName(e)
+    order = W.partitionBy("k").orderBy(
+        "t",
+        "is_event",
+        F.coalesce("o_orderkey", F.lit(0)),
+        F.coalesce("event_id", F.lit(0)),
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        u.withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(order))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("t").alias("ts"),
+            "last_orderkey",
+        )
+    )
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily value totals spread across the five event types
+    (wide table for BI-style consumption)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+    renamed = p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0.0)).alias(f"v_{t}") for t in types]
+    )
+    return renamed
+
+
+TIMESERIES_QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+    "q_sessionize": q_sessionize,
+    "q_watermark_late": q_watermark_late,
+    "q_asof_join": q_asof_join,
+    "q_pivot_wide": q_pivot_wide,
+}
+
+TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+TIMESERIES_ORACLES = {
+    "q_stream_tumbling": TUMBLING_ORACLE,
+    "q_stream_sliding": """
+WITH slotted AS (
+  SELECT value,
+         make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 AS BIGINT) * 1000000) AS window_start
+  FROM events, (SELECT unnest(range(0, 4)) AS k)
+  WHERE CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k * 900 + 3600 > epoch(ts)
+)
+SELECT window_start, count(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+FROM slotted GROUP BY window_start
+""",
+    "q_sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('millisecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60 * 1000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, session_idx
+""",
+    "q_watermark_late": f"""
+SELECT event_id, ts,
+       CASE WHEN max_ts_seen IS NOT NULL
+              AND date_diff('millisecond', ts, max_ts_seen) > {WATERMARK_MIN * 60 * 1000}
+            THEN TRUE ELSE FALSE END AS is_late
+FROM (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_ts_seen
+  FROM events
+)
+""",
+    "q_asof_join": """
+WITH u AS (
+  SELECT o_custkey AS k, o_orderdate AS t, o_orderkey,
+         CAST(NULL AS BIGINT) AS event_id, 0 AS is_event
+  FROM orders
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, 1 FROM events
+),
+carried AS (
+  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+           PARTITION BY k
+           ORDER BY t, is_event, coalesce(o_orderkey, 0), coalesce(event_id, 0)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey
+  FROM u
+)
+SELECT event_id, k AS user_id, t AS ts, last_orderkey
+FROM carried WHERE is_event = 1
+""",
+    "q_pivot_wide": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       coalesce(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE), 0.0) AS v_click,
+       coalesce(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE), 0.0) AS v_view,
+       coalesce(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0) AS v_purchase,
+       coalesce(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE), 0.0) AS v_signup,
+       coalesce(CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE), 0.0) AS v_error
+FROM events GROUP BY 1
+""",
+}

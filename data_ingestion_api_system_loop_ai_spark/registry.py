@@ -76,6 +76,12 @@ def _optional_modules() -> None:
         _register(MULTIMODAL_QUERIES, MULTIMODAL_ORACLES)
     except ImportError:
         pass
+    try:
+        from .streaming.live import STREAMING_ORACLES, STREAMING_QUERIES
+
+        _register(STREAMING_QUERIES, STREAMING_ORACLES)
+    except ImportError:
+        pass
 
 
 _optional_modules()
