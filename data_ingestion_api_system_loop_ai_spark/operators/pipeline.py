@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.ranking import global_row_number
 from ..schemas import BATCH_SIZE, RATE_LIMIT_MS
 from ..sources.loader import load_table
 
@@ -131,19 +132,30 @@ def schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     a batch run serially (``ingestService.js:70-77``) so batch work is the
     sum. ``as_of`` (the status-observation instant) is pinned mid-schedule
     so all three statuses appear.
+
+    Scale plan: the heap's total order is computed with the two-phase
+    ``global_row_number`` (range partition -> parallel local sort ->
+    broadcast prefix offsets) and the whole-relation scalars (t0, batch
+    count) with a 1-row broadcast aggregate — no single-partition
+    window anywhere, so the schedule stays parallel at any row count.
     """
     b = batches(spark, sf_dir)
-    order = W.orderBy("priority_rank", "created_at", "request_key", "batch_index")
-    everything = W.partitionBy()
     work_ms = F.aggregate(
         "batch_ids",
         F.lit(0).cast("long"),
         lambda acc, x: acc + F.lit(100) + x % 401,
     )
+    ranked = global_row_number(
+        b,
+        bucket_keys=["priority_rank", "created_at"],
+        order_keys=["request_key", "batch_index"],
+        rn_col="rn",
+    )
+    stats = b.agg(
+        F.min("created_at").alias("t0"), F.count("*").alias("total_batches")
+    )
     return (
-        b.withColumn("rn", F.row_number().over(order).cast("long"))
-        .withColumn("t0", F.min("created_at").over(everything))
-        .withColumn("total_batches", F.count("*").over(everything))
+        ranked.crossJoin(F.broadcast(stats))
         .withColumn("t0_ms", F.expr(f"timestampdiff(MILLISECOND, {_EPOCH}, t0)"))
         .withColumn("work_ms", work_ms)
         .withColumn(

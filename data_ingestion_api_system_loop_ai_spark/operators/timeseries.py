@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.ranking import prefix_agg_over_buckets
 from ..sources.loader import load_table
 
 SESSION_GAP_MIN = 30
@@ -94,12 +95,17 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20 — watermark semantics, batch-deterministic form: replay events
     in arrival order (event_id), watermark = max event time seen so far
     minus 10 minutes; an event strictly older than the watermark is late
-    (what ``withWatermark('ts','10 minutes')`` would drop)."""
+    (what ``withWatermark('ts','10 minutes')`` would drop).
+
+    The running max over the global arrival order is computed with the
+    two-phase ``prefix_agg_over_buckets`` plan (per-bucket parallel
+    window + tiny prefix of bucket maxima) — not an unpartitioned
+    window, which would serialize the whole table."""
     ev = load_table(spark, sf_dir, "events")
-    arrival = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
-    max_seen = F.max("ts").over(arrival)
     return (
-        ev.withColumn("max_ts_seen", max_seen)
+        prefix_agg_over_buckets(
+            ev, order_key="event_id", value_col="ts", out_col="max_ts_seen", agg="max"
+        )
         .withColumn(
             "is_late",
             F.when(
