@@ -51,8 +51,26 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
-    # warm-up: JVM + parquet footer reads
+    # warm-up: JVM + codegen + noop sink + parquet footers + the Python
+    # worker pool (first pandas_udf call forks workers per core), so the
+    # per-query numbers measure the queries, not process startup.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    load_table(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # non-decorator form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's hint-based eval-type inference rejects
+    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
+
+    spark.range(10000).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

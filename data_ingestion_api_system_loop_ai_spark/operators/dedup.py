@@ -99,20 +99,54 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: pairs whose 32-bit simhash hamming distance is
-    <= 6. At scale the pair scan is bucketed by simhash prefix (pigeonhole:
-    any pair within distance d shares one of d+1 prefix bands); the small-sf
-    oracle form compares all pairs."""
+    """SimHash near-dup: all pairs whose 32-bit simhash hamming distance
+    is <= HAMMING_MAX, found by pigeonhole banding: split the hash into
+    HAMMING_MAX+1 bands — any pair within distance d agrees exactly on at
+    least one band — equi-join on (band_index, band_value), then verify
+    the hamming distance and de-duplicate multi-band matches. Same result
+    set as the oracle's all-pairs scan, but the join is a hash join on
+    band keys instead of an O(n^2) theta-join. At larger corpora the
+    bands widen with a 64/128-bit hash so posting lists stay bounded."""
     from .text_analysis import q_doc_fingerprint
 
+    n_bands = HAMMING_MAX + 1
+    band_bits = 32 // n_bands
     sh = q_doc_fingerprint(spark, sf_dir).select("doc_id", "simhash")
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a")
+    )
+    b = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b")
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -121,7 +121,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
     (set fingerprint) + a 32-bit SimHash (weighted bit votes over
-    md5-derived token hashes) — both engine-portable and oracle-exact."""
+    md5-derived token hashes) — both engine-portable and oracle-exact.
+
+    The 32 per-bit votes are 32 columnar ``sum`` aggregates inside ONE
+    ``groupBy(doc_id)`` (bit extraction is ``(h >> b) & 1`` in codegen),
+    not an exploded (doc, token, bit) relation — an earlier draft
+    shuffled 32x the token rows for the same result."""
     t = _docs_tokens(spark, sf_dir)
     fp = t.select(
         "doc_id",
@@ -135,26 +140,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", token_hash32(F.col("token")))
     )
-    bit = F.floor(F.col("h") / F.pow(F.lit(2), F.col("b"))).cast("long") % 2
-    votes = (
-        tok_counts.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-        )
-        .withColumn("vote", F.when(bit == 1, F.col("cnt")).otherwise(-F.col("cnt")))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    simhash = votes.groupBy("doc_id").agg(
+    vote_cols = [
         F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
-                F.lit(0)
-            )
+            F.when(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"_v{b}")
+        for b in range(32)
+    ]
+    simhash_expr = None
+    for b in range(32):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .cast("long")
-        .alias("simhash")
+        simhash_expr = term if simhash_expr is None else simhash_expr + term
+    simhash = (
+        tok_counts.groupBy("doc_id")
+        .agg(*vote_cols)
+        .select("doc_id", simhash_expr.cast("long").alias("simhash"))
     )
     return fp.join(simhash, "doc_id")
 
