@@ -42,6 +42,15 @@ HEADLINE = [
     "q_asof_join",
     "q_stream_tumbling",
     "q_udf_surface",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_join_salted",
+    "q_analytic_funcs",
+    "q_stats_agg",
+    "q_percentiles",
+    "q_grouping_sets",
+    "q_source_ingest",
 ]
 
 

@@ -333,6 +333,36 @@ def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the JSON ingest source as a declarative parse (reference
+    ``src/app.js:7`` ``express.json()`` + ``ingestRoutes.js:6``):
+    requests serialized to the wire payload ``{"ids":[...],"priority":..}``
+    and parsed back through ``from_json`` with the fixed ingest schema.
+    Malformed payloads parse to NULL fields (PERMISSIVE) — the 400 path.
+    In production this same schema+``from_json`` pair is the Kafka/file
+    ``readStream`` deserializer (see ``streaming/live.py``)."""
+    req = requests(spark, sf_dir)
+    wire = req.select(
+        "request_id", F.to_json(F.struct("ids", "priority")).alias("payload")
+    )
+    bad = spark.createDataFrame(
+        [("bad-json-1", "{not json"), ("bad-json-2", '{"ids": "x"}')],
+        "request_id string, payload string",
+    )
+    parsed = wire.unionByName(bad).select(
+        "request_id",
+        F.from_json("payload", "ids array<bigint>, priority string").alias("p"),
+    )
+    return parsed.select(
+        "request_id",
+        _ids_str("p.ids").alias("ids_str"),
+        F.col("p.priority").alias("priority"),
+        (F.col("p.ids").isNotNull() & F.col("p.priority").isNotNull()).alias(
+            "parsed_ok"
+        ),
+    )
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite flagship — validate -> chunk -> order -> schedule ->
     status -> per-request rollup, the whole reference pipeline as one
@@ -482,6 +512,13 @@ SELECT request_id,
 FROM statused
 WHERE request_key = (SELECT min(request_key) FROM statused)
 """,
+    "q_source_ingest": PIPELINE_CTE
+    + """
+SELECT request_id, array_to_string(ids, '|') AS ids_str, priority, TRUE AS parsed_ok
+FROM requests
+UNION ALL SELECT 'bad-json-1', NULL, NULL, FALSE
+UNION ALL SELECT 'bad-json-2', NULL, NULL, FALSE
+""",
     "q_pipeline_e2e": PIPELINE_CTE
     + """
 SELECT request_id, priority, created_at,
@@ -505,5 +542,6 @@ PIPELINE_QUERIES = {
     "q_status_transitions": q_status_transitions,
     "q_overall_status": q_overall_status,
     "q_status_lookup": q_status_lookup,
+    "q_source_ingest": q_source_ingest,
     "q_pipeline_e2e": q_pipeline_e2e,
 }

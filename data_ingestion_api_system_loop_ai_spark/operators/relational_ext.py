@@ -1,0 +1,310 @@
+"""Extended relational battery: TPC-H classics adapted to the test
+schema, a deterministic salted-join skew pattern, the analytic-function
+battery (lag/lead/ntile/percent_rank/cume_dist), statistical aggregates,
+exact percentiles, and GROUPING SETS.
+
+The reference implements none of this (its only relational surface is a
+dictionary lookup + an array rollup, SURVEY.md §2.2); these queries are
+the north-star extension tier, each a plain Catalyst-optimizable
+DataFrame/SQL program with an exact DuckDB oracle.
+
+Scale notes (100 TB):
+- The TPC-H shapes join facts on their natural keys — dims broadcast,
+  fact-fact goes sort-merge under AQE, filters reach the parquet scan.
+- ``q_join_salted`` shows the deterministic skew-salting pattern: the
+  skewed probe side derives a salt from a value column, the build side
+  is exploded across all salts, so one hot key spreads over N reducers;
+  result identical to the plain join. (AQE's skew-join split handles
+  sort-merge skew automatically; salting is the portable form that also
+  works for hash aggregation.)
+- Analytic windows partition by customer — parallel, no global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+N_SALTS = 8
+
+
+def _dec(col, scale: str = "decimal(25,6)"):
+    return F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted): top-10 unshipped orders by
+    revenue for the BUILDING segment. customer is broadcast-joined; the
+    orders-lineitem join shuffles on orderkey; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "_rev"
+            )
+        )
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume, adapted): revenue per nation for
+    ASIA in 1996 where customer and supplier share a nation. Dims
+    (supplier/customer/nation/region) broadcast; one fact shuffle."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): single scan, every predicate
+    pushed to parquet, one scalar aggregate — the canonical
+    scan-efficiency probe."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic skew-salting: probe side (lineitem) derives
+    ``salt = l_linenumber % N``, build side (orders) is exploded across
+    all N salts, and the join key becomes (orderkey, salt) — a single
+    hot orderkey now spreads over N reducers. Values identical to the
+    plain equi-join (the oracle IS the plain join)."""
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_salt", (F.col("l_linenumber") % N_SALTS).cast("int")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("_salt"),
+        )
+    )
+    return (
+        l.join(o, [l["_salt"] == o["_salt"], l["l_orderkey"] == o["o_orderkey"]])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_quantity", "decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic battery per customer over order history: lag/lead,
+    ntile(4), percent_rank, cume_dist, first/last value — one parallel
+    window partitioned by customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(frame).alias("first_order"),
+        F.last("o_orderkey").over(frame).alias("last_order"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per returnflag: stddev/variance of
+    quantity, correlation and population covariance of quantity vs
+    extendedprice — all single-pass JVM aggregates."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (25/50/75) of order totalprice per
+    priority. Exact percentile is a per-group sort — fine keyed by a
+    5-value priority at any scale because each group sorts in parallel
+    partitions via Spark's percentile aggregate; the approximate
+    t-digest path (``percentile_approx``) is the >billions-of-rows form
+    (see q_approx_distinct for the sketch-based pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (order year, priority): per-year,
+    per-priority, and grand-total rows with grouping_id disambiguation
+    (complements q_rollup_cube's rollup/cube forms)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS o_year,
+               o_orderpriority,
+               grouping_id(year(o_orderdate), o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        """
+    )
+
+
+RELATIONAL_EXT_QUERIES = {
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
+    "q_join_salted": q_join_salted,
+    "q_analytic_funcs": q_analytic_funcs,
+    "q_stats_agg": q_stats_agg,
+    "q_percentiles": q_percentiles,
+    "q_grouping_sets": q_grouping_sets,
+}
+
+RELATIONAL_EXT_ORACLES = {
+    "q_tpch_q3": """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) DESC, l_orderkey
+LIMIT 10
+""",
+    "q_tpch_q5": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    "q_tpch_q6": """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "q_join_salted": """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    "q_analytic_funcs": """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "q_stats_agg": """
+SELECT l_returnflag, count(*) AS n,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    "q_percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderpriority
+""",
+    "q_grouping_sets": """
+SELECT year(o_orderdate) AS o_year,
+       o_orderpriority,
+       grouping(year(o_orderdate)) * 2 + grouping(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+""",
+}

@@ -41,6 +41,15 @@ def _optional_modules() -> None:
     except ImportError:
         pass
     try:
+        from .operators.relational_ext import (
+            RELATIONAL_EXT_ORACLES,
+            RELATIONAL_EXT_QUERIES,
+        )
+
+        _register(RELATIONAL_EXT_QUERIES, RELATIONAL_EXT_ORACLES)
+    except ImportError:
+        pass
+    try:
         from .operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 
         _register(DEDUP_QUERIES, DEDUP_ORACLES)
