@@ -18,18 +18,36 @@ same partitioned plan as batch, and state (for windowed aggs) lives in
 the checkpointed state store keyed by (window, group) — shardable across
 executors.
 
-The live Tier-A ingest pipeline (priority + 5 s rate pacing as a
-trigger-paced stateful drain over ``transformWithStateInPandas``) is the
-round-2 item; its deterministic closed form is already covered by the
-batch pipeline operators.
+``live_priority_drain`` is the live Tier-A ingest pipeline: the
+reference's heap + rate limiter + status machine
+(``ingestService.js:94-154``) as a trigger-paced stateful drain over
+``applyInPandasWithState``. One queue batch starts per micro-batch
+trigger — in production ``trigger(processingTime="5 seconds")`` supplies
+the 5 s start-to-start pacing (``RATE_LIMIT_MS``); in tests
+``maxFilesPerTrigger=1`` + ``availableNow`` makes every trigger a
+deterministic step, so priority preemption is assertable without a
+single sleep (the reference's own tests could only infer order from
+logs, ``tests/api.test.js:254-259``).
 """
 
 from __future__ import annotations
 
+import json
 import uuid
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
@@ -123,6 +141,150 @@ def q_streaming_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares the batch tumbling oracle: streaming must agree with batch."""
     name = run_stream_to_table(tumbling_agg(events_stream(spark, sf_dir)))
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Live Tier-A pipeline: stateful priority drain
+# ---------------------------------------------------------------------------
+
+REQUEST_WIRE_SCHEMA = (
+    "request_id string, priority string, created_at_ms long, ids array<long>"
+)
+
+_DRAIN_OUTPUT = StructType(
+    [
+        StructField("drain_seq", LongType()),
+        StructField("batch_id", StringType()),
+        StructField("request_id", StringType()),
+        StructField("priority", StringType()),
+        StructField("batch_index", IntegerType()),
+        StructField("status", StringType()),
+        StructField("n_pending_after", IntegerType()),
+    ]
+)
+
+# state: drain counter + pending jobs as JSON strings (each one Job from
+# the reference, ingestService.js:181-186)
+_DRAIN_STATE = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("pending", ArrayType(StringType())),
+    ]
+)
+
+_PRIORITY_RANK = {"HIGH": 1, "MEDIUM": 2, "LOW": 3}
+
+
+def requests_json_stream(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines request stream (the wire form of ``POST /ingest``,
+    reference ``src/app.js:7``) with the fixed ingest schema."""
+    return spark.readStream.schema(REQUEST_WIRE_SCHEMA).json(path)
+
+
+def chunk_requests(requests: DataFrame, batch_size: int = 3) -> DataFrame:
+    """Stateless chunking of a request stream into jobs — the same
+    order-preserving array-slice expression as the batch operator
+    (``operators/pipeline.py batches()``; reference
+    ``ingestService.js:171-179``)."""
+    n_batches = F.ceil(F.size("ids") / F.lit(batch_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_batches - 1),
+        lambda i: F.slice(F.col("ids"), i * batch_size + 1, batch_size),
+    )
+    rank = (
+        F.when(F.upper("priority") == "HIGH", 1)
+        .when(F.upper("priority") == "MEDIUM", 2)
+        .otherwise(3)
+    )
+    return (
+        requests.filter(F.size("ids") > 0)
+        .select(
+            "request_id",
+            F.upper("priority").alias("priority"),
+            "created_at_ms",
+            F.posexplode(chunks).alias("batch_index", "batch_ids"),
+        )
+        .withColumn("batch_id", F.concat_ws("-", "request_id", "batch_index"))
+        .withColumn("priority_rank", rank)
+    )
+
+
+def _drain_one(key, pdf_iter, state: GroupState):
+    """Per-trigger queue step: merge newly-arrived jobs into the pending
+    set, dequeue exactly ONE job in heap order (priority rank, created_at,
+    request_id, batch_index — ``priorityQueue.js:12-23``), emit its
+    status transition. One dequeue per trigger = the rate limiter with
+    the trigger interval as the clock (``ingestService.js:99-116``)."""
+    if state.exists:
+        seq, pending_json = state.get
+        pending = [json.loads(s) for s in pending_json]
+    else:
+        seq, pending = 0, []
+    for pdf in pdf_iter:
+        for row in pdf.itertuples(index=False):
+            pending.append(
+                {
+                    "batch_id": row.batch_id,
+                    "request_id": row.request_id,
+                    "priority": row.priority,
+                    "rank": int(row.priority_rank),
+                    "created_at_ms": int(row.created_at_ms),
+                    "batch_index": int(row.batch_index),
+                }
+            )
+    pending.sort(
+        key=lambda j: (j["rank"], j["created_at_ms"], j["request_id"], j["batch_index"])
+    )
+    out = []
+    if pending:
+        job = pending.pop(0)
+        seq += 1
+        out.append(
+            (
+                seq,
+                job["batch_id"],
+                job["request_id"],
+                job["priority"],
+                job["batch_index"],
+                "completed",
+                len(pending),
+            )
+        )
+    state.update((seq, [json.dumps(j) for j in pending]))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "drain_seq",
+            "batch_id",
+            "request_id",
+            "priority",
+            "batch_index",
+            "status",
+            "n_pending_after",
+        ],
+    )
+
+
+def live_priority_drain(requests: DataFrame) -> DataFrame:
+    """The live ingest queue: all jobs key to ONE logical queue (the
+    reference has a single global heap — an inherently serial resource),
+    whose state is the pending set. Scale path: the serial step touches
+    only queue METADATA (job descriptors); per-id batch work fans out to
+    the cluster from the drain's output, exactly like the batch
+    pipeline. Multi-tenant deployments key by queue/tenant id instead of
+    a constant and drain each queue independently."""
+    jobs = chunk_requests(requests)
+    return (
+        jobs.withColumn("_q", F.lit(0))
+        .groupBy("_q")
+        .applyInPandasWithState(
+            _drain_one,
+            _DRAIN_OUTPUT,
+            _DRAIN_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 STREAMING_QUERIES = {"q_streaming_exec_tumbling": q_streaming_exec_tumbling}

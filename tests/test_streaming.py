@@ -1,7 +1,11 @@
 """Streaming layer: the incremental engine must agree with the batch
-operators on the same data, and native streaming features
-(session_window, watermark) must run end-to-end."""
+operators on the same data, native streaming features (session_window,
+watermark) must run end-to-end, and the live stateful priority drain
+must reproduce the reference's preemption order deterministically."""
 
+import json
+import os
+import time
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -9,6 +13,8 @@ from pyspark.sql import functions as F
 from data_ingestion_api_system_loop_ai_spark.operators.timeseries import q_stream_tumbling
 from data_ingestion_api_system_loop_ai_spark.streaming.live import (
     events_stream,
+    live_priority_drain,
+    requests_json_stream,
     run_stream_to_table,
     session_window_agg,
     tumbling_agg,
@@ -41,3 +47,61 @@ def test_watermarked_tumbling_runs(spark, sf_dir):
         watermarked_tumbling(events_stream(spark, sf_dir)), output_mode="append"
     )
     assert spark.table(name).count() > 0
+
+
+def _write_request_file(path: str, rows: list[dict], mtime: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def test_live_drain_priority_preemption(spark, tmp_path):
+    """The reference's core live semantics, asserted exactly: a LOW
+    request's remaining batches are preempted by a MEDIUM arrival, which
+    is preempted by a HIGH arrival — one dequeue per trigger
+    (maxFilesPerTrigger=1), zero sleeps. The reference's own tests could
+    only infer this order from logs (tests/api.test.js:254-259)."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    t0 = time.time() - 100
+    # trigger 1: LOW with 7 ids -> 3 batches; drains LOW-0
+    _write_request_file(
+        str(src / "f1.json"),
+        [{"request_id": "low1", "priority": "LOW", "created_at_ms": 1000,
+          "ids": [1, 2, 3, 4, 5, 6, 7]}],
+        t0,
+    )
+    # trigger 2: MEDIUM with 4 ids -> 2 batches; preempts LOW-1, drains MED-0
+    _write_request_file(
+        str(src / "f2.json"),
+        [{"request_id": "med1", "priority": "medium", "created_at_ms": 2000,
+          "ids": [10, 11, 12, 13]}],
+        t0 + 10,
+    )
+    # trigger 3: HIGH with 3 ids -> 1 batch; preempts everyone, drains HIGH-0
+    _write_request_file(
+        str(src / "f3.json"),
+        [{"request_id": "high1", "priority": "HIGH", "created_at_ms": 3000,
+          "ids": [20, 21, 22]}],
+        t0 + 20,
+    )
+
+    stream = requests_json_stream(spark, str(src))
+    # re-read with maxFilesPerTrigger so availableNow steps one file at a time
+    stream = (
+        spark.readStream.schema(stream.schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    name = run_stream_to_table(live_priority_drain(stream), output_mode="append")
+    out = {r["drain_seq"]: r for r in spark.table(name).collect()}
+
+    assert len(out) == 3
+    assert out[1]["batch_id"] == "low1-0"      # only LOW present
+    assert out[2]["batch_id"] == "med1-0"      # MEDIUM preempts LOW-1
+    assert out[3]["batch_id"] == "high1-0"     # HIGH preempts MEDIUM-1 and LOW
+    assert out[3]["n_pending_after"] == 3      # low1-1, low1-2, med1-1 pending
+    assert all(r["status"] == "completed" for r in out.values())
+    # priority normalization survived the wire ("medium" -> MEDIUM)
+    assert out[2]["priority"] == "MEDIUM"
