@@ -1,0 +1,69 @@
+"""Sink layout guarantees: partitioned writes must prune, bucketed
+tables must join without a shuffle — the two layout decisions that
+dominate read cost at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+from data_ingestion_api_system_loop_ai_spark.sources.sinks import (
+    coalesced_for_write,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def _formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(coalesced_for_write(o, 4), path, ["o_year"])
+
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("o_year") == 1996)
+    plan = _formatted_plan(q)
+    # the year predicate must hit PartitionFilters (pruning), not PushedFilters
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in pf_line
+    expected = o.filter(F.col("o_year") == 1996).count()
+    assert q.count() == expected
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    # managed tables land in the session's spark-warehouse dir and are
+    # dropped (data included) in the finally block
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed_table(l, "t_lineitem_b", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        # force the non-broadcast path so bucketing is what kills the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            plan = _formatted_plan(j)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: no shuffle at all
+        # and the join still computes the right thing
+        n = j.count()
+        expected = l.join(o, l.l_orderkey == o.o_orderkey).count()
+        assert n == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
