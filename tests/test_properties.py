@@ -1,0 +1,120 @@
+"""Property-based semantics checks (hypothesis).
+
+The reference's own tests assert chunk boundaries on one 4-id example
+and infer priority order from logs (SURVEY.md §5). These properties
+check the same semantics over randomized inputs against independent
+Python models — including a float-key min-heap that mirrors the
+reference's actual ordering arithmetic (`priorityQueue.js:22`:
+``rank + created_at/1e14``).
+
+Spark jobs per example are expensive, so examples are few but each
+covers many rows; deadline disabled accordingly.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_loop_ai_spark.plans.ranking import global_row_number
+from data_ingestion_api_system_loop_ai_spark.streaming.live import chunk_requests
+
+PRIORITIES = ["HIGH", "MEDIUM", "LOW"]
+RANK = {"HIGH": 1, "MEDIUM": 2, "LOW": 3}
+
+request_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(PRIORITIES),
+        st.integers(min_value=0, max_value=10**9),  # created_at_ms
+        st.lists(st.integers(min_value=1, max_value=10**9 + 7), min_size=1, max_size=11),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[1],  # distinct timestamps: the reference's float
+    # key collapses ties arbitrarily, so only tie-free inputs have a
+    # well-defined reference order to compare against
+)
+
+
+def _mk_requests_df(spark, reqs):
+    rows = [
+        (f"r{i}", prio, created, ids) for i, (prio, created, ids) in enumerate(reqs)
+    ]
+    return spark.createDataFrame(
+        rows, "request_id string, priority string, created_at_ms long, ids array<long>"
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(reqs=request_strategy)
+def test_chunking_partitions_ids_in_order(spark, reqs):
+    """Chunks are consecutive, ordered, <= 3 ids, and concatenate back to
+    the original ids (reference ingestService.js:171-179; golden assert
+    tests/api.test.js:131-133 generalized)."""
+    df = _mk_requests_df(spark, reqs)
+    out = chunk_requests(df).collect()
+    by_req: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["request_id"], r["batch_index"])):
+        assert 1 <= len(r["batch_ids"]) <= 3
+        by_req.setdefault(r["request_id"], []).append(list(r["batch_ids"]))
+    for i, (_, _, ids) in enumerate(reqs):
+        chunks = by_req[f"r{i}"]
+        assert [x for c in chunks for x in c] == ids
+        assert all(len(c) == 3 for c in chunks[:-1])  # only the tail is short
+
+
+@settings(max_examples=8, deadline=None)
+@given(reqs=request_strategy)
+def test_drain_order_matches_reference_heap_model(spark, reqs):
+    """The engine's total order (priority rank, created_at, tie-breaks)
+    reproduces the reference heap's pop sequence, modeled with the exact
+    float-key arithmetic of priorityQueue.js:22."""
+    df = _mk_requests_df(spark, reqs)
+    jobs = chunk_requests(df)
+    ranked = global_row_number(
+        jobs,
+        bucket_keys=["priority_rank", "created_at_ms"],
+        order_keys=["request_id", "batch_index"],
+        rn_col="rn",
+    )
+    engine_order = [
+        r["batch_id"] for r in sorted(ranked.collect(), key=lambda r: r["rn"])
+    ]
+
+    # independent model: the reference's min-heap with key rank + ms/1e14,
+    # batches enqueued per request in batch_index order
+    heap = []
+    seq = 0
+    for i, (prio, created, ids) in enumerate(reqs):
+        n_batches = (len(ids) + 2) // 3
+        for b in range(n_batches):
+            key = RANK[prio] + created / 1e14
+            # seq preserves enqueue order among equal keys (same request)
+            heapq.heappush(heap, (key, seq, f"r{i}-{b}"))
+            seq += 1
+    model_order = [heapq.heappop(heap)[2] for _ in range(len(heap))]
+
+    assert engine_order == model_order
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**6), st.integers(0, 10**9)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_global_row_number_is_a_permutation_in_sort_order(spark, rows):
+    """global_row_number assigns exactly 1..n following the composite
+    order, for arbitrary bucket distributions (including all rows in one
+    bucket and every row its own bucket)."""
+    df = spark.createDataFrame(rows, "b int, c long, u long")
+    out = global_row_number(df, ["b", "c"], ["u"], rn_col="rn").collect()
+    got = sorted((r["rn"], (r["b"], r["c"], r["u"])) for r in out)
+    assert [g[0] for g in got] == list(range(1, len(rows) + 1))
+    assert [g[1] for g in got] == sorted((b, c, u) for b, c, u in rows)
