@@ -67,25 +67,47 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_tail").isNotNull())
         .select("doc_id", "s")
-        .distinct()
     )
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B14 — exact n-gram Jaccard near-dup via inverted-index self-join:
-    shuffle by shingle, emit pairs within a posting list, then
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. Threshold 0.5 on 5-shingles."""
+    """B14 — exact n-gram Jaccard near-dup via inverted-index posting
+    lists: one shuffle groups shingles into per-shingle doc sets
+    (``collect_set`` deduplicates (doc, shingle) for free), candidate
+    pairs are generated INSIDE each posting-list array (no self-join of
+    the raw shingle relation), then ``|A∩B| / (|A|+|B|-|A∩B|)``.
+    Per-doc set sizes come from the postings relation (far smaller than
+    raw shingles) and broadcast into the pair aggregation. Threshold 0.5
+    on 5-shingles. Scale note: a hot shingle's posting list is the skew
+    risk — the production guard drops shingles with document frequency
+    above a cutoff (they carry no similarity signal); kept exact here so
+    the DuckDB oracle matches."""
     sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    postings = sh.groupBy("s").agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # size joins left unhinted: AQE broadcasts them while `sizes` fits
+    # (one row per doc) and falls back to shuffle joins beyond that
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")

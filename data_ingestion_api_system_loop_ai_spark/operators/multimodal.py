@@ -115,9 +115,53 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(_extract_features, _FEATURES_SCHEMA)
 
 
+_RESIZE_BOX = 224
+_FRAME_FPS = 10
+_MAX_SAMPLES = 5
+
+_PIPELINE_SCHEMA = (
+    "asset_id long, kind string, frame_idx int, out_w int, out_h int"
+)
+
+
+def _resize_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Second pipeline stage: aspect-preserving resize into a 224 box,
+    then evenly-spaced frame sampling (<=5 samples at a fake 10 fps).
+    Fan-out happens inside the Arrow batch — one input row becomes
+    n_samples output rows without leaving the Python worker."""
+    for pdf in batches:
+        out_rows = []
+        for r in pdf.itertuples(index=False):
+            w, h = int(r.width), int(r.height)
+            if max(w, h) > 0:
+                scale = _RESIZE_BOX / max(w, h)
+                ow, oh = round(w * scale), round(h * scale)
+            else:
+                ow = oh = 0
+            n_frames = max(1, int(r.duration_s * _FRAME_FPS))
+            n_samples = min(_MAX_SAMPLES, n_frames)
+            step = max(1, n_frames // n_samples)
+            for i in range(0, n_samples * step, step):
+                out_rows.append((r.asset_id, r.kind, i, ow, oh))
+        yield pd.DataFrame(
+            out_rows, columns=["asset_id", "kind", "frame_idx", "out_w", "out_h"]
+        )
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing chain: decode (stub) -> resize ->
+    frame-sample, two mapInPandas stages back to back. No shuffle
+    between stages (narrow), payloads never visit the driver; on a
+    cluster with codecs only ``_fake_decode`` changes. Rows-only check
+    (stub-derived values are engine-internal by design)."""
+    feats = q_media_features(spark, sf_dir)
+    return feats.mapInPandas(_resize_and_sample, _PIPELINE_SCHEMA)
+
+
 MULTIMODAL_QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_media_features": q_media_features,
+    "q_media_pipeline": q_media_pipeline,
 }
 
 MULTIMODAL_ORACLES = {
