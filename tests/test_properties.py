@@ -19,7 +19,10 @@ from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-from data_ingestion_api_system_loop_ai_spark.plans.ranking import global_row_number
+from data_ingestion_api_system_loop_ai_spark.plans.ranking import (
+    global_row_number,
+    prefix_agg_over_buckets,
+)
 from data_ingestion_api_system_loop_ai_spark.streaming.live import chunk_requests
 
 PRIORITIES = ["HIGH", "MEDIUM", "LOW"]
@@ -118,3 +121,28 @@ def test_global_row_number_is_a_permutation_in_sort_order(spark, rows):
     got = sorted((r["rn"], (r["b"], r["c"], r["u"])) for r in out)
     assert [g[0] for g in got] == list(range(1, len(rows) + 1))
     assert [g[1] for g in got] == sorted((b, c, u) for b, c, u in rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100_000), st.integers(-(10**6), 10**6)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    width=st.sampled_from([1, 7, 64, 4096]),
+)
+def test_prefix_agg_matches_serial_running_max(spark, rows, width):
+    """The two-phase bucketed running max equals the serial exclusive
+    running max for any bucket width (including width 1 = every row its
+    own bucket and widths larger than the key range = one bucket)."""
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = prefix_agg_over_buckets(
+        df, order_key="k", value_col="v", out_col="run_max", bucket_width=width
+    ).collect()
+    got = {r["k"]: r["run_max"] for r in out}
+    best = None
+    for k, v in sorted(rows):
+        assert got[k] == best
+        best = v if best is None else max(best, v)

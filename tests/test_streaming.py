@@ -105,3 +105,63 @@ def test_live_drain_priority_preemption(spark, tmp_path):
     assert all(r["status"] == "completed" for r in out.values())
     # priority normalization survived the wire ("medium" -> MEDIUM)
     assert out[2]["priority"] == "MEDIUM"
+
+
+def test_live_drain_state_survives_restart(spark, tmp_path):
+    """The reference loses its whole queue on restart
+    (ingestController.js:5 — in-memory store); the engine's drain state
+    lives in the checkpoint, so a stopped-and-restarted query resumes
+    with its pending set and sequence counter intact."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = time.time() - 100
+    _write_request_file(
+        str(src / "f1.json"),
+        [{"request_id": "low1", "priority": "LOW", "created_at_ms": 1000,
+          "ids": [1, 2, 3, 4, 5, 6, 7]}],  # 3 batches
+        t0,
+    )
+
+    out_dir = str(tmp_path / "drained")
+
+    def run_once():
+        # the memory sink cannot recover from a checkpoint; the file sink
+        # is the real restart-capable (exactly-once) path
+        stream = (
+            spark.readStream.schema(
+                "request_id string, priority string, created_at_ms long, ids array<long>"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            live_priority_drain(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # one trigger -> drains low1-0, 2 pending
+    first = spark.read.parquet(out_dir).collect()
+    assert [r["batch_id"] for r in first] == ["low1-0"]
+    assert first[0]["n_pending_after"] == 2
+
+    # "restart": new file arrives, new query instance, same checkpoint
+    _write_request_file(
+        str(src / "f2.json"),
+        [{"request_id": "high1", "priority": "HIGH", "created_at_ms": 2000,
+          "ids": [20]}],
+        t0 + 10,
+    )
+    run_once()
+    out = {r["drain_seq"]: r for r in spark.read.parquet(out_dir).collect()}
+    # state carried over: the sequence continues at 2 and HIGH preempts
+    # the two still-pending LOW batches
+    assert set(out) == {1, 2}
+    assert out[2]["batch_id"] == "high1-0"
+    assert out[2]["n_pending_after"] == 2
