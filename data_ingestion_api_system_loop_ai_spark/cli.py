@@ -1,0 +1,119 @@
+"""Command-line surface for the engine.
+
+The reference exposes its pipeline over REST (``POST /ingest``,
+``GET /ingest/status/:id``); this engine's equivalent product surface is
+the query registry plus this CLI:
+
+    python -m data_ingestion_api_system_loop_ai_spark list
+    python -m data_ingestion_api_system_loop_ai_spark run q_hash_agg --limit 5
+    python -m data_ingestion_api_system_loop_ai_spark explain q_join_broadcast
+    python -m data_ingestion_api_system_loop_ai_spark status 12345
+
+``status`` is the ``GET /ingest/status/:id`` read path: per-batch and
+overall status for one request id (empty output = the 404 case).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .registry import ORACLES, QUERIES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_list(_args) -> int:
+    for name in sorted(QUERIES):
+        marker = "sql-oracle" if name in ORACLES else "rows-only "
+        print(f"{marker}  {name}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    if args.query not in QUERIES:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+    spark = _spark(f"cli-run-{args.query}")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_explain(args) -> int:
+    if args.query not in QUERIES:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+    spark = _spark(f"cli-explain-{args.query}")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    print(
+        df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                args.mode
+            )
+        )
+    )
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .operators.pipeline import request_status
+
+    spark = _spark("cli-status")
+    rows = request_status(spark, args.sf_dir, args.request_id).collect()
+    if not rows:
+        print(json.dumps({"error": "Ingestion ID not found"}))
+        return 1
+    out = {
+        "ingestion_id": rows[0]["request_id"],
+        "status": rows[0]["overall_status"],
+        "batches": [
+            {"batch_id": r["batch_id"], "ids": r["ids_str"], "status": r["status"]}
+            for r in rows
+        ],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_ingestion_api_system_loop_ai_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list").set_defaults(fn=cmd_list)
+
+    pr = sub.add_parser("run")
+    pr.add_argument("query")
+    pr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pr.add_argument("--limit", type=int, default=20)
+    pr.set_defaults(fn=cmd_run)
+
+    pe = sub.add_parser("explain")
+    pe.add_argument("query")
+    pe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pe.add_argument("--mode", default="formatted")
+    pe.set_defaults(fn=cmd_explain)
+
+    ps = sub.add_parser("status")
+    ps.add_argument("request_id")
+    ps.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ps.set_defaults(fn=cmd_status)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

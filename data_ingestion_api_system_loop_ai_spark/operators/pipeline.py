@@ -302,6 +302,38 @@ def q_overall_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def request_status(spark: SparkSession, sf_dir: str, request_id: str) -> DataFrame:
+    """The ``GET /ingest/status/:id`` read path (reference
+    ``ingestController.js:35-55``) for an arbitrary request id: batch
+    projection + overall status; empty result = the 404 case."""
+    sched = schedule(spark, sf_dir)
+    per_req = W.partitionBy("request_id")
+    n = F.count("*").over(per_req)
+    overall = (
+        F.when(
+            n == F.count(F.when(F.col("status") == "completed", 1)).over(per_req),
+            "completed",
+        )
+        .when(
+            n
+            == F.count(F.when(F.col("status") == "yet_to_start", 1)).over(per_req),
+            "yet_to_start",
+        )
+        .otherwise("triggered")
+    )
+    return (
+        sched.filter(F.col("request_id") == F.lit(request_id))
+        .withColumn("overall_status", overall)
+        .select(
+            "request_id",
+            "overall_status",
+            "batch_id",
+            _ids_str("batch_ids").alias("ids_str"),
+            "status",
+        )
+    )
+
+
 def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — point lookup of one request (min key, stable across sf) with
     batch projection + overall status (reference ``ingestController.js:35-55``)."""
