@@ -135,6 +135,25 @@ def watermarked_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFr
     )
 
 
+def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins
+    the static customer dimension (broadcast per micro-batch — no
+    stream-side state). The streaming analogue of q_join_broadcast."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark horizon:
+    ``dropDuplicates`` keeps per-key state only until the watermark
+    passes, so state is bounded — the incremental form of
+    q_dedup_exact's hash-groupBy."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
 def q_streaming_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling aggregation executed by the *streaming engine* (file
     source -> availableNow -> memory sink), returned as a DataFrame.

@@ -95,3 +95,13 @@ def test_e2e_has_no_full_data_single_partition_sort(spark, sf_dir):
 def test_salted_join_spreads_keys(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_join_salted")
     assert "_salt" in plan
+
+
+def test_no_query_uses_row_python_udfs(spark, sf_dir):
+    """Engine-wide lint: Python appears in plans only as Arrow-batched
+    stages (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
+    FlatMapGroupsWithStateInPandas) — never BatchEvalPython, the
+    row-at-a-time serialization path that is 10-100x slower."""
+    for name in sorted(QUERIES):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name

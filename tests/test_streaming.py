@@ -11,12 +11,15 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from data_ingestion_api_system_loop_ai_spark.operators.timeseries import q_stream_tumbling
+from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
 from data_ingestion_api_system_loop_ai_spark.streaming.live import (
     events_stream,
     live_priority_drain,
     requests_json_stream,
     run_stream_to_table,
     session_window_agg,
+    stream_dedup,
+    stream_static_join,
     tumbling_agg,
     watermarked_tumbling,
 )
@@ -47,6 +50,29 @@ def test_watermarked_tumbling_runs(spark, sf_dir):
         watermarked_tumbling(events_stream(spark, sf_dir)), output_mode="append"
     )
     assert spark.table(name).count() > 0
+
+
+def test_stream_static_join_agrees_with_batch(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    name = run_stream_to_table(
+        stream_static_join(events_stream(spark, sf_dir), cust), output_mode="append"
+    )
+    out = spark.table(name)
+    ev = load_table(spark, sf_dir, "events")
+    assert out.count() == ev.count()  # left join preserves the stream
+    batch_matched = ev.join(
+        cust.select(F.col("c_custkey").alias("user_id"), "c_name"), "user_id"
+    ).count()
+    assert out.filter(F.col("c_name").isNotNull()).count() == batch_matched
+
+
+def test_stream_dedup_agrees_with_batch_distinct(spark, sf_dir):
+    name = run_stream_to_table(
+        stream_dedup(events_stream(spark, sf_dir)), output_mode="append"
+    )
+    out = spark.table(name)
+    ev = load_table(spark, sf_dir, "events")
+    assert out.count() == ev.select("event_id").distinct().count()
 
 
 def _write_request_file(path: str, rows: list[dict], mtime: float) -> None:
