@@ -159,6 +159,53 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_JOIN_MS = 5 * 60 * 1000  # pair events within 5 minutes
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: pairs of events by the same user within 5
+    minutes of each other — the bucketed range-join pattern. A naive
+    theta-join is O(n^2) per user; instead ONE side explodes into its
+    time bucket plus both neighbors (bucket width = the interval), the
+    join is an EQUI-join on (user, bucket), and the exact |Δt| predicate
+    filters after. Each qualifying pair matches in exactly one bucket
+    (the right event's own), so no dedup is needed. At scale this is the
+    standard decomposition Spark's own storage-partitioned/range-join
+    optimizations use; skew = hot (user, bucket) cells, handled by AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    e = ev.select("user_id", "event_id", "ts", ms.alias("t_ms")).withColumn(
+        "bucket", (F.col("t_ms") / RANGE_JOIN_MS).cast("long")
+    )
+    left = e.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("t_ms").alias("t_a"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    right = e.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("t_ms").alias("t_b"),
+        "bucket",
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.abs(F.col("t_a") - F.col("t_b")) <= RANGE_JOIN_MS)
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            F.abs(F.col("t_a") - F.col("t_b")).alias("diff_ms"),
+        )
+    )
+
+
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: daily value totals spread across the five event types
     (wide table for BI-style consumption)."""
@@ -183,6 +230,7 @@ TIMESERIES_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_watermark_late": q_watermark_late,
     "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_pivot_wide": q_pivot_wide,
 }
 
@@ -194,6 +242,13 @@ FROM events GROUP BY 1, 2
 """
 
 TIMESERIES_ORACLES = {
+    "q_range_join": f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS diff_ms
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= {RANGE_JOIN_MS}
+""",
     "q_stream_tumbling": TUMBLING_ORACLE,
     "q_stream_sliding": """
 WITH slotted AS (
