@@ -51,6 +51,8 @@ HEADLINE = [
     "q_percentiles",
     "q_grouping_sets",
     "q_source_ingest",
+    "q_range_join",
+    "q_tpch_q14",
 ]
 
 

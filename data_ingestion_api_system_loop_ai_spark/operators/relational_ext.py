@@ -120,6 +120,36 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect, adapted): share of 1996 revenue from
+    PROMO-type parts — conditional aggregation over the lineitem-part
+    join (part broadcasts; lineitem's shipdate filter pushes to the
+    scan)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias(
+                "promo_revenue_pct"
+            ),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic skew-salting: probe side (lineitem) derives
     ``salt = l_linenumber % N``, build side (orders) is exploded across
@@ -219,6 +249,7 @@ RELATIONAL_EXT_QUERIES = {
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q14": q_tpch_q14,
     "q_join_salted": q_join_salted,
     "q_analytic_funcs": q_analytic_funcs,
     "q_stats_agg": q_stats_agg,
@@ -262,6 +293,21 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+    "q_tpch_q14": """
+SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                              ELSE CAST(0 AS DECIMAL(25,6)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 6)
+         AS promo_revenue_pct,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                     ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
 """,
     "q_join_salted": """
 SELECT o_orderpriority, count(*) AS n_lines,
