@@ -53,6 +53,7 @@ HEADLINE = [
     "q_source_ingest",
     "q_range_join",
     "q_tpch_q14",
+    "q_dedup_minhash_banded",
 ]
 
 

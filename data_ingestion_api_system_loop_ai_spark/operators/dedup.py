@@ -198,6 +198,88 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_N = 16  # hash functions
+MINHASH_R = 2  # rows per band -> 8 bands; P(candidate | J=0.5) ~ 0.90
+MINHASH_BANDS = MINHASH_N // MINHASH_R
+
+
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash-LSH, oracle-checkable end to end: 16
+    md5-derived hash functions (salted ``md5(i || ':' || shingle)``),
+    per-doc minima as 16 columnar ``min`` aggregates in ONE groupBy (the
+    same no-row-amplification pattern as the SimHash votes), banded into
+    8 band keys of 2 minima each, candidates = docs sharing any band key
+    (equi-join on the band), then exact Jaccard verification >= 0.5.
+
+    Because every hash is deterministic and engine-portable, DuckDB
+    replicates the exact candidate set — so the LSH *scale path itself*
+    is hash-checked, not just the brute-force fallback (the spark.ml
+    variant q_dedup_minhash_lsh stays rows-only: its hashes are
+    engine-internal). LSH recall is probabilistic by design; the oracle
+    checks parity of the algorithm, not ground-truth completeness."""
+    sh = _shingles(spark, sf_dir)
+    hashes = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias(f"_h{i}")
+        for i in range(MINHASH_N)
+    ]
+    mh = (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_N)])
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"_m{b * MINHASH_R + j}").cast("string")
+                    for j in range(MINHASH_R)
+                ],
+            ).alias("key"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.distinct().groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.distinct()
+        .withColumnRenamed("doc_id", "doc_a")
+        .join(sh.distinct().withColumnRenamed("doc_id", "doc_b"), "s")
+        .join(cand, ["doc_a", "doc_b"])  # verify only LSH candidates
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates: same-bucket (label cell)
     pair scan, top-3 most-similar pairs per cell — the IVF-style bucketed
@@ -230,8 +312,19 @@ DEDUP_QUERIES = {
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_dedup_embedding": q_dedup_embedding,
 }
+
+_MINHASH_MINS = ",\n         ".join(
+    f"min(('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT) AS m{i}"
+    for i in range(MINHASH_N)
+)
+_MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, CAST(m{b * MINHASH_R} AS VARCHAR) || '-' || "
+    f"CAST(m{b * MINHASH_R + 1} AS VARCHAR) AS key FROM mh"
+    for b in range(MINHASH_BANDS)
+)
 
 _TOKS = sql_tokens("text")
 
@@ -289,6 +382,36 @@ pairs AS (
 SELECT doc_a, doc_b,
        round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
 FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
+""",
+    "q_dedup_minhash_banded": _SHINGLE_CTE
+    + f"""
+, mh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {_MINHASH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
