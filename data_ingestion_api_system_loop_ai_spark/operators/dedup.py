@@ -205,7 +205,9 @@ MINHASH_BANDS = MINHASH_N // MINHASH_R
 
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash-LSH, oracle-checkable end to end: 16
-    md5-derived hash functions (salted ``md5(i || ':' || shingle)``),
+    hash functions carved as four 32-bit windows out of each of 4 salted
+    ``md5(g || ':' || shingle)`` digests (hashing dominates MinHash cost
+    at corpus scale, so digests are reused 4-ways),
     per-doc minima as 16 columnar ``min`` aggregates in ONE groupBy (the
     same no-row-amplification pattern as the SimHash votes), banded into
     8 band keys of 2 minima each, candidates = docs sharing any band key
@@ -218,10 +220,14 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal). LSH recall is probabilistic by design; the oracle
     checks parity of the algorithm, not ground-truth completeness."""
     sh = _shingles(spark, sf_dir)
+    # one md5 digest yields four independent 32-bit windows, so 16 hash
+    # functions cost 4 digests per shingle, not 16 — hashing is the
+    # dominant cost of MinHash at corpus scale
+    digests = {
+        g: F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))) for g in range(MINHASH_N // 4)
+    }
     hashes = [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8), 16, 10
-        )
+        F.conv(F.substring(digests[i // 4], 8 * (i % 4) + 1, 8), 16, 10)
         .cast("long")
         .alias(f"_h{i}")
         for i in range(MINHASH_N)
@@ -255,11 +261,29 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.distinct().groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact-verification stage: same posting-list pair counting as
+    # q_dedup_near, restricted to the LSH candidate set
+    postings = sh.groupBy("s").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("docs")
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        sh.distinct()
-        .withColumnRenamed("doc_id", "doc_a")
-        .join(sh.distinct().withColumnRenamed("doc_id", "doc_b"), "s")
+        postings.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .join(cand, ["doc_a", "doc_b"])  # verify only LSH candidates
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
@@ -317,7 +341,7 @@ DEDUP_QUERIES = {
 }
 
 _MINHASH_MINS = ",\n         ".join(
-    f"min(('0x' || substr(md5('{i}:' || s), 1, 8))::BIGINT) AS m{i}"
+    f"min(('0x' || substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8))::BIGINT) AS m{i}"
     for i in range(MINHASH_N)
 )
 _MINHASH_BANDS_SQL = "\n  UNION ALL ".join(
