@@ -68,11 +68,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag -> gap flag -> running sum = session index; emit session rollups."""
     ev = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ms = SESSION_GAP_MIN * 60 * 1000
+    # gap arithmetic in whole microseconds: events.ts has µs precision, so
+    # both engines count exact µs differences (a MILLISECOND diff truncates
+    # in Spark but counts boundary crossings in DuckDB — they can disagree
+    # within 1 ms of the threshold)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     prev_ts = F.lag("ts").over(order)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.expr("timestampdiff(MILLISECOND, prev_ts, ts)") > gap_ms),
+        | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gap_us),
         1,
     ).otherwise(0)
     sess = (
@@ -87,7 +91,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
     )
 
 
@@ -111,8 +117,8 @@ def q_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("max_ts_seen").isNotNull()
                 & (
-                    F.expr("timestampdiff(MILLISECOND, ts, max_ts_seen)")
-                    > WATERMARK_MIN * 60 * 1000
+                    F.expr("timestampdiff(MICROSECOND, ts, max_ts_seen)")
+                    > WATERMARK_MIN * 60 * 1_000_000
                 ),
                 True,
             ).otherwise(False),
@@ -265,26 +271,27 @@ FROM slotted GROUP BY window_start
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('millisecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60 * 1000}
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60 * 1_000_000}
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  -- DuckDB integer sum() is HUGEINT; cast to BIGINT to match Spark's LONG
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM sess GROUP BY user_id, session_idx
 """,
     "q_watermark_late": f"""
 SELECT event_id, ts,
        CASE WHEN max_ts_seen IS NOT NULL
-              AND date_diff('millisecond', ts, max_ts_seen) > {WATERMARK_MIN * 60 * 1000}
+              AND date_diff('microsecond', ts, max_ts_seen) > {WATERMARK_MIN * 60 * 1_000_000}
             THEN TRUE ELSE FALSE END AS is_late
 FROM (
   SELECT event_id, ts,
