@@ -39,6 +39,14 @@ from ..plans.ranking import global_row_number
 from ..schemas import BATCH_SIZE, RATE_LIMIT_MS
 from ..sources.loader import load_table
 
+# Deterministic failure model for the reference's 'failed' batch status
+# (``ingestService.js:89`` sets status = 'failed' when batch processing
+# throws; ``README.md:66`` lists it): a batch fails iff it contains a
+# poisoned id. The predicate replaces the reference's nondeterministic
+# throw the same way ``100 + id % 401`` replaces its random latency.
+FAILED_ID_MOD = 97
+FAILED_ID_REM = 13
+
 
 def _ids_str(col: str) -> Column:
     """Canonical '|'-joined string form of an id array (arrays are
@@ -178,6 +186,13 @@ def schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status",
             F.when(F.col("as_of") < F.col("scheduled_start"), "yet_to_start")
             .when(F.col("as_of") < F.col("completed_at"), "triggered")
+            .when(
+                F.exists(
+                    "batch_ids",
+                    lambda x: x % FAILED_ID_MOD == FAILED_ID_REM,
+                ),
+                "failed",
+            )
             .otherwise("completed"),
         )
     )
@@ -186,7 +201,9 @@ def schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _overall_status_agg() -> Column:
     """Status algebra of reference ``ingestService.js:15-35``: all
     yet_to_start -> yet_to_start; all completed -> completed; else
-    triggered (empty case cannot occur post-chunking)."""
+    triggered (empty case cannot occur post-chunking). A 'failed' batch
+    falls into the else arm — the reference has no 'failed' rollup, so a
+    request with any failed batch reports 'triggered' forever."""
     n = F.count("*")
     return (
         F.when(n == F.count(F.when(F.col("status") == "completed", 1)), "completed")
@@ -282,9 +299,10 @@ def q_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — batch status at the pinned ``as_of`` instant (the batch state
-    machine yet_to_start -> triggered -> completed as a CASE over the
-    closed-form schedule)."""
+    """A9 — batch status at the pinned ``as_of`` instant: the full batch
+    state machine yet_to_start -> triggered -> (completed | failed) as a
+    CASE over the closed-form schedule; a finished batch is 'failed' iff
+    it contains a poisoned id (reference ``ingestService.js:78,89``)."""
     return schedule(spark, sf_dir).select(
         "batch_id", "scheduled_start", "completed_at", "as_of", "status"
     )
@@ -462,6 +480,7 @@ statused AS (
   SELECT *,
          CASE WHEN as_of < scheduled_start THEN 'yet_to_start'
               WHEN as_of < completed_at THEN 'triggered'
+              WHEN len(list_filter(batch_ids, x -> x % 97 = 13)) > 0 THEN 'failed'
               ELSE 'completed' END AS status
   FROM timed
 )
