@@ -25,7 +25,6 @@ HEADLINE = [
     "q_join_broadcast",
     "q_scan_filter_project",
     "q_window_rank",
-    "q_window_running",
     "q_topk_sort_limit",
     "q_rollup_cube",
     "q_set_ops",
@@ -40,7 +39,9 @@ HEADLINE = [
     "q_doc_fingerprint",
     "q_sessionize",
     "q_asof_join",
-    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_watermark_late",
+    "q_pivot_wide",
     "q_udf_surface",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -48,7 +49,6 @@ HEADLINE = [
     "q_join_salted",
     "q_analytic_funcs",
     "q_stats_agg",
-    "q_percentiles",
     "q_grouping_sets",
     "q_source_ingest",
     "q_range_join",

@@ -335,7 +335,10 @@ DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
     "q_dedup_simhash": q_dedup_simhash,
-    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # q_dedup_minhash_lsh (spark.ml, engine-internal hashes — rows-only
+    # by nature) is unregistered: the oracle-checked banded variant is
+    # the LSH scale path, and the driver caps CORRECTNESS at 50 slots.
+    # The function stays API surface with a direct recall test.
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_dedup_embedding": q_dedup_embedding,
 }

@@ -218,9 +218,19 @@ def _overall_status_agg() -> Column:
 
 
 def q_validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 — reference ``ingestController.js:10-15``: reject missing/empty
-    ids and invalid priority, with the exact reference error strings."""
-    req = requests(spark, sf_dir).select("request_id", "ids", "priority", "created_at")
+    """A2+A3 — validation (reference ``ingestController.js:10-15``:
+    reject missing/empty ids and invalid priority, exact reference error
+    strings) fused with case normalization (A3,
+    ``ingestController.js:13,24``): mixed-case wire inputs are simulated
+    on even request keys, ``priority`` is the upper-cased form when
+    valid. One projection covers both reference code paths."""
+    req = requests(spark, sf_dir)
+    raw = F.when(F.col("request_key") % 2 == 0, F.lower("priority")).otherwise(
+        F.col("priority")
+    )
+    base = req.select(
+        "request_id", "ids", raw.alias("raw_priority"), "created_at"
+    )
     bad = spark.sql(
         """
         SELECT * FROM VALUES
@@ -228,13 +238,17 @@ def q_validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
           ('bad-2', CAST(ARRAY() AS ARRAY<BIGINT>), 'HIGH', TIMESTAMP '2024-01-01'),
           ('bad-3', ARRAY(1L, 2L), CAST(NULL AS STRING),   TIMESTAMP '2024-01-01'),
           ('bad-4', ARRAY(1L, 2L), 'URGENT',               TIMESTAMP '2024-01-01')
-        AS t(request_id, ids, priority, created_at)
+        AS t(request_id, ids, raw_priority, created_at)
         """
     )
     ids_ok = F.col("ids").isNotNull() & (F.size("ids") > 0)
-    prio_ok = F.upper(F.coalesce(F.col("priority"), F.lit(""))).isin("HIGH", "MEDIUM", "LOW")
-    return req.unionByName(bad).select(
+    prio_ok = F.upper(F.coalesce(F.col("raw_priority"), F.lit(""))).isin(
+        "HIGH", "MEDIUM", "LOW"
+    )
+    return base.unionByName(bad).select(
         "request_id",
+        "raw_priority",
+        F.when(prio_ok, F.upper("raw_priority")).alias("priority"),
         (ids_ok & prio_ok).alias("is_valid"),
         F.when(
             ~ids_ok, F.lit("Invalid input: ids array is required and cannot be empty.")
@@ -247,17 +261,18 @@ def q_validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_normalize_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 — case normalization (reference ``ingestController.js:13,24``).
-    Mixed-case inputs are simulated on even request keys."""
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — server-assigned identifiers (reference
+    ``ingestController.js:17-18``: ``uuidv4()`` + ``new Date()``):
+    ``uuid()`` + ``current_timestamp()`` projected over validated
+    requests. Nondeterministic by nature — rows-only check (no oracle),
+    exactly as SURVEY §2.1 scopes A4."""
     req = requests(spark, sf_dir)
-    raw = F.when(F.col("request_key") % 2 == 0, F.lower("priority")).otherwise(
-        F.col("priority")
-    )
     return req.select(
         "request_id",
-        raw.alias("raw_priority"),
-        F.upper(raw).alias("priority"),
+        F.expr("uuid()").alias("ingestion_id"),
+        F.current_timestamp().alias("assigned_at"),
+        F.size("ids").alias("n_ids"),
     )
 
 
@@ -273,16 +288,14 @@ def q_batch_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 — total drain order of the min-heap (priority major,
-    created_at/request/batch tie-break, ``priorityQueue.js:12-23``)."""
+    """A6+A7 — total drain order of the min-heap (priority major,
+    created_at/request/batch tie-break, ``priorityQueue.js:12-23``)
+    together with the closed-form 1-batch-per-5s schedule it induces
+    (``scheduled_start = t0 + (rn-1)*RATE_LIMIT_MS``,
+    ``ingestService.js:5,99-116``)."""
     return schedule(spark, sf_dir).select(
-        "rn", "batch_id", "priority", "priority_rank", "created_at"
+        "rn", "batch_id", "priority", "priority_rank", "created_at", "scheduled_start"
     )
-
-
-def q_rate_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — closed-form 1-batch-per-5s schedule."""
-    return schedule(spark, sf_dir).select("batch_id", "rn", "scheduled_start")
 
 
 def q_process_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,28 +503,25 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_validate_requests": PIPELINE_CTE
     + """
 , with_invalid AS (
-  SELECT request_id, ids, priority FROM requests
+  SELECT request_id, ids,
+         CASE WHEN request_key % 2 = 0 THEN lower(priority) ELSE priority END AS raw_priority
+  FROM requests
   UNION ALL SELECT 'bad-1', CAST(NULL AS BIGINT[]), 'HIGH'
   UNION ALL SELECT 'bad-2', CAST([] AS BIGINT[]), 'HIGH'
   UNION ALL SELECT 'bad-3', [1, 2], CAST(NULL AS VARCHAR)
   UNION ALL SELECT 'bad-4', [1, 2], 'URGENT'
 )
-SELECT request_id,
+SELECT request_id, raw_priority,
+       CASE WHEN upper(coalesce(raw_priority, '')) IN ('HIGH','MEDIUM','LOW')
+            THEN upper(raw_priority) END AS priority,
        (ids IS NOT NULL AND len(ids) > 0
-        AND upper(coalesce(priority, '')) IN ('HIGH','MEDIUM','LOW')) AS is_valid,
+        AND upper(coalesce(raw_priority, '')) IN ('HIGH','MEDIUM','LOW')) AS is_valid,
        CASE WHEN ids IS NULL OR len(ids) = 0
               THEN 'Invalid input: ids array is required and cannot be empty.'
-            WHEN priority IS NULL OR upper(priority) NOT IN ('HIGH','MEDIUM','LOW')
+            WHEN raw_priority IS NULL OR upper(raw_priority) NOT IN ('HIGH','MEDIUM','LOW')
               THEN 'Invalid input: priority is required and must be HIGH, MEDIUM, or LOW.'
        END AS error
 FROM with_invalid
-""",
-    "q_normalize_priority": PIPELINE_CTE
-    + """
-SELECT request_id,
-       CASE WHEN request_key % 2 = 0 THEN lower(priority) ELSE priority END AS raw_priority,
-       upper(CASE WHEN request_key % 2 = 0 THEN lower(priority) ELSE priority END) AS priority
-FROM requests
 """,
     "q_batch_chunking": PIPELINE_CTE
     + """
@@ -522,11 +532,7 @@ FROM batches
 """,
     "q_priority_order": PIPELINE_CTE
     + """
-SELECT rn, batch_id, priority, priority_rank, created_at FROM sched
-""",
-    "q_rate_schedule": PIPELINE_CTE
-    + """
-SELECT batch_id, rn, scheduled_start FROM timed
+SELECT rn, batch_id, priority, priority_rank, created_at, scheduled_start FROM timed
 """,
     "q_process_batch": PIPELINE_CTE
     + """
@@ -585,10 +591,9 @@ FROM statused GROUP BY request_id, priority, created_at
 
 PIPELINE_QUERIES = {
     "q_validate_requests": q_validate_requests,
-    "q_normalize_priority": q_normalize_priority,
+    "q_assign_ids": q_assign_ids,  # rows-only: uuid()/current_timestamp()
     "q_batch_chunking": q_batch_chunking,
     "q_priority_order": q_priority_order,
-    "q_rate_schedule": q_rate_schedule,
     "q_process_batch": q_process_batch,
     "q_status_transitions": q_status_transitions,
     "q_overall_status": q_overall_status,

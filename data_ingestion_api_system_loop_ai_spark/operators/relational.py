@@ -143,8 +143,11 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB path where exact distinct
-    would shuffle every key. Rows-only check (approximation is
-    engine-specific by design)."""
+    would shuffle every key. Approximation is engine-specific, so this
+    has no oracle; it is exercised by a direct accuracy test
+    (``tests/test_unregistered_ops.py``) rather than a registry slot —
+    the driver caps CORRECTNESS at 50 entries and oracle-checkable
+    queries take priority."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -190,7 +193,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer over order date — frame
     rowsBetween(unboundedPreceding, currentRow); decimal accumulation so
-    the running value is exact."""
+    the running value is exact. The same running-frame columns are
+    hash-checked inside ``q_analytic_funcs`` (registry capped at 50);
+    this standalone form stays as API surface with a direct parity test."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -282,10 +287,8 @@ RELATIONAL_QUERIES = {
     "q_join_semi_anti": q_join_semi_anti,
     "q_hash_agg": q_hash_agg,
     "q_distinct_agg": q_distinct_agg,
-    "q_approx_distinct": q_approx_distinct,
     "q_rollup_cube": q_rollup_cube,
     "q_window_rank": q_window_rank,
-    "q_window_running": q_window_running,
     "q_topk_sort_limit": q_topk_sort_limit,
     "q_set_ops": q_set_ops,
     "q_scalar_funcs": q_scalar_funcs,
@@ -350,14 +353,6 @@ SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
   FROM orders
 ) WHERE rnk <= 3
-""",
-    "q_window_running": """
-SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
-       count(*) OVER w AS order_seq
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     "q_topk_sort_limit": """
 SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice

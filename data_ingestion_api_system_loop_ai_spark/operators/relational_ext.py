@@ -179,11 +179,16 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic battery per customer over order history: lag/lead,
-    ntile(4), percent_rank, cume_dist, first/last value — one parallel
-    window partitioned by customer."""
+    ntile(4), percent_rank, cume_dist, first/last value, plus the
+    running-frame aggregates (B9: exact decimal running sum + row count
+    over rowsBetween(unboundedPreceding, currentRow)) — one parallel
+    window partitioned by customer; all three frames share the same
+    partitioning and sort, so Catalyst evaluates them in a single
+    Window exchange."""
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -195,13 +200,22 @@ def q_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(frame).alias("first_order"),
         F.last("o_orderkey").over(frame).alias("last_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(running)
+        .cast("double")
+        .alias("running_spend"),
+        F.count("*").over(running).alias("order_seq"),
     )
 
 
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per returnflag: stddev/variance of
     quantity, correlation and population covariance of quantity vs
-    extendedprice — all single-pass JVM aggregates."""
+    extendedprice, and exact continuous percentiles (25/50/75) of
+    quantity — single-pass JVM aggregates plus Spark's percentile
+    aggregate (per-group sort, parallel across the 3 flag groups; the
+    approximate t-digest ``percentile_approx`` is the
+    billions-of-rows form)."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -209,16 +223,18 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75_qty"),
     )
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (25/50/75) of order totalprice per
-    priority. Exact percentile is a per-group sort — fine keyed by a
-    5-value priority at any scale because each group sorts in parallel
-    partitions via Spark's percentile aggregate; the approximate
-    t-digest path (``percentile_approx``) is the >billions-of-rows form
-    (see q_approx_distinct for the sketch-based pattern)."""
+    priority — standalone API form; the percentile aggregate is
+    hash-checked inside ``q_stats_agg`` (registry capped at 50) and
+    this form has a direct parity test in
+    ``tests/test_unregistered_ops.py``."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
@@ -253,7 +269,6 @@ RELATIONAL_EXT_QUERIES = {
     "q_join_salted": q_join_salted,
     "q_analytic_funcs": q_analytic_funcs,
     "q_stats_agg": q_stats_agg,
-    "q_percentiles": q_percentiles,
     "q_grouping_sets": q_grouping_sets,
 }
 
@@ -323,26 +338,26 @@ SELECT o_orderkey, o_custkey, o_orderdate,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume,
        first_value(o_orderkey) OVER wf AS first_order,
-       last_value(o_orderkey) OVER wf AS last_order
+       last_value(o_orderkey) OVER wf AS last_order,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS running_spend,
+       count(*) OVER wr AS order_seq
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     "q_stats_agg": """
 SELECT l_returnflag, count(*) AS n,
        round(stddev_samp(l_quantity), 4) AS sd_qty,
        round(var_samp(l_quantity), 4) AS var_qty,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+       round(quantile_cont(l_quantity, 0.50), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty
 FROM lineitem GROUP BY l_returnflag
-""",
-    "q_percentiles": """
-SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
-FROM orders GROUP BY o_orderpriority
 """,
     "q_grouping_sets": """
 SELECT year(o_orderdate) AS o_year,

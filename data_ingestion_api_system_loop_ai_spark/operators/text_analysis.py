@@ -57,24 +57,43 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace-word tokens plus a BPE-ish regex count
-    (letter runs / digit runs / other non-space marks)."""
+    """Token counting + quality scoring in one per-doc projection:
+    whitespace-word tokens, a BPE-ish regex count (letter runs / digit
+    runs / other non-space marks), and the length/stopword-ratio
+    heuristics of a C4/Gopher-style quality filter (ratio columns NULL
+    for token-less docs). One scan, all JVM expressions."""
     d = _docs_tokens(spark, sf_dir)
     bpe_ish = F.size(
         F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
     )
+    n_tokens = F.size("tokens")
+    stop_hits = stopword_hits(F.col("tokens"), STOPWORDS["en"])
+    nonzero = n_tokens > 0
     return d.select(
         "doc_id",
-        F.size("tokens").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         F.size(F.array_distinct("tokens")).alias("n_distinct"),
         bpe_ish.alias("n_bpe_ish"),
         F.length("text").alias("n_chars_actual"),
+        stop_hits.alias("stop_hits"),
+        F.when(nonzero, F.round(stop_hits / n_tokens, 6)).alias("stopword_ratio"),
+        F.when(
+            nonzero,
+            F.round(
+                F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+                * (1 - stop_hits / n_tokens),
+                6,
+            ),
+        ).alias("quality"),
     )
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword-ratio heuristics — the deterministic
-    core of a C4/Gopher-style quality filter."""
+    core of a C4/Gopher-style quality filter. Standalone API form; the
+    same columns are hash-checked inside ``q_token_count`` (registry
+    capped at 50) with a direct parity test in
+    ``tests/test_unregistered_ops.py``."""
     d = _docs_tokens(spark, sf_dir)
     n_tokens = F.size("tokens")
     stop_hits = stopword_hits(F.col("tokens"), STOPWORDS["en"])
@@ -165,7 +184,6 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_QUERIES = {
     "q_text_analysis": q_text_analysis,
     "q_token_count": q_token_count,
-    "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
@@ -188,26 +206,23 @@ SELECT lang, token, n, rnk FROM (
 ) WHERE rnk <= 10
 """,
     "q_token_count": _SQL_TOKS
-    + """
-SELECT doc_id,
-       CAST(len(tokens) AS INTEGER) AS n_tokens,
-       CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_ish,
-       CAST(length(text) AS INTEGER) AS n_chars_actual
-FROM toks JOIN documents USING (doc_id)
-""",
-    "q_quality_score": _SQL_TOKS
     + f"""
 , scored AS (
   SELECT doc_id,
          CAST(len(tokens) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_ish,
+         CAST(length(text) AS INTEGER) AS n_chars_actual,
          CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS stop_hits
-  FROM toks
+  FROM toks JOIN documents USING (doc_id)
 )
-SELECT doc_id, n_tokens, stop_hits,
-       round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
-       round(least(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 6) AS quality
-FROM scored WHERE n_tokens > 0
+SELECT doc_id, n_tokens, n_distinct, n_bpe_ish, n_chars_actual, stop_hits,
+       CASE WHEN n_tokens > 0
+            THEN round(stop_hits * 1.0 / n_tokens, 6) END AS stopword_ratio,
+       CASE WHEN n_tokens > 0
+            THEN round(least(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 6)
+       END AS quality
+FROM scored
 """,
     "q_lang_id": _SQL_TOKS
     + f"""

@@ -1,0 +1,120 @@
+"""Direct tests for operators that are API surface but not registry
+slots (the driver caps CORRECTNESS at 50 entries; see VERDICT r01 #1).
+Each unregistered function is either (a) parity-checked against the
+registered query that hash-checks the same semantics, or (b) checked
+for accuracy/shape directly, so nothing in the public surface goes
+unexercised."""
+
+from __future__ import annotations
+
+from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+    q_media_features,
+)
+from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+    q_approx_distinct,
+    q_distinct_agg,
+    q_window_running,
+)
+from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+    q_analytic_funcs,
+    q_percentiles,
+)
+from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+    q_quality_score,
+    q_token_count,
+)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimates land within a loose band of the exact counts
+    (rsd=0.01 requested; allow 5% slack on small groups)."""
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in q_distinct_agg(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_window_running_matches_merged_analytic_columns(spark, sf_dir):
+    """The standalone running-window form equals the running columns
+    hash-checked inside q_analytic_funcs."""
+    stand = {
+        (r["o_orderkey"]): (r["running_spend"], r["order_seq"])
+        for r in q_window_running(spark, sf_dir).collect()
+    }
+    merged = {
+        (r["o_orderkey"]): (r["running_spend"], r["order_seq"])
+        for r in q_analytic_funcs(spark, sf_dir).collect()
+    }
+    assert stand == merged
+
+
+def test_percentiles_matches_merged_stats_semantics(spark, sf_dir):
+    """Standalone percentiles: p25 <= p50 <= p75 and the 0.5 percentile
+    equals Spark's own median aggregate (independent expression)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    rows = {r["o_orderpriority"]: r for r in q_percentiles(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["p25"] <= r["p50"] <= r["p75"]
+    med = {
+        r["o_orderpriority"]: r["m"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.expr("median(o_totalprice)"), 4).alias("m"))
+        .collect()
+    }
+    for k, r in rows.items():
+        assert r["p50"] == med[k]
+
+
+def test_quality_score_matches_merged_token_count_columns(spark, sf_dir):
+    stand = {
+        r["doc_id"]: (r["stop_hits"], r["stopword_ratio"], r["quality"])
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    merged = {
+        r["doc_id"]: (r["stop_hits"], r["stopword_ratio"], r["quality"])
+        for r in q_token_count(spark, sf_dir).collect()
+        if r["n_tokens"] > 0
+    }
+    assert stand == merged
+
+
+def test_media_features_schema_and_determinism(spark, sf_dir):
+    df = q_media_features(spark, sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "asset_id", "kind", "n_bytes", "width", "height", "duration_s",
+    ]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, q_media_features(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_lsh_ml_variant_runs_and_overlaps_banded(spark, sf_dir):
+    """spark.ml MinHashLSH (engine-internal hashes) returns a plausible
+    candidate set: non-empty and mostly overlapping the oracle-checked
+    portable banded variant at the same threshold."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_minhash_banded,
+        q_dedup_minhash_lsh,
+    )
+
+    ml = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, sf_dir).collect()}
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_banded(spark, sf_dir).collect()
+    }
+    assert ml and banded
+    # both are LSH at J>=0.5 with different hash families; require
+    # majority agreement rather than equality
+    assert len(ml & banded) >= len(banded) * 0.6
