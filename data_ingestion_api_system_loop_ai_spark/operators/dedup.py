@@ -2,8 +2,9 @@
 
 - exact dedup            (sha256 hash-groupBy)                -> oracle
 - n-gram Jaccard near-dup (5-shingle inverted-index self-join) -> oracle
-- SimHash near-dup       (hamming distance on 32-bit simhash)  -> oracle
-- MinHash-LSH near-dup   (spark.ml banded MinHash)             -> rows-only
+- SimHash near-dup       (hamming distance on 60-bit simhash)  -> oracle
+- MinHash-LSH near-dup   (portable banded MinHash)             -> oracle
+- MinHash-LSH (spark.ml) (engine-internal hashes, unregistered) -> direct test
 - embedding-cosine near-dup (same-bucket pair scan)            -> oracle
 
 Scale notes (100 TB): exact dedup is one hash-partitioned aggregation on
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_k, sql_tokens, tokenize
+from ..functions.text import SIMHASH_BITS, shingles_k, sql_simhash_cte, sql_tokens, tokenize
 from ..sources.loader import load_table
 from .similarity import cosine_expr
 
@@ -121,18 +122,20 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: all pairs whose 32-bit simhash hamming distance
+    """SimHash near-dup: all pairs whose 60-bit simhash hamming distance
     is <= HAMMING_MAX, found by pigeonhole banding: split the hash into
     HAMMING_MAX+1 bands — any pair within distance d agrees exactly on at
     least one band — equi-join on (band_index, band_value), then verify
     the hamming distance and de-duplicate multi-band matches. Same result
     set as the oracle's all-pairs scan, but the join is a hash join on
-    band keys instead of an O(n^2) theta-join. At larger corpora the
-    bands widen with a 64/128-bit hash so posting lists stay bounded."""
+    band keys instead of an O(n^2) theta-join. 60-bit hash / 15-bit
+    bands = 32768 keys per band (the 32-bit first cut had 256, whose
+    posting lists grow O(n/256) and go quadratic at corpus scale —
+    VERDICT r01 #7)."""
     from .text_analysis import q_doc_fingerprint
 
     n_bands = HAMMING_MAX + 1
-    band_bits = 32 // n_bands
+    band_bits = SIMHASH_BITS // n_bands
     sh = q_doc_fingerprint(spark, sf_dir).select("doc_id", "simhash")
     bands = sh.select(
         "doc_id",
@@ -261,16 +264,24 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-verification stage: same posting-list pair counting as
-    # q_dedup_near, restricted to the LSH candidate set
-    postings = sh.groupBy("s").agg(
+    # exact-verification stage, CANDIDATE-FIRST (VERDICT r01 #6): the
+    # shingle relation is semi-joined down to docs that appear in at
+    # least one candidate pair BEFORE posting lists are built and pairs
+    # expanded. At corpus scale the candidate set is a vanishing
+    # fraction of the corpus, so the expensive pair expansion never
+    # touches non-candidate docs — the whole point of LSH. Denominator
+    # sizes come from a cheap countDistinct over the full shingle
+    # relation (no posting arrays needed for non-candidates).
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    postings = sh_cand.groupBy("s").agg(
         F.array_sort(F.collect_set("doc_id")).alias("docs")
     )
-    sizes = (
-        postings.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("s").alias("n"))
     pair_arr = F.flatten(
         F.transform(
             "docs",
@@ -284,7 +295,7 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings.filter(F.size("docs") >= 2)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .join(cand, ["doc_a", "doc_b"])  # verify only LSH candidates
+        .join(cand, ["doc_a", "doc_b"])  # keep only true LSH candidate pairs
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
@@ -369,30 +380,6 @@ sh AS (
 )
 """
 
-_SIMHASH_CTE = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS tokens FROM documents
-),
-tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
-th AS (
-  SELECT doc_id, token, count(*) AS cnt,
-         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-  FROM tok GROUP BY doc_id, token
-),
-bits AS (SELECT doc_id, cnt, h, unnest(range(0, 32)) AS b FROM th),
-votes AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
-                  THEN cnt ELSE -cnt END) AS v
-  FROM bits GROUP BY doc_id, b
-),
-sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id
-)
-"""
-
 DEDUP_ORACLES = {
     "q_dedup_exact": """
 SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -443,7 +430,7 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
 """,
-    "q_dedup_simhash": _SIMHASH_CTE
+    "q_dedup_simhash": sql_simhash_cte()
     + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

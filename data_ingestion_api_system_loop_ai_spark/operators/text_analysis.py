@@ -18,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    SIMHASH_BITS,
     STOPWORDS,
+    sql_simhash_cte,
     sql_tokens,
     stopword_hits,
-    token_hash32,
+    token_hash,
     tokenize,
 )
 from ..sources.loader import load_table
@@ -139,10 +141,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
-    (set fingerprint) + a 32-bit SimHash (weighted bit votes over
+    (set fingerprint) + a 60-bit SimHash (weighted bit votes over
     md5-derived token hashes) — both engine-portable and oracle-exact.
+    60 bits (vs the 32-bit first cut) keeps the pigeonhole bands of
+    q_dedup_simhash selective at corpus scale while still fitting a
+    signed BIGINT on both engines.
 
-    The 32 per-bit votes are 32 columnar ``sum`` aggregates inside ONE
+    The 60 per-bit votes are 60 columnar ``sum`` aggregates inside ONE
     ``groupBy(doc_id)`` (bit extraction is ``(h >> b) & 1`` in codegen),
     not an exploded (doc, token, bit) relation — an earlier draft
     shuffled 32x the token rows for the same result."""
@@ -157,7 +162,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", token_hash32(F.col("token")))
+        .withColumn("h", token_hash(F.col("token")))
     )
     vote_cols = [
         F.sum(
@@ -165,10 +170,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
             ).otherwise(-F.col("cnt"))
         ).alias(f"_v{b}")
-        for b in range(32)
+        for b in range(SIMHASH_BITS)
     ]
     simhash_expr = None
-    for b in range(32):
+    for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -241,27 +246,9 @@ SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
             ELSE 'de' END AS predicted_lang
 FROM scored
 """,
-    "q_doc_fingerprint": _SQL_TOKS
+    "q_doc_fingerprint": sql_simhash_cte()
     + """
-, tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
-th AS (
-  SELECT doc_id, token, count(*) AS cnt,
-         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-  FROM tok GROUP BY doc_id, token
-),
-bits AS (SELECT doc_id, cnt, h, unnest(range(0, 32)) AS b FROM th),
-votes AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1
-                  THEN cnt ELSE -cnt END) AS v
-  FROM bits GROUP BY doc_id, b
-),
-sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id
-),
-fp AS (
+, fp AS (
   SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
   FROM toks
