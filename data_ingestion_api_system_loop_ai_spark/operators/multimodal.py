@@ -73,15 +73,16 @@ def decode_real(payload: bytes, kind: str):
 
 def _fake_decode(payload: bytes, kind: str) -> dict:
     """Deterministic fake 'decode': derives fake dimensions/duration from
-    the raw bytes so the downstream schema and batch shape are exercised
-    without codecs."""
+    the payload byte length ONLY (pure integer arithmetic), so the
+    downstream schema and batch shape are exercised without codecs AND
+    the whole chain stays SQL-expressible — q_media_pipeline is
+    hash-checked against a DuckDB oracle that recomputes the stub."""
     n = len(payload)
-    head = payload[0] if n else 0
     if kind == "image":
-        return {"width": 16 + head % 64, "height": 16 + n % 64, "duration_s": 0.0}
+        return {"width": 16 + (n * 7) % 64, "height": 16 + n % 64, "duration_s": 0.0}
     if kind == "audio":
         return {"width": 0, "height": 0, "duration_s": round(n / 100.0, 3)}
-    return {"width": 16 + head % 32, "height": 16 + n % 32, "duration_s": round(n / 50.0, 3)}
+    return {"width": 16 + (n * 7) % 32, "height": 16 + n % 32, "duration_s": round(n / 50.0, 3)}
 
 
 _FEATURES_SCHEMA = (
@@ -128,17 +129,28 @@ def _resize_and_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """Second pipeline stage: aspect-preserving resize into a 224 box,
     then evenly-spaced frame sampling (<=5 samples at a fake 10 fps).
     Fan-out happens inside the Arrow batch — one input row becomes
-    n_samples output rows without leaving the Python worker."""
+    n_samples output rows without leaving the Python worker.
+
+    All arithmetic is integer-exact (floor division; frame counts from
+    ``n_bytes``, never from float ``duration_s * fps``, whose rounding
+    differs between Python and SQL engines) so the DuckDB oracle can
+    reproduce every output bit."""
     for pdf in batches:
         out_rows = []
         for r in pdf.itertuples(index=False):
             w, h = int(r.width), int(r.height)
-            if max(w, h) > 0:
-                scale = _RESIZE_BOX / max(w, h)
-                ow, oh = round(w * scale), round(h * scale)
+            mx = max(w, h)
+            ow = (w * _RESIZE_BOX) // mx if mx > 0 else 0
+            oh = (h * _RESIZE_BOX) // mx if mx > 0 else 0
+            n = int(r.n_bytes)
+            # duration_s * fps in integer form: audio = n/100s @10fps,
+            # video = n/50s @10fps, image = single frame
+            if r.kind == "audio":
+                n_frames = max(1, n // 10)
+            elif r.kind == "video":
+                n_frames = max(1, n // 5)
             else:
-                ow = oh = 0
-            n_frames = max(1, int(r.duration_s * _FRAME_FPS))
+                n_frames = 1
             n_samples = min(_MAX_SAMPLES, n_frames)
             step = max(1, n_frames // n_samples)
             for i in range(0, n_samples * step, step):
@@ -152,8 +164,10 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal plumbing chain: decode (stub) -> resize ->
     frame-sample, two mapInPandas stages back to back. No shuffle
     between stages (narrow), payloads never visit the driver; on a
-    cluster with codecs only ``_fake_decode`` changes. Rows-only check
-    (stub-derived values are engine-internal by design)."""
+    cluster with codecs only ``_fake_decode`` changes. Because the stub
+    is integer-exact arithmetic over byte lengths, the whole two-stage
+    Python chain is hash-checked against a DuckDB oracle — the Arrow
+    plumbing itself is under the correctness gate, not just rows-only."""
     feats = q_media_features(spark, sf_dir)
     return feats.mapInPandas(_resize_and_sample, _PIPELINE_SCHEMA)
 
@@ -168,6 +182,42 @@ MULTIMODAL_QUERIES = {
 }
 
 MULTIMODAL_ORACLES = {
+    "q_media_pipeline": f"""
+WITH f AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+d AS (
+  SELECT asset_id, kind, n,
+         CASE kind WHEN 'image' THEN 16 + (n * 7) % 64
+                   WHEN 'audio' THEN 0
+                   ELSE 16 + (n * 7) % 32 END AS w,
+         CASE kind WHEN 'image' THEN 16 + n % 64
+                   WHEN 'audio' THEN 0
+                   ELSE 16 + n % 32 END AS h,
+         greatest(1, CASE kind WHEN 'image' THEN 1
+                               WHEN 'audio' THEN n // 10
+                               ELSE n // 5 END) AS n_frames
+  FROM f
+),
+s AS (
+  SELECT asset_id, kind,
+         CASE WHEN greatest(w, h) > 0 THEN (w * {_RESIZE_BOX}) // greatest(w, h) ELSE 0 END AS out_w,
+         CASE WHEN greatest(w, h) > 0 THEN (h * {_RESIZE_BOX}) // greatest(w, h) ELSE 0 END AS out_h,
+         least({_MAX_SAMPLES}, n_frames) AS n_samples,
+         greatest(1, n_frames // least({_MAX_SAMPLES}, n_frames)) AS step
+  FROM d
+)
+SELECT asset_id, kind,
+       CAST(unnest(range(0, n_samples)) * step AS INTEGER) AS frame_idx,
+       CAST(out_w AS INTEGER) AS out_w,
+       CAST(out_h AS INTEGER) AS out_h
+FROM s
+""",
     "q_multimodal_meta": """
 SELECT doc_id AS asset_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
