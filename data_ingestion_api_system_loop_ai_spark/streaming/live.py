@@ -183,13 +183,19 @@ _DRAIN_OUTPUT = StructType(
 )
 
 # state: drain counter + pending jobs as JSON strings (each one Job from
-# the reference, ingestService.js:181-186)
+# the reference, ingestService.js:181-186) + already-drained batch_ids
+# (the reference's stale-job skip, ingestService.js:133,149-153)
 _DRAIN_STATE = StructType(
     [
         StructField("seq", LongType()),
         StructField("pending", ArrayType(StringType())),
+        StructField("drained", ArrayType(StringType())),
     ]
 )
+
+# bound on the drained-id memory (production would use a bloom filter or
+# watermark-expired set; the bound keeps state O(1) either way)
+MAX_DRAINED_TRACKED = 100_000
 
 _PRIORITY_RANK = {"HIGH": 1, "MEDIUM": 2, "LOW": 3}
 
@@ -225,22 +231,36 @@ def chunk_requests(requests: DataFrame, batch_size: int = 3) -> DataFrame:
         )
         .withColumn("batch_id", F.concat_ws("-", "request_id", "batch_index"))
         .withColumn("priority_rank", rank)
+        # numeric tie-break key matching the batch pipeline's request_key
+        # (o_orderkey) and the reference heap's enqueue order for numeric
+        # wire ids ('10' < '2' lexicographically but 2 < 10 numerically);
+        # non-numeric ids fall back to string order after all numeric ones
+        .withColumn("request_key", F.expr("try_cast(request_id AS BIGINT)"))
     )
 
 
 def _drain_one(key, pdf_iter, state: GroupState):
     """Per-trigger queue step: merge newly-arrived jobs into the pending
-    set, dequeue exactly ONE job in heap order (priority rank, created_at,
-    request_id, batch_index — ``priorityQueue.js:12-23``), emit its
+    set — skipping batch_ids already drained or already pending, the
+    reference's stale/duplicate-job skip (``ingestService.js:133,
+    149-153``) — dequeue exactly ONE job in heap order (priority rank,
+    created_at, numeric request key, batch_index —
+    ``priorityQueue.js:12-23`` with the batch plan's tie-break), emit its
     status transition. One dequeue per trigger = the rate limiter with
     the trigger interval as the clock (``ingestService.js:99-116``)."""
     if state.exists:
-        seq, pending_json = state.get
+        seq, pending_json, drained = state.get
         pending = [json.loads(s) for s in pending_json]
+        drained = list(drained)
     else:
-        seq, pending = 0, []
+        seq, pending, drained = 0, [], []
+    seen = set(drained) | {j["batch_id"] for j in pending}
     for pdf in pdf_iter:
         for row in pdf.itertuples(index=False):
+            if row.batch_id in seen:  # re-delivered / duplicate job
+                continue
+            seen.add(row.batch_id)
+            key_num = None if pd.isna(row.request_key) else int(row.request_key)
             pending.append(
                 {
                     "batch_id": row.batch_id,
@@ -249,15 +269,26 @@ def _drain_one(key, pdf_iter, state: GroupState):
                     "rank": int(row.priority_rank),
                     "created_at_ms": int(row.created_at_ms),
                     "batch_index": int(row.batch_index),
+                    "request_key": key_num,
                 }
             )
     pending.sort(
-        key=lambda j: (j["rank"], j["created_at_ms"], j["request_id"], j["batch_index"])
+        key=lambda j: (
+            j["rank"],
+            j["created_at_ms"],
+            j.get("request_key") is None,
+            j.get("request_key") or 0,
+            j["request_id"],
+            j["batch_index"],
+        )
     )
     out = []
     if pending:
         job = pending.pop(0)
         seq += 1
+        drained.append(job["batch_id"])
+        if len(drained) > MAX_DRAINED_TRACKED:
+            drained = drained[-MAX_DRAINED_TRACKED:]
         out.append(
             (
                 seq,
@@ -269,7 +300,7 @@ def _drain_one(key, pdf_iter, state: GroupState):
                 len(pending),
             )
         )
-    state.update((seq, [json.dumps(j) for j in pending]))
+    state.update((seq, [json.dumps(j) for j in pending], drained))
     yield pd.DataFrame(
         out,
         columns=[

@@ -133,6 +133,60 @@ def test_live_drain_priority_preemption(spark, tmp_path):
     assert out[2]["priority"] == "MEDIUM"
 
 
+def test_live_drain_skips_redelivered_jobs(spark, tmp_path):
+    """The reference skips jobs whose batch already ran or is already
+    queued (ingestService.js:133,149-153); re-delivering a chunked
+    request must not double-emit or double-queue its batches."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    t0 = time.time() - 100
+    req = [{"request_id": "low1", "priority": "LOW", "created_at_ms": 1000,
+            "ids": [1, 2, 3, 4, 5, 6, 7]}]  # 3 batches
+    _write_request_file(str(src / "f1.json"), req, t0)
+    # duplicate delivery of the SAME request in a later file
+    _write_request_file(str(src / "f2.json"), req, t0 + 10)
+
+    stream = (
+        spark.readStream.schema(
+            "request_id string, priority string, created_at_ms long, ids array<long>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    name = run_stream_to_table(live_priority_drain(stream), output_mode="append")
+    out = {r["drain_seq"]: r for r in spark.table(name).collect()}
+
+    # two triggers -> two drains, no duplicates, duplicates not re-queued
+    assert [out[i]["batch_id"] for i in sorted(out)] == ["low1-0", "low1-1"]
+    assert out[2]["n_pending_after"] == 1  # only low1-2 left
+
+
+def test_live_drain_numeric_id_tie_break(spark, tmp_path):
+    """Numeric wire ids tie-break numerically like the batch pipeline's
+    request_key ('2' before '10'), not lexicographically ('10' < '2')."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    t0 = time.time() - 100
+    _write_request_file(
+        str(src / "f1.json"),
+        [{"request_id": "10", "priority": "HIGH", "created_at_ms": 1000,
+          "ids": [1]},
+         {"request_id": "2", "priority": "HIGH", "created_at_ms": 1000,
+          "ids": [2]}],
+        t0,
+    )
+    stream = (
+        spark.readStream.schema(
+            "request_id string, priority string, created_at_ms long, ids array<long>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    name = run_stream_to_table(live_priority_drain(stream), output_mode="append")
+    out = {r["drain_seq"]: r for r in spark.table(name).collect()}
+    assert out[1]["batch_id"] == "2-0"
+
+
 def test_live_drain_state_survives_restart(spark, tmp_path):
     """The reference loses its whole queue on restart
     (ingestController.js:5 — in-memory store); the engine's drain state
