@@ -5,7 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (full execution, no
 driver-side row transfer). A trivial warm-up query first amortizes JVM/
-session startup out of the per-query numbers.
+session startup out of the per-query numbers. Each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+MEDIAN, so round-over-round comparisons aren't single-sample noise.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import time
 
 from data_ingestion_api_system_loop_ai_spark.registry import QUERIES
@@ -96,12 +99,19 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # alternate full passes rather than back-to-back repeats so one
+    # query's page-cache/GC state doesn't flatter its own repeat
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.monotonic() - t0)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(

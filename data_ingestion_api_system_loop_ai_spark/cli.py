@@ -71,7 +71,9 @@ def cmd_status(args) -> int:
     spark = _spark("cli-status")
     rows = request_status(spark, args.sf_dir, args.request_id).collect()
     if not rows:
-        print(json.dumps({"error": "Ingestion ID not found"}))
+        # exact reference 404 body incl. trailing period
+        # (ingestController.js:39-41)
+        print(json.dumps({"error": "Ingestion ID not found."}))
         return 1
     out = {
         "ingestion_id": rows[0]["request_id"],

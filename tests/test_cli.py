@@ -32,9 +32,12 @@ def test_cli_status_found_and_404(spark, sf_dir, capsys):
     assert out["ingestion_id"] == some_id
     assert out["status"] in {"yet_to_start", "triggered", "completed"}
     assert out["batches"] and all(
-        b["status"] in {"yet_to_start", "triggered", "completed"}
+        b["status"] in {"yet_to_start", "triggered", "completed", "failed"}
         for b in out["batches"]
     )
 
     assert main(["status", "no-such-id", "--sf-dir", sf_dir]) == 1
-    assert "not found" in capsys.readouterr().out
+    # byte-exact reference 404 body (ingestController.js:39-41)
+    assert json.loads(capsys.readouterr().out) == {
+        "error": "Ingestion ID not found."
+    }
