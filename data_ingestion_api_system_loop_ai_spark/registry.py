@@ -3,10 +3,17 @@
 ``__spark_entry__.py`` re-exports these; each operator module contributes
 its own ``*_QUERIES`` / ``*_ORACLES`` dicts. Queries without an oracle
 entry get the driver's weaker rows-only check (non-SQL-expressible ops).
+
+The registry is sized to the driver's 50 CORRECTNESS slots (see
+README "Correctness"): every registered query gets a hash or rows-only
+row each round; operators beyond the cap are hash-checked inside a
+sibling query or covered by direct tests.
 """
 
 from __future__ import annotations
 
+import importlib
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +24,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+# (relative module, queries attr, oracles attr) — registration order is
+# the order CORRECTNESS rows appear in.
+_OPERATOR_MODULES: list[tuple[str, str, str]] = [
+    (".operators.relational", "RELATIONAL_QUERIES", "RELATIONAL_ORACLES"),
+    (".operators.relational_ext", "RELATIONAL_EXT_QUERIES", "RELATIONAL_EXT_ORACLES"),
+    (".operators.dedup", "DEDUP_QUERIES", "DEDUP_ORACLES"),
+    (".operators.similarity", "SIMILARITY_QUERIES", "SIMILARITY_ORACLES"),
+    (".operators.text_analysis", "TEXT_QUERIES", "TEXT_ORACLES"),
+    (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
+    (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),
+    (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
+    (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
+]
 
 
 def _register(queries: dict[str, QueryFn], oracles: dict[str, str]) -> None:
@@ -32,65 +53,32 @@ _register(PIPELINE_QUERIES, PIPELINE_ORACLES)
 
 
 def _optional_modules() -> None:
-    """Extend the registry from operator modules as they land; each
-    module is independent so a broken import never hides the rest."""
-    try:
-        from .operators.relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES
+    """Extend the registry from the operator modules.
 
-        _register(RELATIONAL_QUERIES, RELATIONAL_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.relational_ext import (
-            RELATIONAL_EXT_ORACLES,
-            RELATIONAL_EXT_QUERIES,
-        )
-
-        _register(RELATIONAL_EXT_QUERIES, RELATIONAL_EXT_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
-
-        _register(DEDUP_QUERIES, DEDUP_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.similarity import SIMILARITY_ORACLES, SIMILARITY_QUERIES
-
-        _register(SIMILARITY_QUERIES, SIMILARITY_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.text_analysis import TEXT_ORACLES, TEXT_QUERIES
-
-        _register(TEXT_QUERIES, TEXT_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.timeseries import TIMESERIES_ORACLES, TIMESERIES_QUERIES
-
-        _register(TIMESERIES_QUERIES, TIMESERIES_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.udfs import UDF_ORACLES, UDF_QUERIES
-
-        _register(UDF_QUERIES, UDF_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .operators.multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES
-
-        _register(MULTIMODAL_QUERIES, MULTIMODAL_ORACLES)
-    except ImportError:
-        pass
-    try:
-        from .streaming.live import STREAMING_ORACLES, STREAMING_QUERIES
-
-        _register(STREAMING_QUERIES, STREAMING_ORACLES)
-    except ImportError:
-        pass
+    A module that is genuinely ABSENT is skipped with a warning (the
+    rest of the registry still loads); anything else — a syntax error,
+    a broken transitive import, a missing attr — propagates loudly. The
+    old blanket ``except ImportError: pass`` silently shrank
+    ``queries()`` on any import-time bug, which the driver would report
+    as "queries missing" rather than "module broken" (VERDICT r01 #4).
+    """
+    for mod_name, q_attr, o_attr in _OPERATOR_MODULES:
+        full = __package__ + mod_name
+        try:
+            mod = importlib.import_module(mod_name, package=__package__)
+        except ModuleNotFoundError as exc:
+            if exc.name == full:
+                warnings.warn(
+                    f"operator module {full} absent; its queries are skipped",
+                    stacklevel=2,
+                )
+                continue
+            raise  # a transitive dependency failed to import — not ours to hide
+        _register(getattr(mod, q_attr), getattr(mod, o_attr))
 
 
 _optional_modules()
+
+# the driver records at most 50 correctness rows; a bigger registry
+# silently loses coverage, a smaller one wastes slots
+assert len(QUERIES) == 50, f"registry must stay at 50 slots, got {len(QUERIES)}"
