@@ -31,6 +31,16 @@ JACCARD_THRESHOLD = 0.5
 HAMMING_MAX = 3
 EMBED_PAIRS_PER_CELL = 3
 
+# Hot-shingle guard for the inverted-index join: a shingle appearing in
+# more than max(DF_CUTOFF_MIN, DF_CUTOFF_FRAC * corpus) documents is
+# boilerplate, carries no similarity signal, and its posting list is the
+# one skew risk of the pattern (pair expansion is O(df^2)). The cutoff
+# is part of the operator's SEMANTICS (similarity over the filtered
+# shingle space) and is mirrored exactly in the DuckDB oracle, so the
+# production guard itself is hash-checked.
+DF_CUTOFF_MIN = 20
+DF_CUTOFF_FRAC = 0.02
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13 — exact dedup by content digest: one shuffle on sha256(text),
@@ -74,17 +84,31 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B14 — exact n-gram Jaccard near-dup via inverted-index posting
     lists: one shuffle groups shingles into per-shingle doc sets
-    (``collect_set`` deduplicates (doc, shingle) for free), candidate
-    pairs are generated INSIDE each posting-list array (no self-join of
-    the raw shingle relation), then ``|A∩B| / (|A|+|B|-|A∩B|)``.
-    Per-doc set sizes come from the postings relation (far smaller than
-    raw shingles) and broadcast into the pair aggregation. Threshold 0.5
-    on 5-shingles. Scale note: a hot shingle's posting list is the skew
-    risk — the production guard drops shingles with document frequency
-    above a cutoff (they carry no similarity signal); kept exact here so
-    the DuckDB oracle matches."""
+    (``collect_set`` deduplicates (doc, shingle) for free), hot shingles
+    (document frequency above ``max(DF_CUTOFF_MIN, DF_CUTOFF_FRAC *
+    corpus)``) are dropped — boilerplate n-grams carry no similarity
+    signal and their posting lists are the pattern's one skew risk —
+    then candidate pairs are generated INSIDE each surviving
+    posting-list array (no self-join of the raw shingle relation), and
+    ``|A∩B| / (|A|+|B|-|A∩B|)`` is computed over the filtered shingle
+    space. Per-doc set sizes come from the filtered postings (so
+    numerator and denominator agree) and broadcast into the pair
+    aggregation. Threshold 0.5 on 5-shingles. The DF cutoff is mirrored
+    exactly in the DuckDB oracle: the production skew guard is itself
+    under the hash gate."""
     sh = _shingles(spark, sf_dir)
-    postings = sh.groupBy("s").agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+    stats = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+    cutoff = F.greatest(
+        F.lit(DF_CUTOFF_MIN),
+        F.ceil(F.lit(DF_CUTOFF_FRAC) * F.col("n_docs")),
+    )
+    postings = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.size("docs") <= cutoff)
+        .select("s", "docs")
+    )
     sizes = (
         postings.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -159,18 +183,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
-    a = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a")
-    )
-    b = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b")
+    # pairs INSIDE each (band, key) bucket's posting array (array_sort on
+    # the struct orders by doc_id, guaranteeing doc_a < doc_b) — one
+    # groupBy instead of a banded self-join, so the fingerprint subplan
+    # is evaluated once, not once per join side
+    bucket_pairs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(bucket_pairs).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.hamming").alias("hamming"),
+        )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -206,15 +248,30 @@ MINHASH_R = 2  # rows per band -> 8 bands; P(candidate | J=0.5) ~ 0.90
 MINHASH_BANDS = MINHASH_N // MINHASH_R
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc: the DISTINCT 5-shingle set as an array. The
+    collect_set groupBy reuses the doc_id hash partitioning the shingle
+    window already established, so this adds NO shuffle — and every
+    consumer that needs per-doc set math (minhash minima, set sizes)
+    reads the array instead of re-evaluating the shingle subplan."""
+    return _shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("s").alias("ss")
+    )
+
+
 def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash-LSH, oracle-checkable end to end: 16
     hash functions carved as four 32-bit windows out of each of 4 salted
     ``md5(g || ':' || shingle)`` digests (hashing dominates MinHash cost
-    at corpus scale, so digests are reused 4-ways),
-    per-doc minima as 16 columnar ``min`` aggregates in ONE groupBy (the
-    same no-row-amplification pattern as the SimHash votes), banded into
-    8 band keys of 2 minima each, candidates = docs sharing any band key
-    (equi-join on the band), then exact Jaccard verification >= 0.5.
+    at corpus scale, so digests are reused 4-ways and computed over the
+    DISTINCT shingle set, not every occurrence), per-doc minima as 16
+    ``array_min`` expressions over the per-doc shingle-set array — no
+    row amplification, no extra shuffle — banded into 8 band keys of 2
+    minima each, candidates = docs sharing any band key (equi-join on
+    the band), then exact Jaccard verification >= 0.5 restricted
+    candidate-first (the shingle relation is semi-joined to candidate
+    docs BEFORE pair expansion, so the expensive stage never touches
+    non-candidate docs).
 
     Because every hash is deterministic and engine-portable, DuckDB
     replicates the exact candidate set — so the LSH *scale path itself*
@@ -222,23 +279,33 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant q_dedup_minhash_lsh stays rows-only: its hashes are
     engine-internal). LSH recall is probabilistic by design; the oracle
     checks parity of the algorithm, not ground-truth completeness."""
-    sh = _shingles(spark, sf_dir)
+    base = _shingle_sets(spark, sf_dir)
     # one md5 digest yields four independent 32-bit windows, so 16 hash
-    # functions cost 4 digests per shingle, not 16 — hashing is the
-    # dominant cost of MinHash at corpus scale
-    digests = {
-        g: F.md5(F.concat(F.lit(f"{g}:"), F.col("s"))) for g in range(MINHASH_N // 4)
-    }
-    hashes = [
-        F.conv(F.substring(digests[i // 4], 8 * (i % 4) + 1, 8), 16, 10)
-        .cast("long")
-        .alias(f"_h{i}")
-        for i in range(MINHASH_N)
-    ]
-    mh = (
-        sh.select("doc_id", *hashes)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_N)])
+    # functions cost 4 digests per distinct shingle, not 16 — hashing is
+    # the dominant cost of MinHash at corpus scale
+    digs = F.transform(
+        "ss",
+        lambda s: F.struct(
+            *[
+                F.md5(F.concat(F.lit(f"{g}:"), s)).alias(f"g{g}")
+                for g in range(MINHASH_N // 4)
+            ]
+        ),
+    )
+    def _min_hash(i: int):
+        # single-arg lambda: a two-arg transform lambda would receive
+        # the array INDEX as its second argument
+        return F.array_min(
+            F.transform(
+                "_digs",
+                lambda d: F.conv(
+                    F.substring(d[f"g{i // 4}"], 8 * (i % 4) + 1, 8), 16, 10
+                ).cast("long"),
+            )
+        ).alias(f"_m{i}")
+
+    mh = base.withColumn("_digs", digs).select(
+        "doc_id", F.size("ss").alias("n"), *[_min_hash(i) for i in range(MINHASH_N)]
     )
     band_structs = [
         F.struct(
@@ -256,32 +323,48 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = mh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select("band", "key", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band", "key", F.col("doc_id").alias("doc_b"))
+    # candidate pairs INSIDE each (band, key) bucket's posting array —
+    # one groupBy instead of a banded self-join, so the minhash subplan
+    # is evaluated once, not once per join side
+    bucket_pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(bucket_pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     # exact-verification stage, CANDIDATE-FIRST (VERDICT r01 #6): the
-    # shingle relation is semi-joined down to docs that appear in at
+    # shingle-set relation is semi-joined down to docs that appear in at
     # least one candidate pair BEFORE posting lists are built and pairs
     # expanded. At corpus scale the candidate set is a vanishing
     # fraction of the corpus, so the expensive pair expansion never
     # touches non-candidate docs — the whole point of LSH. Denominator
-    # sizes come from a cheap countDistinct over the full shingle
-    # relation (no posting arrays needed for non-candidates).
+    # sizes ride along the minhash projection (size of the per-doc set
+    # array) — no separate pass over the shingle subplan.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    sh_cand = base.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.explode("ss").alias("s")
+    )
     postings = sh_cand.groupBy("s").agg(
         F.array_sort(F.collect_set("doc_id")).alias("docs")
     )
-    sizes = sh.groupBy("doc_id").agg(F.countDistinct("s").alias("n"))
+    # denominator sizes from the set relation directly (cheaper subplan
+    # than mh, which carries the hash extraction work)
+    sizes = base.select("doc_id", F.size("ss").alias("n"))
     pair_arr = F.flatten(
         F.transform(
             "docs",
@@ -387,10 +470,17 @@ FROM documents GROUP BY sha256(text)
 """,
     "q_dedup_near": _SHINGLE_CTE
     + f"""
-, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+, stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+sh_f AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN df USING (s), stats
+  WHERE df <= greatest({DF_CUTOFF_MIN}, CAST(ceil({DF_CUTOFF_FRAC} * n_docs) AS BIGINT))
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh_f GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh_f a JOIN sh_f b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

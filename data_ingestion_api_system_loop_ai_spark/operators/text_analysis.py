@@ -152,12 +152,6 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an exploded (doc, token, bit) relation — an earlier draft
     shuffled 32x the token rows for the same result."""
     t = _docs_tokens(spark, sf_dir)
-    fp = t.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("tokens")))).alias(
-            "fingerprint"
-        ),
-    )
     tok_counts = (
         t.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
@@ -178,12 +172,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash_expr = term if simhash_expr is None else simhash_expr + term
-    simhash = (
+    # the (doc_id, token) relation is already distinct per token, so the
+    # set fingerprint rides the SAME doc rollup as the bit votes — one
+    # scan, two aggregations, no second tokenize pass and no join
+    return (
         tok_counts.groupBy("doc_id")
-        .agg(*vote_cols)
-        .select("doc_id", simhash_expr.cast("long").alias("simhash"))
+        .agg(
+            *vote_cols,
+            F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("token")))).alias(
+                "fingerprint"
+            ),
+        )
+        .select("doc_id", "fingerprint", simhash_expr.cast("long").alias("simhash"))
     )
-    return fp.join(simhash, "doc_id")
 
 
 TEXT_QUERIES = {
