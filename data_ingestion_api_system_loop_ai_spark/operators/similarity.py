@@ -4,12 +4,15 @@
   the correctness baseline. Dot products are a fold over ``zip_with``
   (JVM-side, no Python), left-to-right in element order so DuckDB's
   in-order ``list_sum`` reproduces the same doubles bit-for-bit.
-- ``q_similarity_ivf``: the scale path — IVF-style search restricted to
-  the query's coarse cell (here the precomputed ``label`` bucket, the
-  moral equivalent of a k-means coarse quantizer). The pair scan becomes
-  an equi-join on the cell id: shuffle-partitionable, per-cell quadratic
-  instead of global quadratic. At 100 TB you'd add multi-probe (union of
-  N nearest cells) — same plan shape, one more explode.
+- ``q_similarity_ivf``: the scale path — IVF multi-probe. Cells are the
+  precomputed ``label`` buckets (the moral equivalent of a k-means
+  coarse quantizer); per-cell centroids are computed exactly (decimal
+  element sums, so both engines produce bit-identical doubles), each
+  query ranks centroids by cosine and probes its NPROBE nearest cells,
+  and the candidate scan is an equi-join on the probed cell ids:
+  shuffle-partitionable, per-cell quadratic instead of global
+  quadratic. Multi-probe is what makes IVF recall usable at 100 TB —
+  a query near a cell boundary still sees its true neighbors.
 
 Both are oracle-checkable; a vectorized Pandas-UDF variant of the dot
 product lives in ``udfs.py`` for the UDF-surface demo and benchmarking.
@@ -24,6 +27,7 @@ from ..sources.loader import load_table
 
 TOPK = 10
 IVF_TOPK = 5
+NPROBE = 2  # cells probed per query (own + next-nearest, typically)
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -80,14 +84,44 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed cosine top-5: candidates restricted to the query's
-    coarse cell (equi-join on the cell id = one hash shuffle)."""
+    """IVF multi-probe cosine top-5: per-cell centroids (exact decimal
+    element sums -> bit-identical doubles on both engines), each query
+    probes its NPROBE nearest cells by centroid cosine, candidates are
+    an equi-join on the probed cell ids. The centroid relation is tiny
+    (cells x dims) and broadcast; the big candidate side shuffles once
+    on the cell id. A query near a cell boundary still finds neighbors
+    in the adjacent cell — the recall fix that makes IVF usable."""
     e = load_table(spark, sf_dir, "embeddings")
+    # exact centroids: decimal element sums (order-independent), double
+    # division by the count — both engines produce identical doubles
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+            ).alias("centroid")
+        )
+    )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm_expr("embedding").alias("q_norm"),
-        F.col("label").alias("cell"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("label"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cosine_expr("q_emb", "centroid"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "q_emb", "q_norm", F.col("label").alias("cell"))
     )
     cand = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -96,7 +130,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"),
     )
     pairs = (
-        cand.join(F.broadcast(q), "cell")
+        cand.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -149,13 +183,37 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 """,
     "q_similarity_ivf": f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe, label AS cell
+  SELECT vec_id AS query_id, embedding AS qe
   FROM embeddings WHERE vec_id % 100 = 0
 ),
+flat AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding)+1),
+                               i -> {{'i': i, 'v': embedding[i]}})) AS s
+  FROM embeddings
+),
+centf AS (
+  SELECT label, s.i AS i,
+         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+  FROM flat GROUP BY label, s.i
+),
+cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM centf GROUP BY label
+),
+probes AS (
+  SELECT query_id, label AS cell FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos('qe', 'centroid')} DESC, c.label) AS pr
+    FROM q, cent c
+  ) WHERE pr <= {NPROBE}
+),
 pairs AS (
-  SELECT query_id, q.cell AS cell, e.vec_id AS neighbor_id,
+  SELECT p.query_id, e.label AS cell, e.vec_id AS neighbor_id,
          round({_cos('qe', 'e.embedding')}, 6) AS cosine
-  FROM q JOIN embeddings e ON q.cell = e.label AND e.vec_id <> q.query_id
+  FROM probes p
+  JOIN q USING (query_id)
+  JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.query_id
 )
 SELECT query_id, cell, neighbor_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
