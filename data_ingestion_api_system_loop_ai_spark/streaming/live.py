@@ -145,6 +145,66 @@ def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    interval_ms: int | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on user_id within a +/- interval — the
+    streaming twin of the batch bucketed range join (q_range_join). Both
+    sides carry watermarks so the state store can expire rows once the
+    other stream's watermark passes the interval bound; state is keyed
+    by (user_id, time-range) and sharded across executors exactly like
+    the batch equi-join's shuffle. Emits (user_id, event_a, event_b,
+    diff_ms) with event_a < event_b, matching the batch output."""
+    l = (
+        left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("event_a"),
+            F.col("ts").cast("timestamp").alias("l_ts"),
+        )
+        # per-event ms truncation BEFORE the subtraction, matching the
+        # batch range join (|trunc(a)-trunc(b)| != trunc(|a-b|) when the
+        # sub-ms parts straddle a boundary)
+        .withColumn("l_ms", F.unix_millis("l_ts"))
+        .withWatermark("l_ts", delay)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("event_b"),
+            F.col("ts").cast("timestamp").alias("r_ts"),
+        )
+        .withColumn("r_ms", F.unix_millis("r_ts"))
+        .withWatermark("r_ts", delay)
+    )
+    from ..operators.timeseries import RANGE_JOIN_MS
+
+    if interval_ms is None:
+        interval_ms = RANGE_JOIN_MS
+    # only equality + time-range predicates in the join condition (what
+    # the streaming state-constraint extractor understands), widened by
+    # 1 ms so truncation boundary pairs survive to the exact post-filter;
+    # pair ordering and the exact ms-diff bound are plain inner-join
+    # post-filters
+    slack = interval_ms + 1
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - INTERVAL {slack} MILLISECOND"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {slack} MILLISECOND"))
+    )
+    return (
+        l.join(r, cond)
+        .filter(F.col("event_a") < F.col("event_b"))
+        .withColumn("diff_ms", F.abs(F.col("l_ms") - F.col("r_ms")))
+        .filter(F.col("diff_ms") <= interval_ms)
+        .select(
+            F.col("l_user").alias("user_id"), "event_a", "event_b", "diff_ms"
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id within the watermark horizon:
     ``dropDuplicates`` keeps per-key state only until the watermark

@@ -20,6 +20,7 @@ from data_ingestion_api_system_loop_ai_spark.streaming.live import (
     session_window_agg,
     stream_dedup,
     stream_static_join,
+    stream_stream_interval_join,
     tumbling_agg,
     watermarked_tumbling,
 )
@@ -64,6 +65,29 @@ def test_stream_static_join_agrees_with_batch(spark, sf_dir):
         cust.select(F.col("c_custkey").alias("user_id"), "c_name"), "user_id"
     ).count()
     assert out.filter(F.col("c_name").isNotNull()).count() == batch_matched
+
+
+def test_stream_stream_join_agrees_with_batch_range_join(spark, sf_dir):
+    """Stream-stream interval join over the finite file source produces
+    exactly the batch bucketed range join's pair set (single micro-batch
+    -> no watermark drops; the watermark only bounds state)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_range_join,
+    )
+
+    joined = stream_stream_interval_join(
+        events_stream(spark, sf_dir), events_stream(spark, sf_dir)
+    )
+    name = run_stream_to_table(joined, output_mode="append")
+    streaming = Counter(
+        (r["user_id"], r["event_a"], r["event_b"], r["diff_ms"])
+        for r in spark.table(name).collect()
+    )
+    batch = Counter(
+        (r["user_id"], r["event_a"], r["event_b"], r["diff_ms"])
+        for r in q_range_join(spark, sf_dir).collect()
+    )
+    assert streaming == batch and len(batch) > 0
 
 
 def test_stream_dedup_agrees_with_batch_distinct(spark, sf_dir):
