@@ -66,24 +66,17 @@ def cmd_explain(args) -> int:
 
 
 def cmd_status(args) -> int:
-    from .operators.pipeline import request_status
+    from .operators.pipeline import status_response
 
     spark = _spark("cli-status")
-    rows = request_status(spark, args.sf_dir, args.request_id).collect()
+    rows = status_response(spark, args.sf_dir, args.request_id).collect()
     if not rows:
         # exact reference 404 body incl. trailing period
         # (ingestController.js:39-41)
         print(json.dumps({"error": "Ingestion ID not found."}))
         return 1
-    out = {
-        "ingestion_id": rows[0]["request_id"],
-        "status": rows[0]["overall_status"],
-        "batches": [
-            {"batch_id": r["batch_id"], "ids": r["ids_str"], "status": r["status"]}
-            for r in rows
-        ],
-    }
-    print(json.dumps(out))
+    # the row IS the reference 200 body, assembled engine-side
+    print(rows[0]["response"])
     return 0
 
 

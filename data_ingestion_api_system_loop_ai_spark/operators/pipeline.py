@@ -365,6 +365,44 @@ def request_status(spark: SparkSession, sf_dir: str, request_id: str) -> DataFra
     )
 
 
+def status_response(spark: SparkSession, sf_dir: str, request_id: str) -> DataFrame:
+    """A12 — the exact ``GET /ingest/status/:id`` 200 response document
+    (reference ``ingestController.js:46-54``) as a one-row DataFrame of
+    one JSON string, assembled ENGINE-side with ``to_json``:
+    ``{"ingestion_id": ..., "status": ...,
+    "batches": [{"batch_id": ..., "ids": [...], "status": ...}]}``
+    with ids as real JSON arrays and batches in batch order. Empty
+    result = the 404 case. ``to_json`` emits struct fields in
+    declaration order, so the key order matches the reference byte
+    layout."""
+    sched = schedule(spark, sf_dir).filter(
+        F.col("request_id") == F.lit(request_id)
+    )
+    batches_arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "batch_index",
+                    F.struct(
+                        "batch_id", F.col("batch_ids").alias("ids"), "status"
+                    ).alias("b"),
+                )
+            )
+        ),
+        lambda s: s["b"],
+    )
+    rolled = sched.groupBy("request_id").agg(
+        _overall_status_agg().alias("status"), batches_arr.alias("batches")
+    )
+    return rolled.select(
+        F.to_json(
+            F.struct(
+                F.col("request_id").alias("ingestion_id"), "status", "batches"
+            )
+        ).alias("response")
+    )
+
+
 def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — point lookup of one request (min key, stable across sf) with
     batch projection + overall status (reference ``ingestController.js:35-55``)."""

@@ -29,10 +29,16 @@ def test_cli_status_found_and_404(spark, sf_dir, capsys):
     some_id = requests(spark, sf_dir).select("request_id").first()["request_id"]
     assert main(["status", some_id, "--sf-dir", sf_dir]) == 0
     out = json.loads(capsys.readouterr().out)
+    # exact reference 200 shape (ingestController.js:46-54): key order,
+    # ids as real JSON arrays, batch-level statuses
+    assert list(out.keys()) == ["ingestion_id", "status", "batches"]
     assert out["ingestion_id"] == some_id
     assert out["status"] in {"yet_to_start", "triggered", "completed"}
     assert out["batches"] and all(
-        b["status"] in {"yet_to_start", "triggered", "completed", "failed"}
+        list(b.keys()) == ["batch_id", "ids", "status"]
+        and isinstance(b["ids"], list)
+        and all(isinstance(x, int) for x in b["ids"])
+        and b["status"] in {"yet_to_start", "triggered", "completed", "failed"}
         for b in out["batches"]
     )
 
