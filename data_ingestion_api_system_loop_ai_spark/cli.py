@@ -8,9 +8,13 @@ the query registry plus this CLI:
     python -m data_ingestion_api_system_loop_ai_spark run q_hash_agg --limit 5
     python -m data_ingestion_api_system_loop_ai_spark explain q_join_broadcast
     python -m data_ingestion_api_system_loop_ai_spark status 12345
+    python -m data_ingestion_api_system_loop_ai_spark ingest requests.jsonl
 
 ``status`` is the ``GET /ingest/status/:id`` read path: per-batch and
-overall status for one request id (empty output = the 404 case).
+overall status for one request id (byte-exact reference 200/404
+bodies). ``ingest`` is the ``POST /ingest`` write path over a
+JSON-lines file: per-request validation and byte-exact reference
+202/400 response bodies, assembled engine-side.
 """
 
 from __future__ import annotations
@@ -71,12 +75,23 @@ def cmd_status(args) -> int:
     spark = _spark("cli-status")
     rows = status_response(spark, args.sf_dir, args.request_id).collect()
     if not rows:
-        # exact reference 404 body incl. trailing period
-        # (ingestController.js:39-41)
-        print(json.dumps({"error": "Ingestion ID not found."}))
+        # exact reference 404 body: trailing period, compact separators
+        # (ingestController.js:39-41; Express res.json = JSON.stringify)
+        print(json.dumps({"error": "Ingestion ID not found."}, separators=(",", ":")))
         return 1
     # the row IS the reference 200 body, assembled engine-side
     print(rows[0]["response"])
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .operators.pipeline import ingest_responses
+
+    spark = _spark("cli-ingest")
+    rows = ingest_responses(spark, args.path).orderBy("seq").collect()
+    for r in rows:
+        # each line is the exact reference response body (202 or 400)
+        print(r["body"])
     return 0
 
 
@@ -102,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("request_id")
     ps.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ps.set_defaults(fn=cmd_status)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("path", help="JSON-lines file of {ids, priority} requests")
+    pi.set_defaults(fn=cmd_ingest)
     return p
 
 

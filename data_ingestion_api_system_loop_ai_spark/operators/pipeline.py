@@ -403,6 +403,55 @@ def status_response(spark: SparkSession, sf_dir: str, request_id: str) -> DataFr
     )
 
 
+def ingest_responses(spark: SparkSession, path: str) -> DataFrame:
+    """A1+A2+A4+A12 write path — ``POST /ingest`` over a JSON-lines file:
+    fixed-schema parse (PERMISSIVE: malformed lines parse to NULL fields,
+    exactly the shapes ``Array.isArray`` rejects), the reference's two
+    validation checks in order (``ingestController.js:10-15``, exact 400
+    bodies), server-assigned ``uuid()`` ingestion ids
+    (``ingestController.js:17``), and the exact 202 body
+    (``ingestController.js:32``) — all assembled engine-side with
+    ``to_json`` (compact, key-ordered, byte-equal to Express
+    ``res.json``). Returns (seq, http_status, body) in input order."""
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.monotonically_increasing_id().alias("seq"),
+        F.from_json("value", "ids array<bigint>, priority string").alias("p"),
+    )
+    ids_ok = F.col("p.ids").isNotNull() & (F.size("p.ids") > 0)
+    prio_ok = F.upper(F.coalesce(F.col("p.priority"), F.lit(""))).isin(
+        "HIGH", "MEDIUM", "LOW"
+    )
+    body = (
+        F.when(
+            ~ids_ok,
+            F.to_json(
+                F.struct(
+                    F.lit(
+                        "Invalid input: ids array is required and cannot be empty."
+                    ).alias("error")
+                )
+            ),
+        )
+        .when(
+            ~prio_ok,
+            F.to_json(
+                F.struct(
+                    F.lit(
+                        "Invalid input: priority is required and must be HIGH, MEDIUM, or LOW."
+                    ).alias("error")
+                )
+            ),
+        )
+        .otherwise(F.to_json(F.struct(F.expr("uuid()").alias("ingestion_id"))))
+    )
+    return parsed.select(
+        "seq",
+        F.when(ids_ok & prio_ok, F.lit(202)).otherwise(F.lit(400)).alias("http_status"),
+        body.alias("body"),
+    )
+
+
 def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — point lookup of one request (min key, stable across sf) with
     batch projection + overall status (reference ``ingestController.js:35-55``)."""

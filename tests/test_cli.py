@@ -43,7 +43,41 @@ def test_cli_status_found_and_404(spark, sf_dir, capsys):
     )
 
     assert main(["status", "no-such-id", "--sf-dir", sf_dir]) == 1
-    # byte-exact reference 404 body (ingestController.js:39-41)
-    assert json.loads(capsys.readouterr().out) == {
-        "error": "Ingestion ID not found."
-    }
+    # byte-exact reference 404 body (ingestController.js:39-41):
+    # JSON.stringify layout — compact separators, trailing period
+    assert (
+        capsys.readouterr().out.strip()
+        == '{"error":"Ingestion ID not found."}'
+    )
+
+
+def test_cli_ingest_emits_reference_bodies(spark, tmp_path, capsys):
+    """POST /ingest write path: one response line per request in input
+    order — 202 {"ingestion_id": uuid} for valid, byte-exact reference
+    400 bodies for each invalid shape (ingestController.js:10-15,32)."""
+    req_file = tmp_path / "requests.jsonl"
+    req_file.write_text(
+        "\n".join(
+            [
+                '{"ids": [1, 2, 3, 4], "priority": "high"}',
+                '{"ids": [], "priority": "HIGH"}',
+                '{"ids": [5], "priority": "URGENT"}',
+                '{"ids": [6]}',
+                "{not json",
+            ]
+        )
+    )
+    assert main(["ingest", str(req_file)]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 5
+    ok = json.loads(lines[0])
+    assert list(ok.keys()) == ["ingestion_id"]
+    assert len(ok["ingestion_id"]) == 36  # uuidv4 wire shape
+    ids_err = '{"error":"Invalid input: ids array is required and cannot be empty."}'
+    prio_err = (
+        '{"error":"Invalid input: priority is required and must be HIGH, MEDIUM, or LOW."}'
+    )
+    assert lines[1] == ids_err  # empty ids array
+    assert lines[2] == prio_err  # invalid priority enum
+    assert lines[3] == prio_err  # missing priority
+    assert lines[4] == ids_err  # malformed JSON -> null fields

@@ -46,6 +46,57 @@ def test_session_window_runs(spark, sf_dir):
     assert bad == 0
 
 
+def test_session_window_agrees_with_batch_sessionize(spark, sf_dir):
+    """Native streaming session_window must produce the same sessions as
+    the batch lag+cumsum form (same starts, same event counts). The two
+    differ only for events exactly gap-apart (native splits at >= gap,
+    batch at > gap) — impossible-in-practice with µs timestamps and
+    deterministic for the fixed fixture either way."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import q_sessionize
+
+    name = run_stream_to_table(
+        session_window_agg(events_stream(spark, sf_dir)), output_mode="append"
+    )
+    native = Counter(
+        map(
+            str,
+            spark.table(name)
+            .select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    batch_df = q_sessionize(spark, sf_dir)
+    batch = Counter(
+        map(
+            str,
+            batch_df.select("user_id", "session_start", "n_events").collect(),
+        )
+    )
+    # append mode emits a session once the watermark (max ts - 1h) passes
+    # its end (last event + 30min gap); sessions in the final 90 minutes
+    # of the fixture are still open when the finite stream ends, so the
+    # emitted set is a prefix of the batch set — never different from it
+    assert native, "no finalized sessions emitted"
+    assert not (native - batch), "streaming emitted a session batch disagrees with"
+    from datetime import timedelta
+
+    max_ts = batch_df.agg(F.max("session_end").alias("m")).first()["m"]
+    cutoff = max_ts - timedelta(minutes=90)
+    finalized = Counter(
+        map(
+            str,
+            batch_df.filter(F.col("session_end") < F.lit(cutoff))
+            .select("user_id", "session_start", "n_events")
+            .collect(),
+        )
+    )
+    assert not (finalized - native), "a finalized batch session was never emitted"
+
+
 def test_watermarked_tumbling_runs(spark, sf_dir):
     name = run_stream_to_table(
         watermarked_tumbling(events_stream(spark, sf_dir)), output_mode="append"
