@@ -1,0 +1,77 @@
+"""Maintenance passes: compaction must preserve data exactly while
+bounding file counts; sorted rewrite must leave disjoint per-file key
+ranges (the property row-group/file skipping depends on)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+    compact_parquet,
+    file_column_ranges,
+    parquet_files,
+    rewrite_sorted,
+)
+
+
+def _fragmented_events(spark, sf_dir, path, n_files=64):
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_compaction_bounds_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag"))
+    assert len(parquet_files(src)) == 64
+    dst = str(tmp_path / "compact")
+    # small target -> a handful of files, deterministic from on-disk bytes
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 * 1024 * 1024)
+    got = parquet_files(dst)
+    assert 1 <= len(got) <= max(n, 1) and len(got) < 64
+    before = Counter(map(str, spark.read.parquet(src).collect()))
+    after = Counter(map(str, spark.read.parquet(dst).collect()))
+    assert before == after
+
+
+def test_partitioned_compaction_preserves_pruning(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "frag_p")
+    load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    ).repartition(32).write.partitionBy("event_date").mode("overwrite").parquet(src)
+    dst = str(tmp_path / "compact_p")
+    compact_parquet(
+        spark, src, dst, target_file_bytes=4 * 1024 * 1024, partition_by="event_date"
+    )
+    one_day = spark.read.parquet(dst).filter(
+        F.col("event_date") == F.lit("2024-01-02")
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune at listing time, not post-scan
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert one_day.count() == spark.read.parquet(src).filter(
+        F.col("event_date") == F.lit("2024-01-02")
+    ).count()
+
+
+def test_sorted_rewrite_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag_s"))
+    dst = str(tmp_path / "sorted")
+    n = rewrite_sorted(
+        spark, src, dst, ["event_id"], target_file_bytes=1 * 1024 * 1024
+    )
+    ranges = file_column_ranges(spark, dst, "event_id").orderBy("min_v").collect()
+    assert len(ranges) >= 2 or n == 1
+    # fragmented layout: every file spans ~the whole key domain; sorted
+    # layout: ranges are pairwise disjoint, so a point/range predicate
+    # overlaps few files
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["max_v"] < cur["min_v"]
+    before = Counter(map(str, spark.read.parquet(src).collect()))
+    after = Counter(map(str, spark.read.parquet(dst).collect()))
+    assert before == after
