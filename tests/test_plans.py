@@ -97,6 +97,37 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert "_salt" in plan
 
 
+def test_shingle_sets_single_exchange_reused(spark, sf_dir):
+    """The shingle relation is one narrow Project (let-bound tokenizer,
+    no posexplode/window chain) behind exactly one repartition exchange,
+    and every consumer subtree in the banded-minhash plan REUSES that
+    exchange instead of re-running the shingling (minhash minima,
+    candidate semi-join, set sizes)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        _shingle_sets,
+        q_dedup_minhash_banded,
+    )
+
+    base_plan = _shingle_sets(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    exchange_nodes = [
+        l
+        for l in base_plan.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(exchange_nodes) == 1
+    assert "Window" not in base_plan and "Generate" not in base_plan
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        full = q_dedup_minhash_banded(spark, sf_dir)._jdf.queryExecution()
+        executed = full.executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in executed
+
+
 def test_no_query_uses_row_python_udfs(spark, sf_dir):
     """Engine-wide lint: Python appears in plans only as Arrow-batched
     stages (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas /
