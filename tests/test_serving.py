@@ -1,0 +1,96 @@
+"""Serving table: the streaming drain's statuses must land in a keyed,
+atomically-versioned table (the reference's ingestionStore as a table),
+with idempotent micro-batch replay and point lookups."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+    live_priority_drain,
+    requests_json_stream,
+)
+from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+    ServingTable,
+    attach_serving_sink,
+)
+
+
+def _write_requests(path, rows, mtime):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _drain_to_serving(spark, tmp_path, suffix=""):
+    req_dir = tmp_path / f"reqs{suffix}"
+    req_dir.mkdir()
+    low = {"request_id": "7", "priority": "LOW", "created_at_ms": 1000,
+           "ids": [1, 2, 3, 4, 5, 6]}  # 2 batches
+    high = {"request_id": "8", "priority": "HIGH", "created_at_ms": 2000,
+            "ids": [10, 11]}  # 1 batch
+    t0 = 1_700_000_000
+    # one file per trigger (maxFilesPerTrigger=1): each trigger drains one
+    # job; the third file re-delivers request 7 (skipped as duplicate) so a
+    # third trigger exists to drain the last pending batch
+    _write_requests(str(req_dir / "f1.json"), [low], t0)
+    _write_requests(str(req_dir / "f2.json"), [high], t0 + 10)
+    _write_requests(str(req_dir / "f3.json"), [low], t0 + 20)
+    table = ServingTable(
+        str(tmp_path / f"serving{suffix}"),
+        key_cols=["batch_id"],
+        seq_col="drain_seq",
+    )
+    schema = requests_json_stream(spark, str(req_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(req_dir))
+    )
+    q = attach_serving_sink(
+        live_priority_drain(stream),
+        table,
+        checkpoint=str(tmp_path / f"ckpt{suffix}"),
+    )
+    q.awaitTermination()
+    return table
+
+
+def test_serving_table_holds_final_statuses(spark, tmp_path):
+    table = _drain_to_serving(spark, tmp_path)
+    cur = table.current(spark)
+    assert cur is not None
+    rows = {r["batch_id"]: r for r in cur.collect()}
+    # 6 LOW ids -> 2 batches, 2 HIGH ids -> 1 batch; all drained/completed
+    assert set(rows) == {"7-0", "7-1", "8-0"}
+    assert all(r["status"] == "completed" for r in rows.values())
+    # HIGH preempts: its batch drains before the LOW request's second
+    assert rows["8-0"]["drain_seq"] < rows["7-1"]["drain_seq"]
+
+
+def test_serving_upsert_replay_is_idempotent(spark, tmp_path):
+    table = _drain_to_serving(spark, tmp_path, suffix="r")
+    v_before = table.latest_version()
+    cur_before = sorted(map(str, table.current(spark).collect()))
+    # replay the full current table as if foreachBatch re-delivered it
+    table.upsert(table.current(spark))
+    assert table.latest_version() == v_before + 1
+    assert sorted(map(str, table.current(spark).collect())) == cur_before
+
+
+def test_serving_point_lookup_and_atomic_pointer(spark, tmp_path):
+    table = _drain_to_serving(spark, tmp_path, suffix="l")
+    got = table.lookup(spark, batch_id="8-0").collect()
+    assert len(got) == 1 and got[0]["request_id"] == "8"
+    # the pointer names a complete committed version directory
+    v = table.latest_version()
+    vdir = os.path.join(table.path, f"v={v}")
+    assert os.path.isdir(vdir)
+    assert any(f.endswith(".parquet") for f in os.listdir(vdir))
+    # vacuum keeps a bounded window of versions
+    versions = [n for n in os.listdir(table.path) if n.startswith("v=")]
+    assert len(versions) <= table.keep_versions + 1
