@@ -44,7 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs driver + all executor threads in ONE JVM, so the
+        # driver heap is the whole engine's heap: at 8g the wide-agg /
+        # posting-list queries spend ~30-50% of wall time in GC (measured:
+        # the dedup family ran 1.5-2x slower inside a 35-query bench
+        # cycle than isolated). 24g on the 128 GiB test box removes that;
+        # on a real cluster this would be executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
