@@ -59,6 +59,34 @@ def test_partitioned_compaction_preserves_pruning(spark, sf_dir, tmp_path):
     ).count()
 
 
+def test_zorder_rewrite_clusters_every_dimension(spark, sf_dir, tmp_path):
+    """Z-order (normalized Morton key) must shrink per-file min/max
+    ranges in BOTH listed columns — a plain sort clusters only its
+    leading column and leaves the other at full span per file."""
+    from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+        rewrite_zorder,
+    )
+
+    src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag_z"))
+    dst = str(tmp_path / "zorder")
+    rewrite_zorder(
+        spark, src, dst, ["event_id", "user_id"], target_file_bytes=16 * 1024
+    )
+
+    full = spark.read.parquet(src)
+    for col in ("event_id", "user_id"):
+        lo, hi = full.agg(F.min(col), F.max(col)).first()
+        global_span = hi - lo
+        rows = file_column_ranges(spark, dst, col).collect()
+        assert len(rows) >= 4
+        avg_span = sum(r["max_v"] - r["min_v"] for r in rows) / len(rows)
+        assert avg_span < 0.6 * global_span, col
+
+    before = Counter(map(str, spark.read.parquet(src).collect()))
+    after = Counter(map(str, spark.read.parquet(dst).collect()))
+    assert before == after
+
+
 def test_sorted_rewrite_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag_s"))
     dst = str(tmp_path / "sorted")
