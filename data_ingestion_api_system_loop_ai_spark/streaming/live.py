@@ -232,6 +232,7 @@ REQUEST_WIRE_SCHEMA = (
 
 _DRAIN_OUTPUT = StructType(
     [
+        StructField("queue", StringType()),
         StructField("drain_seq", LongType()),
         StructField("batch_id", StringType()),
         StructField("request_id", StringType()),
@@ -266,11 +267,16 @@ def requests_json_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(REQUEST_WIRE_SCHEMA).json(path)
 
 
-def chunk_requests(requests: DataFrame, batch_size: int = 3) -> DataFrame:
+def chunk_requests(
+    requests: DataFrame,
+    batch_size: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Stateless chunking of a request stream into jobs — the same
     order-preserving array-slice expression as the batch operator
     (``operators/pipeline.py batches()``; reference
-    ``ingestService.js:171-179``)."""
+    ``ingestService.js:171-179``). ``extra_cols`` pass through untouched
+    (e.g. a tenant/queue id for the multi-queue drain)."""
     n_batches = F.ceil(F.size("ids") / F.lit(batch_size)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_batches - 1),
@@ -288,6 +294,7 @@ def chunk_requests(requests: DataFrame, batch_size: int = 3) -> DataFrame:
             F.upper("priority").alias("priority"),
             "created_at_ms",
             F.posexplode(chunks).alias("batch_index", "batch_ids"),
+            *extra_cols,
         )
         .withColumn("batch_id", F.concat_ws("-", "request_id", "batch_index"))
         .withColumn("priority_rank", rank)
@@ -351,6 +358,7 @@ def _drain_one(key, pdf_iter, state: GroupState):
             drained = drained[-MAX_DRAINED_TRACKED:]
         out.append(
             (
+                str(key[0]),
                 seq,
                 job["batch_id"],
                 job["request_id"],
@@ -364,6 +372,7 @@ def _drain_one(key, pdf_iter, state: GroupState):
     yield pd.DataFrame(
         out,
         columns=[
+            "queue",
             "drain_seq",
             "batch_id",
             "request_id",
@@ -375,17 +384,25 @@ def _drain_one(key, pdf_iter, state: GroupState):
     )
 
 
-def live_priority_drain(requests: DataFrame) -> DataFrame:
-    """The live ingest queue: all jobs key to ONE logical queue (the
-    reference has a single global heap — an inherently serial resource),
-    whose state is the pending set. Scale path: the serial step touches
+def live_priority_drain(requests: DataFrame, queue_col: str | None = None) -> DataFrame:
+    """The live ingest queue. By default all jobs key to ONE logical
+    queue (the reference has a single global heap — an inherently serial
+    resource), whose state is the pending set. The serial step touches
     only queue METADATA (job descriptors); per-id batch work fans out to
-    the cluster from the drain's output, exactly like the batch
-    pipeline. Multi-tenant deployments key by queue/tenant id instead of
-    a constant and drain each queue independently."""
-    jobs = chunk_requests(requests)
+    the cluster from the drain's output, exactly like the batch pipeline.
+
+    ``queue_col`` is the scale-out path: key the state by a tenant/queue
+    id column instead of a constant and every queue drains INDEPENDENTLY
+    — one rate-limited heap per tenant, state sharded across executors
+    by the group key, same per-queue semantics (the reference's global
+    heap, multiplied). This is how the one serial resource disappears at
+    fleet scale: serialism is per-tenant, tenants are parallel."""
+    jobs = chunk_requests(
+        requests, extra_cols=(queue_col,) if queue_col else ()
+    )
+    key = (F.col(queue_col) if queue_col else F.lit(0)).cast("string")
     return (
-        jobs.withColumn("_q", F.lit(0))
+        jobs.withColumn("_q", key)
         .groupBy("_q")
         .applyInPandasWithState(
             _drain_one,

@@ -262,6 +262,58 @@ def test_live_drain_numeric_id_tie_break(spark, tmp_path):
     assert out[1]["batch_id"] == "2-0"
 
 
+def test_live_drain_multi_tenant_queues_drain_independently(spark, tmp_path):
+    """queue_col shards the drain state by tenant: each tenant's queue
+    dequeues one job per trigger INDEPENDENTLY (per-tenant serialism,
+    parallel across tenants) with per-tenant drain sequences — the
+    scale-out form of the reference's single global heap."""
+    src = tmp_path / "requests"
+    src.mkdir()
+    t0 = time.time() - 100
+    # one file -> ONE trigger; both tenants' requests arrive together
+    _write_request_file(
+        str(src / "f1.json"),
+        [
+            {"request_id": "1", "priority": "LOW", "created_at_ms": 1000,
+             "ids": [1, 2, 3, 4, 5, 6], "tenant": "acme"},
+            {"request_id": "2", "priority": "HIGH", "created_at_ms": 2000,
+             "ids": [10, 11], "tenant": "globex"},
+        ],
+        t0,
+    )
+    _write_request_file(  # second trigger: duplicates, just advance clock
+        str(src / "f2.json"),
+        [
+            {"request_id": "1", "priority": "LOW", "created_at_ms": 1000,
+             "ids": [1, 2, 3, 4, 5, 6], "tenant": "acme"},
+        ],
+        t0 + 10,
+    )
+    stream = (
+        spark.readStream.schema(
+            "request_id string, priority string, created_at_ms long, "
+            "ids array<long>, tenant string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    name = run_stream_to_table(
+        live_priority_drain(stream, queue_col="tenant"), output_mode="append"
+    )
+    rows = spark.table(name).collect()
+    by_tenant = {}
+    for r in rows:
+        by_tenant.setdefault(r["queue"], []).append(r)
+    # trigger 1 drains one job PER TENANT (not one global); trigger 2
+    # drains acme's next batch (globex's queue is empty after its one)
+    assert sorted(by_tenant) == ["acme", "globex"]
+    assert [r["batch_id"] for r in sorted(by_tenant["acme"], key=lambda r: r["drain_seq"])] == ["1-0", "1-1"]
+    assert [r["batch_id"] for r in by_tenant["globex"]] == ["2-0"]
+    # drain sequences are per-queue clocks
+    assert [r["drain_seq"] for r in sorted(by_tenant["acme"], key=lambda r: r["drain_seq"])] == [1, 2]
+    assert [r["drain_seq"] for r in by_tenant["globex"]] == [1]
+
+
 def test_live_drain_state_survives_restart(spark, tmp_path):
     """The reference loses its whole queue on restart
     (ingestController.js:5 — in-memory store); the engine's drain state
