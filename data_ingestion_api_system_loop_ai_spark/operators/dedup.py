@@ -414,15 +414,28 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates: same-bucket (label cell)
     pair scan, top-3 most-similar pairs per cell — the IVF-style bucketed
     form of semantic dedup (a production run would threshold instead;
-    this corpus has no semantic dups seeded, max same-cell cosine ~0.47)."""
+    this corpus has no semantic dups seeded, max same-cell cosine ~0.47).
+
+    Norms are computed ONCE PER VECTOR before the pair join (each side
+    carries its norm through the join), so per pair the cosine is one
+    dot product and one divide — not three dot products. Identical
+    doubles: the division grouping ``dot / (na * nb)`` matches the
+    oracle expression exactly."""
     from pyspark.sql import Window as W
+    from .similarity import dot_expr, norm_expr
 
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm_expr("embedding").alias("norm_a"),
     )
     b = e.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm_expr("embedding").alias("norm_b"),
     )
     w = W.partitionBy("label").orderBy(
         F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b")
@@ -430,7 +443,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["label"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_expr("emb_a", "emb_b"), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_expr("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
+            ),
+        )
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= EMBED_PAIRS_PER_CELL)
         .select("label", "vec_a", "vec_b", "cosine", "rnk")
