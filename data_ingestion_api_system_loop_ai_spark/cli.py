@@ -9,6 +9,7 @@ the query registry plus this CLI:
     python -m data_ingestion_api_system_loop_ai_spark explain q_join_broadcast
     python -m data_ingestion_api_system_loop_ai_spark status 12345
     python -m data_ingestion_api_system_loop_ai_spark ingest requests.jsonl
+    python -m data_ingestion_api_system_loop_ai_spark compact in/ out/ --zorder a,b
 
 ``status`` is the ``GET /ingest/status/:id`` read path: per-batch and
 overall status for one request id (byte-exact reference 200/404
@@ -84,6 +85,31 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from .sources.maintenance import compact_parquet, parquet_files, rewrite_zorder
+
+    spark = _spark("cli-compact")
+    target = args.target_mb * 1024 * 1024
+    if args.zorder:
+        n = rewrite_zorder(
+            spark, args.src, args.dst, args.zorder.split(","), target_file_bytes=target
+        )
+    else:
+        n = compact_parquet(
+            spark,
+            args.src,
+            args.dst,
+            target_file_bytes=target,
+            partition_by=args.partition_by,
+        )
+    print(
+        json.dumps(
+            {"target_files": n, "written_files": len(parquet_files(args.dst))}
+        )
+    )
+    return 0
+
+
 def cmd_ingest(args) -> int:
     from .operators.pipeline import ingest_responses
 
@@ -121,6 +147,14 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("ingest")
     pi.add_argument("path", help="JSON-lines file of {ids, priority} requests")
     pi.set_defaults(fn=cmd_ingest)
+
+    pc = sub.add_parser("compact")
+    pc.add_argument("src")
+    pc.add_argument("dst")
+    pc.add_argument("--target-mb", type=int, default=128)
+    pc.add_argument("--partition-by", default=None)
+    pc.add_argument("--zorder", default=None, help="comma-separated cluster columns")
+    pc.set_defaults(fn=cmd_compact)
     return p
 
 

@@ -51,6 +51,22 @@ def test_cli_status_found_and_404(spark, sf_dir, capsys):
     )
 
 
+def test_cli_compact_roundtrip(spark, sf_dir, tmp_path, capsys):
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    src = str(tmp_path / "frag")
+    load_table(spark, sf_dir, "events").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dst = str(tmp_path / "out")
+    assert main(["compact", src, dst, "--target-mb", "1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["written_files"] <= 16
+    assert (
+        spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+    )
+
+
 def test_cli_ingest_emits_reference_bodies(spark, tmp_path, capsys):
     """POST /ingest write path: one response line per request in input
     order — 202 {"ingestion_id": uuid} for valid, byte-exact reference
