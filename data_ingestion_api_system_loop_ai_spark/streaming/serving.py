@@ -119,11 +119,17 @@ class ServingTable:
 def attach_serving_sink(drain: DataFrame, table: ServingTable, checkpoint: str):
     """Run a (finite) drain stream into the serving table: one idempotent
     upsert per micro-batch, checkpointed so a restart resumes from the
-    last committed batch."""
+    last committed batch. Empty micro-batches (triggers that drained
+    nothing) commit no new version."""
+
+    def _sink(batch_df: DataFrame, _bid: int) -> None:
+        if not batch_df.isEmpty():
+            table.upsert(batch_df)
+
     return (
         drain.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(lambda batch_df, _bid: table.upsert(batch_df))
+        .foreachBatch(_sink)
         .trigger(availableNow=True)
         .start()
     )
