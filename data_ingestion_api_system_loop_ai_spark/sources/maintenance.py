@@ -31,6 +31,9 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 def _dataset_bytes(path: str) -> int:
+    # local-filesystem listing; an object-store deployment swaps this one
+    # function for the Hadoop FileSystem API (listFiles is the only
+    # size source needed — the planning logic above it is unchanged)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
