@@ -316,7 +316,14 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias(f"_m{i}")
 
-    mh = base.withColumn("_digs", digs).select(
+    # shingle-less docs (<SHINGLE_K tokens) never enter banding: their
+    # array_min minima are all NULL, concat_ws drops NULLs, and every
+    # such doc would share the identical '' key in ALL bands — one
+    # degenerate (band, key) bucket with an O(m^2) in-array pair
+    # expansion. The oracle's mh CTE excludes them for free (unnest of
+    # an empty set emits no rows), so the filter is parity, not a
+    # semantic change.
+    mh = base.filter(F.size("ss") > 0).withColumn("_digs", digs).select(
         "doc_id", F.size("ss").alias("n"), *[_min_hash(i) for i in range(MINHASH_N)]
     )
     band_structs = [

@@ -412,7 +412,16 @@ def ingest_responses(spark: SparkSession, path: str) -> DataFrame:
     (``ingestController.js:17``), and the exact 202 body
     (``ingestController.js:32``) — all assembled engine-side with
     ``to_json`` (compact, key-ordered, byte-equal to Express
-    ``res.json``). Returns (seq, http_status, body) in input order."""
+    ``res.json``). Returns (seq, http_status, body) in input order.
+
+    CONTRACT: ``path`` must be a single JSON-lines file. ``seq`` is
+    ``monotonically_increasing_id()``, which follows byte order within
+    one file's scan but NOT across the files of a directory or glob
+    (FilePartition packing orders splits by size, not name), so
+    responses for multi-file input could interleave across files. The
+    CLI (the only caller) passes one file; a directory-capable wire log
+    would need an explicit per-file line offset (e.g.
+    ``rdd.zipWithIndex`` keyed by ``input_file_name``) instead."""
     raw = spark.read.text(path)
     parsed = raw.select(
         F.monotonically_increasing_id().alias("seq"),
@@ -533,7 +542,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle SQL (shared CTE prefix + per-query SELECTs)
 # ---------------------------------------------------------------------------
 
-PIPELINE_CTE = """
+PIPELINE_CTE = f"""
 WITH ids_by_order AS (
   SELECT l_orderkey, list(l_partkey ORDER BY l_linenumber, l_partkey) AS ids
   FROM lineitem GROUP BY l_orderkey
@@ -580,7 +589,7 @@ statused AS (
   SELECT *,
          CASE WHEN as_of < scheduled_start THEN 'yet_to_start'
               WHEN as_of < completed_at THEN 'triggered'
-              WHEN len(list_filter(batch_ids, x -> x % 97 = 13)) > 0 THEN 'failed'
+              WHEN len(list_filter(batch_ids, x -> x % {FAILED_ID_MOD} = {FAILED_ID_REM})) > 0 THEN 'failed'
               ELSE 'completed' END AS status
   FROM timed
 )
