@@ -5,13 +5,18 @@ The reference keeps request/batch state in a process-global JS object
 The engine's equivalent is a KEYED SERVING TABLE maintained by the
 streaming layer and read by the status surface:
 
-- ``ServingTable`` is a minimal versioned parquet table: every commit
-  writes a new immutable ``v=<n>`` directory and then atomically swaps a
-  pointer file (``os.replace``) — readers always see a complete version,
-  never a half-written directory; a crash mid-commit leaves the previous
-  version live. (The same commit protocol, scaled up, is what lakehouse
-  table formats provide; on object storage the pointer swap maps to a
-  conditional PUT.)
+- ``ServingTable`` is a versioned, KEY-HASH-BUCKETED parquet table.
+  Rows live in ``v=<n>/bucket=<b>/`` directories, where ``b =
+  pmod(hash(key), num_buckets)``. Every commit writes new directories
+  ONLY for the buckets the micro-batch touched, records a manifest
+  (bucket -> version of its current directory) inside the new version
+  directory, and atomically swaps a pointer file (``os.replace``) —
+  readers always see a complete version, never a half-written
+  directory; a crash mid-commit leaves the previous version live.
+  (The same commit protocol, scaled up, is what lakehouse table
+  formats provide; on object storage the pointer swap maps to a
+  conditional PUT, and the manifest is the moral equivalent of a
+  MERGE's copy-on-write file rewrite scoped to touched files.)
 - ``upsert`` merges a micro-batch by key, keeping the row with the
   highest sequence per key. Micro-batch REPLAY (foreachBatch re-delivers
   after restart) is therefore idempotent: replayed rows lose the max-seq
@@ -19,13 +24,21 @@ streaming layer and read by the status surface:
 - ``attach_serving_sink`` wires a drain stream into the table via
   ``foreachBatch``.
 
-Scale notes: the merge shuffles only on the key (one hash exchange of
-micro-batch + current — both keyed, AQE-broadcast when the micro-batch
-is small); versions are bounded by ``keep_versions`` vacuum.
+Scale notes: a micro-batch of k keys reads and rewrites only the
+buckets those keys hash to — O(touched buckets), NOT O(table), per
+trigger (the round-2 full-table rewrite was the classic copy-on-write
+failure mode at 100 TB of request state). The merge shuffles only the
+touched buckets' rows plus the micro-batch, keyed (AQE broadcasts the
+micro-batch side when small); a full-key point lookup reads exactly
+one bucket directory. ``num_buckets`` sizes the rewrite granularity:
+at production scale pick buckets so one bucket ~ a few hundred MB
+(e.g. 2^14 buckets for 10 TB of state). Old versions are vacuumed
+once no retained manifest references them.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -33,10 +46,15 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
+_MANIFEST = "_MANIFEST.json"
+# partition-directory column; NOT underscore-prefixed because Spark's
+# file listing treats `_*` directories as hidden and would skip them
+BUCKET_COL = "bucket"
 
 
 class ServingTable:
-    """Keyed, versioned parquet serving table with atomic commits."""
+    """Keyed, versioned, hash-bucketed parquet serving table with
+    atomic manifest commits and bucket-scoped upserts."""
 
     def __init__(
         self,
@@ -44,11 +62,13 @@ class ServingTable:
         key_cols: list[str],
         seq_col: str,
         keep_versions: int = 3,
+        num_buckets: int = 16,
     ) -> None:
         self.path = path
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.keep_versions = keep_versions
+        self.num_buckets = num_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- commit protocol ---------------------------------------------------
@@ -69,10 +89,47 @@ class ServingTable:
             f.write(str(version))
         os.replace(tmp, self._pointer_file())  # atomic pointer swap
 
+    def _manifest_file(self, version: int) -> str:
+        return os.path.join(self.path, f"v={version}", _MANIFEST)
+
+    def _manifest(self, version: int) -> dict[int, int] | None:
+        """bucket -> version whose ``v=<version>/bucket=<b>`` directory
+        holds that bucket's current rows."""
+        try:
+            with open(self._manifest_file(version)) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return None
+
+    def _write_manifest(self, version: int, manifest: dict[int, int]) -> None:
+        os.makedirs(os.path.join(self.path, f"v={version}"), exist_ok=True)
+        with open(self._manifest_file(version), "w") as f:
+            json.dump({str(k): v for k, v in sorted(manifest.items())}, f)
+
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self.path, f"v={version}", f"{BUCKET_COL}={bucket}")
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)
+        )
+
     def _vacuum(self, current: int) -> None:
+        """Remove version directories older than the retention window
+        UNLESS a retained manifest still references their bucket
+        directories (a bucket untouched for many commits keeps its old
+        version directory alive)."""
         floor = current - self.keep_versions
+        referenced: set[int] = set()
+        for v in range(max(floor, 0), current + 1):
+            m = self._manifest(v)
+            if m:
+                referenced.update(m.values())
         for name in os.listdir(self.path):
-            if name.startswith("v=") and int(name[2:]) < floor:
+            if not name.startswith("v="):
+                continue
+            v = int(name[2:])
+            if v < floor and v not in referenced:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # -- reads -------------------------------------------------------------
@@ -81,12 +138,40 @@ class ServingTable:
         v = self.latest_version()
         if v < 0:
             return None
-        return spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        manifest = self._manifest(v) or {}
+        paths = [self._bucket_dir(b, vb) for b, vb in sorted(manifest.items())]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     def lookup(self, spark: SparkSession, **key_values) -> DataFrame | None:
-        cur = self.current(spark)
-        if cur is None:
+        """Point lookup. When every key column is given, only the ONE
+        bucket directory the key hashes to is read — O(bucket), not
+        O(table)."""
+        v = self.latest_version()
+        if v < 0:
             return None
+        manifest = self._manifest(v) or {}
+        if not manifest:
+            return None
+        if set(self.key_cols) <= set(key_values):
+            b = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.hash(*[F.lit(key_values[c]) for c in self.key_cols]),
+                        F.lit(self.num_buckets),
+                    ).alias("b")
+                )
+                .first()["b"]
+            )
+            if b in manifest:
+                cur = spark.read.parquet(self._bucket_dir(b, manifest[b]))
+            else:
+                # key's bucket has no data yet: empty result, right schema
+                cur = self.current(spark).limit(0)
+        else:
+            cur = self.current(spark)
         for k, val in key_values.items():
             cur = cur.filter(F.col(k) == F.lit(val))
         return cur
@@ -96,21 +181,51 @@ class ServingTable:
     def upsert(self, batch_df: DataFrame) -> int:
         """Merge a micro-batch: per key keep the highest-``seq_col`` row
         (new beats old; replayed rows tie with themselves — idempotent).
-        Writes version N+1, swaps the pointer, vacuums old versions.
-        Returns the committed version number."""
+        Reads and rewrites ONLY the buckets the micro-batch touches;
+        untouched buckets keep their existing directories via the
+        manifest. Writes version N+1, swaps the pointer, vacuums
+        unreferenced versions. Returns the committed version number.
+
+        The touched-bucket list is a ``distinct().collect()`` — bounded
+        by ``num_buckets`` integers, never by table or batch size."""
+        if BUCKET_COL in batch_df.columns:
+            raise ValueError(
+                f"column name {BUCKET_COL!r} is reserved by ServingTable"
+            )
         spark = batch_df.sparkSession
-        cur = self.current(spark)
-        merged = batch_df if cur is None else cur.unionByName(batch_df)
+        cur_v = self.latest_version()
+        manifest = (self._manifest(cur_v) or {}) if cur_v >= 0 else {}
+        batch = batch_df.withColumn(BUCKET_COL, self._bucket_expr())
+        touched = sorted(
+            r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
+        )
+        cur_paths = [
+            self._bucket_dir(b, manifest[b]) for b in touched if b in manifest
+        ]
+        if cur_paths:
+            # bucket is a partition dir, dropped on leaf-dir read;
+            # recompute it (deterministic hash of the key)
+            cur = spark.read.parquet(*cur_paths).withColumn(
+                BUCKET_COL, self._bucket_expr()
+            )
+            merged = cur.unionByName(batch)
+        else:
+            merged = batch
         w = W.partitionBy(*self.key_cols).orderBy(F.col(self.seq_col).desc())
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        next_v = self.latest_version() + 1
-        latest.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"v={next_v}")
+        next_v = cur_v + 1
+        (
+            latest.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, f"v={next_v}"))
         )
+        new_manifest = {**manifest, **{int(b): next_v for b in touched}}
+        self._write_manifest(next_v, new_manifest)
         self._commit(next_v)
         self._vacuum(next_v)
         return next_v
