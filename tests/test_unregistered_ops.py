@@ -118,3 +118,27 @@ def test_minhash_lsh_ml_variant_runs_and_overlaps_banded(spark, sf_dir):
     # both are LSH at J>=0.5 with different hash families; require
     # majority agreement rather than equality
     assert len(ml & banded) >= len(banded) * 0.6
+
+
+def test_ivf_cell_count_grows_with_corpus(spark, sf_dir):
+    """VERDICT r02 #2: the IVF quantizer must scale its cell count with
+    the corpus (k ~ sqrt(n)), not sit at a data-fixed constant. Doubling
+    the corpus (disjoint vec_ids -> fresh hash draws) must yield more
+    cells, and cells must come from the data (seed vec_ids), not the
+    label column's fixed domain."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")  # n = 500
+    small_cells = ivf_assign(e).select("cell").distinct().count()
+    doubled = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    big_cells = ivf_assign(doubled).select("cell").distinct().count()
+    n_labels = e.select("label").distinct().count()
+    # ~sqrt(500)=23 vs ~sqrt(1000)=32 expected seeds; both beat the
+    # 10-label fixed quantizer and the count strictly grows
+    assert small_cells > n_labels
+    assert big_cells > small_cells
