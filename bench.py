@@ -7,7 +7,11 @@ Each query is materialized through the noop sink (full execution, no
 driver-side row transfer). A trivial warm-up query first amortizes JVM/
 session startup out of the per-query numbers. Each query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
-MEDIAN, so round-over-round comparisons aren't single-sample noise.
+MEDIAN, so round-over-round comparisons aren't single-sample noise;
+a "spread" map carries {median, min, max} per query so a regression
+can be told apart from run-to-run variance without re-benching
+(VERDICT r02 #4 — the r02 "regression cluster" was unadjudicable
+from medians alone).
 """
 
 from __future__ import annotations
@@ -117,6 +121,14 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    spread = {
+        name: {
+            "median": timings[name],
+            "min": round(min(ts), 3),
+            "max": round(max(ts), 3),
+        }
+        for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )

@@ -114,9 +114,13 @@ def q_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount/tax all carry <= 2 decimal digits, so ``round(x*100)`` is
     the exact integer form; products stay exact in a long: charge is
     scaled 1e6, < 2.4e11 per row). The per-row work is then pure codegen
-    integer math instead of BigDecimal multiplies — ~30% faster at
-    sf0.1 — while the accumulator stays DECIMAL, so group sums cannot
-    overflow at any corpus size. Emitted values are bit-identical to the
+    integer math instead of BigDecimal multiplies — a measured ~5%
+    faster than the decimal-cast formulation in an isolated alternating
+    A/B at sf0.1 (medians 1.29 s vs 1.36 s over 7 runs; the r02 bench's
+    4.3 s median did not reproduce in isolation, so that regression was
+    bench-cycle GC/context noise, not this plan) — while the
+    accumulator stays DECIMAL, so group sums cannot overflow at any
+    corpus size. Emitted values are bit-identical to the
     decimal-cast formulation (the double product's error, ~1e-11
     relative, vanishes at the 4/6-decimal cast the oracle applies), so
     the DuckDB oracle is unchanged."""
