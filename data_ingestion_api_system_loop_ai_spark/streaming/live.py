@@ -32,6 +32,7 @@ logs, ``tests/api.test.js:254-259``).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import uuid
 
@@ -42,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -244,19 +246,43 @@ _DRAIN_OUTPUT = StructType(
 )
 
 # state: drain counter + pending jobs as JSON strings (each one Job from
-# the reference, ingestService.js:181-186) + already-drained batch_ids
-# (the reference's stale-job skip, ingestService.js:133,149-153)
+# the reference, ingestService.js:181-186) + a FIXED-SIZE bloom filter
+# over already-drained batch_ids (the reference's stale-job skip,
+# ingestService.js:133,149-153). The round-2 guard kept the last 100k
+# ids in a list — a sufficiently late re-delivery could re-enter the
+# queue once its id was evicted (VERDICT r02 #7); the bloom never
+# forgets an id and its state is O(1) by construction. The trade is a
+# bounded false-positive rate (a NEW batch very rarely skipped as a
+# duplicate): ~0.1% at 100k drained ids with these parameters, the
+# usual exactly-once-guard trade at stream scale.
 _DRAIN_STATE = StructType(
     [
         StructField("seq", LongType()),
         StructField("pending", ArrayType(StringType())),
-        StructField("drained", ArrayType(StringType())),
+        StructField("bloom", BinaryType()),
     ]
 )
 
-# bound on the drained-id memory (production would use a bloom filter or
-# watermark-expired set; the bound keeps state O(1) either way)
-MAX_DRAINED_TRACKED = 100_000
+BLOOM_BITS = 1 << 21  # 256 KiB of per-queue state, fixed forever
+BLOOM_HASHES = 7
+
+
+def _bloom_hashes(batch_id: str) -> list[int]:
+    """k bit positions by double hashing two md5 halves — no numpy, no
+    per-record object churn beyond one digest."""
+    d = hashlib.md5(batch_id.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd -> full-period stride
+    return [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_HASHES)]
+
+
+def bloom_add(bits: bytearray, batch_id: str) -> None:
+    for p in _bloom_hashes(batch_id):
+        bits[p >> 3] |= 1 << (p & 7)
+
+
+def bloom_contains(bits: bytes, batch_id: str) -> bool:
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_hashes(batch_id))
 
 _PRIORITY_RANK = {"HIGH": 1, "MEDIUM": 2, "LOW": 3}
 
@@ -265,6 +291,42 @@ def requests_json_stream(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines request stream (the wire form of ``POST /ingest``,
     reference ``src/app.js:7``) with the fixed ingest schema."""
     return spark.readStream.schema(REQUEST_WIRE_SCHEMA).json(path)
+
+
+def parse_request_wire(raw: DataFrame) -> DataFrame:
+    """Kafka-style deserializer stage: a relation with a ``value``
+    column (bytes or string — one JSON request body per record, the
+    ``POST /ingest`` wire form) -> typed request rows under
+    ``REQUEST_WIRE_SCHEMA``. Pure column expressions, so it applies
+    identically to a static DataFrame (testable without a broker) and
+    to the Kafka source's streaming output."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), REQUEST_WIRE_SCHEMA).alias("r")
+    ).select("r.*")
+
+
+def kafka_requests_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production ingest source (SURVEY.md section 2.1 A1): a Kafka
+    topic of JSON request bodies -> typed request rows, same schema and
+    downstream pipeline as ``requests_json_stream``.
+
+    Requires the ``spark-sql-kafka`` connector package on the session's
+    classpath (not bundled here — no broker exists in the test
+    container, so tests cover ``parse_request_wire`` against a static
+    ``value`` relation and assert it agrees with the JSON-lines path)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_request_wire(raw)
 
 
 def chunk_requests(
@@ -306,7 +368,7 @@ def chunk_requests(
     )
 
 
-def _drain_one(key, pdf_iter, state: GroupState):
+def _drain_one(key, pdf_iter, state: GroupState, timeout_ms: int | None = None):
     """Per-trigger queue step: merge newly-arrived jobs into the pending
     set — skipping batch_ids already drained or already pending, the
     reference's stale/duplicate-job skip (``ingestService.js:133,
@@ -314,18 +376,26 @@ def _drain_one(key, pdf_iter, state: GroupState):
     created_at, numeric request key, batch_index —
     ``priorityQueue.js:12-23`` with the batch plan's tie-break), emit its
     status transition. One dequeue per trigger = the rate limiter with
-    the trigger interval as the clock (``ingestService.js:99-116``)."""
+    the trigger interval as the clock (``ingestService.js:99-116``).
+
+    ``timeout_ms`` is the live-pacing hook: when set (the
+    processingTime production form), a still-non-empty pending queue
+    arms a processing-time state timeout, so the engine keeps running
+    clock-paced batches and re-invokes this step until the queue is
+    empty even with NO new input — the reference's ``setTimeout``
+    re-drain (``ingestService.js:110-115``). An emptied queue arms no
+    timeout: an idle tenant costs zero batches until data arrives."""
     if state.exists:
-        seq, pending_json, drained = state.get
+        seq, pending_json, bloom_bytes = state.get
         pending = [json.loads(s) for s in pending_json]
-        drained = list(drained)
+        bloom = bytearray(bloom_bytes)
     else:
-        seq, pending, drained = 0, [], []
-    seen = set(drained) | {j["batch_id"] for j in pending}
+        seq, pending, bloom = 0, [], bytearray(BLOOM_BITS >> 3)
+    seen = {j["batch_id"] for j in pending}
     for pdf in pdf_iter:
         for row in pdf.itertuples(index=False):
-            if row.batch_id in seen:  # re-delivered / duplicate job
-                continue
+            if row.batch_id in seen or bloom_contains(bloom, row.batch_id):
+                continue  # re-delivered / duplicate job
             seen.add(row.batch_id)
             key_num = None if pd.isna(row.request_key) else int(row.request_key)
             pending.append(
@@ -353,9 +423,7 @@ def _drain_one(key, pdf_iter, state: GroupState):
     if pending:
         job = pending.pop(0)
         seq += 1
-        drained.append(job["batch_id"])
-        if len(drained) > MAX_DRAINED_TRACKED:
-            drained = drained[-MAX_DRAINED_TRACKED:]
+        bloom_add(bloom, job["batch_id"])
         out.append(
             (
                 str(key[0]),
@@ -368,7 +436,9 @@ def _drain_one(key, pdf_iter, state: GroupState):
                 len(pending),
             )
         )
-    state.update((seq, [json.dumps(j) for j in pending], drained))
+    state.update((seq, [json.dumps(j) for j in pending], bytes(bloom)))
+    if timeout_ms is not None and pending:
+        state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
         out,
         columns=[
@@ -384,7 +454,11 @@ def _drain_one(key, pdf_iter, state: GroupState):
     )
 
 
-def live_priority_drain(requests: DataFrame, queue_col: str | None = None) -> DataFrame:
+def live_priority_drain(
+    requests: DataFrame,
+    queue_col: str | None = None,
+    timeout_ms: int | None = None,
+) -> DataFrame:
     """The live ingest queue. By default all jobs key to ONE logical
     queue (the reference has a single global heap — an inherently serial
     resource), whose state is the pending set. The serial step touches
@@ -401,17 +475,71 @@ def live_priority_drain(requests: DataFrame, queue_col: str | None = None) -> Da
         requests, extra_cols=(queue_col,) if queue_col else ()
     )
     key = (F.col(queue_col) if queue_col else F.lit(0)).cast("string")
+    if timeout_ms is None:
+        fn, conf = _drain_one, GroupStateTimeout.NoTimeout
+    else:
+        def fn(key, pdf_iter, state):
+            yield from _drain_one(key, pdf_iter, state, timeout_ms=timeout_ms)
+
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return (
         jobs.withColumn("_q", key)
         .groupBy("_q")
         .applyInPandasWithState(
-            _drain_one,
+            fn,
             _DRAIN_OUTPUT,
             _DRAIN_STATE,
             "append",
-            GroupStateTimeout.NoTimeout,
+            conf,
         )
     )
+
+
+def live_drain_query(
+    requests: DataFrame,
+    checkpoint: str,
+    processing_time: str = "5 seconds",
+    queue_col: str | None = None,
+    name: str | None = None,
+):
+    """The PRODUCTION form of the drain: a processingTime-triggered
+    query whose trigger interval IS the rate limit — one dequeue per
+    tick, so ``processing_time="5 seconds"`` reproduces the reference's
+    ``RATE_LIMIT_MS = 5000`` start-to-start pacing
+    (``ingestService.js:5,99-116``) with the engine's trigger clock
+    instead of ``setTimeout``. Starts the query into a named memory
+    sink and returns ``(query, sink_table_name)``.
+
+    Tests run this with a sub-second interval and assert that drain
+    rows arrive across MULTIPLE clock-paced micro-batches (each at most
+    one dequeue) — the availableNow/maxFilesPerTrigger form used
+    everywhere else is the deterministic twin, but this is the code
+    path a deployment actually runs."""
+    name = name or f"drain_{uuid.uuid4().hex[:8]}"
+    num, unit = processing_time.split()
+    interval_ms = int(
+        float(num)
+        * {
+            "millisecond": 1,
+            "milliseconds": 1,
+            "second": 1000,
+            "seconds": 1000,
+            "minute": 60_000,
+            "minutes": 60_000,
+        }[unit]
+    )
+    q = (
+        live_priority_drain(
+            requests, queue_col=queue_col, timeout_ms=interval_ms
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+    return q, name
 
 
 STREAMING_QUERIES = {"q_streaming_exec_tumbling": q_streaming_exec_tumbling}
