@@ -61,8 +61,8 @@ HEADLINE = [
     "q_range_join",
     "q_tpch_q14",
     "q_dedup_minhash_banded",
-    "q_token_count",
-    "q_lang_id",
+    "q_text_profile",
+    "q_tpch_q17",
     "q_dedup_embedding",
     "q_multimodal_meta",
     "q_media_pipeline",

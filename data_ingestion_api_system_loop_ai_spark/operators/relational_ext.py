@@ -150,6 +150,40 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue, adapted): revenue lost
+    to small orders — lineitems of one brand whose quantity is below
+    20% of that part's average quantity — written as a CORRELATED
+    SCALAR SUBQUERY in SQL, the one Catalyst feature the rest of the
+    battery never touches (VERDICT r02 #8). Catalyst decorrelates the
+    subquery into a per-partkey aggregate joined back on p_partkey
+    (RewriteCorrelatedScalarSubquery), so the physical plan is two
+    scans + one aggregate + one join, never a per-row re-scan — the
+    nested-loop trap a naive engine falls into.
+
+    Exactness: the 20%-of-average predicate compares SCALED LONGS —
+    ``5 * round(l_quantity*100) < avg(round(l_quantity*100))`` — so
+    both engines compute one double division of exact integer sums and
+    the boundary cannot flip on summation order. (The synthetic part
+    table has no p_container; the brand filter alone plays its role.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(30,0))) AS DOUBLE)
+             / 100 / 7.0, 6) AS avg_yearly,
+       count(*) AS n_cheap_lines
+FROM q17_lineitem, q17_part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23'
+  AND 5 * CAST(round(l_quantity * 100) AS BIGINT) < (
+        SELECT avg(CAST(round(l2.l_quantity * 100) AS BIGINT))
+        FROM q17_lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+"""
+    )
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic skew-salting: probe side (lineitem) derives
     ``salt = l_linenumber % N``, build side (orders) is exploded across
@@ -266,6 +300,7 @@ RELATIONAL_EXT_QUERIES = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q17": q_tpch_q17,
     "q_join_salted": q_join_salted,
     "q_analytic_funcs": q_analytic_funcs,
     "q_stats_agg": q_stats_agg,
@@ -323,6 +358,18 @@ SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-07-01'
+""",
+    "q_tpch_q17": """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(30,0))) AS DOUBLE)
+             / 100 / 7.0, 6) AS avg_yearly,
+       count(*) AS n_cheap_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23'
+  AND 5 * CAST(round(l_quantity * 100) AS BIGINT) < (
+        SELECT avg(CAST(round(l2.l_quantity * 100) AS BIGINT))
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
 """,
     "q_join_salted": """
 SELECT o_orderpriority, count(*) AS n_lines,

@@ -63,7 +63,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-word tokens, a BPE-ish regex count (letter runs / digit
     runs / other non-space marks), and the length/stopword-ratio
     heuristics of a C4/Gopher-style quality filter (ratio columns NULL
-    for token-less docs). One scan, all JVM expressions."""
+    for token-less docs). One scan, all JVM expressions. Standalone API
+    form; the same columns are hash-checked inside ``q_text_profile``
+    (registry capped at 50) with a parity test in
+    ``tests/test_unregistered_ops.py``."""
     d = _docs_tokens(spark, sf_dir)
     bpe_ish = F.size(
         F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
@@ -114,7 +117,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-list voting with a fixed tie order
-    (en > fr > es > de); emits per-language scores + the argmax."""
+    (en > fr > es > de); emits per-language scores + the argmax.
+    Standalone API form; the same expressions are hash-checked inside
+    ``q_text_profile`` (s_en rides as ``stop_hits``) with a parity test
+    in ``tests/test_unregistered_ops.py``."""
     d = _docs_tokens(spark, sf_dir)
     scores = {lang: stopword_hits(F.col("tokens"), ws) for lang, ws in STOPWORDS.items()}
     pred = (
@@ -132,6 +138,56 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document text profile: the token/quality counters of
+    ``q_token_count`` AND the stopword-vote language ID of ``q_lang_id``
+    in ONE scan (they tokenize the same column; fusing them freed a
+    registry slot for the correlated-subquery TPC-H shape, VERDICT r02
+    #8 — both standalone forms remain API surface with parity tests in
+    ``tests/test_unregistered_ops.py``)."""
+    d = _docs_tokens(spark, sf_dir)
+    bpe_ish = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+    )
+    n_tokens = F.size("tokens")
+    scores = {lang: stopword_hits(F.col("tokens"), ws) for lang, ws in STOPWORDS.items()}
+    stop_hits = scores["en"]
+    nonzero = n_tokens > 0
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["fr"] >= scores["es"]) & (scores["fr"] >= scores["de"]), "fr")
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        bpe_ish.alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_actual"),
+        stop_hits.alias("stop_hits"),
+        F.when(nonzero, F.round(stop_hits / n_tokens, 6)).alias("stopword_ratio"),
+        F.when(
+            nonzero,
+            F.round(
+                F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+                * (1 - stop_hits / n_tokens),
+                6,
+            ),
+        ).alias("quality"),
         scores["fr"].alias("s_fr"),
         scores["es"].alias("s_es"),
         scores["de"].alias("s_de"),
@@ -189,8 +245,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_QUERIES = {
     "q_text_analysis": q_text_analysis,
-    "q_token_count": q_token_count,
-    "q_lang_id": q_lang_id,
+    # q_token_count and q_lang_id are hash-checked INSIDE q_text_profile
+    # (same expressions, one scan) and pinned by direct parity tests —
+    # their slots fund q_tpch_q17 under the driver's 50-row cap.
+    "q_text_profile": q_text_profile,
     "q_doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -211,37 +269,28 @@ SELECT lang, token, n, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM agg
 ) WHERE rnk <= 10
 """,
-    "q_token_count": _SQL_TOKS
+    "q_text_profile": _SQL_TOKS
     + f"""
 , scored AS (
-  SELECT doc_id,
+  SELECT doc_id, toks.lang AS lang,
          CAST(len(tokens) AS INTEGER) AS n_tokens,
          CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INTEGER) AS n_bpe_ish,
          CAST(length(text) AS INTEGER) AS n_chars_actual,
-         CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS stop_hits
+         CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS stop_hits,
+         CAST(len(list_filter(tokens, t -> t IN ('{_FR}'))) AS INTEGER) AS s_fr,
+         CAST(len(list_filter(tokens, t -> t IN ('{_ES}'))) AS INTEGER) AS s_es,
+         CAST(len(list_filter(tokens, t -> t IN ('{_DE}'))) AS INTEGER) AS s_de
   FROM toks JOIN documents USING (doc_id)
 )
-SELECT doc_id, n_tokens, n_distinct, n_bpe_ish, n_chars_actual, stop_hits,
+SELECT doc_id, lang, n_tokens, n_distinct, n_bpe_ish, n_chars_actual, stop_hits,
        CASE WHEN n_tokens > 0
             THEN round(stop_hits * 1.0 / n_tokens, 6) END AS stopword_ratio,
        CASE WHEN n_tokens > 0
             THEN round(least(1.0, n_tokens / 100.0) * (1 - stop_hits * 1.0 / n_tokens), 6)
-       END AS quality
-FROM scored
-""",
-    "q_lang_id": _SQL_TOKS
-    + f"""
-, scored AS (
-  SELECT doc_id, lang,
-         CAST(len(list_filter(tokens, t -> t IN ('{_EN}'))) AS INTEGER) AS s_en,
-         CAST(len(list_filter(tokens, t -> t IN ('{_FR}'))) AS INTEGER) AS s_fr,
-         CAST(len(list_filter(tokens, t -> t IN ('{_ES}'))) AS INTEGER) AS s_es,
-         CAST(len(list_filter(tokens, t -> t IN ('{_DE}'))) AS INTEGER) AS s_de
-  FROM toks
-)
-SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
-       CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+       END AS quality,
+       s_fr, s_es, s_de,
+       CASE WHEN stop_hits >= s_fr AND stop_hits >= s_es AND stop_hits >= s_de THEN 'en'
             WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
             WHEN s_es >= s_de THEN 'es'
             ELSE 'de' END AS predicted_lang

@@ -142,3 +142,26 @@ def test_ivf_cell_count_grows_with_corpus(spark, sf_dir):
     # 10-label fixed quantizer and the count strictly grows
     assert small_cells > n_labels
     assert big_cells > small_cells
+
+
+def test_token_count_and_lang_id_match_fused_text_profile(spark, sf_dir):
+    """q_token_count and q_lang_id gave up their registry slots to the
+    fused q_text_profile (which funds q_tpch_q17); every column of both
+    standalone forms must equal its twin in the fused projection."""
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        q_lang_id,
+        q_text_profile,
+    )
+
+    fused = {r["doc_id"]: r for r in q_text_profile(spark, sf_dir).collect()}
+    for r in q_token_count(spark, sf_dir).collect():
+        f = fused[r["doc_id"]]
+        for c in ("n_tokens", "n_distinct", "n_bpe_ish", "n_chars_actual",
+                  "stop_hits", "stopword_ratio", "quality"):
+            assert r[c] == f[c], (r["doc_id"], c)
+    for r in q_lang_id(spark, sf_dir).collect():
+        f = fused[r["doc_id"]]
+        assert r["s_en"] == f["stop_hits"]  # en score rides as stop_hits
+        for c in ("lang", "s_fr", "s_es", "s_de", "predicted_lang"):
+            assert r[c] == f[c], (r["doc_id"], c)
+    assert len(fused) == len(q_token_count(spark, sf_dir).collect())
