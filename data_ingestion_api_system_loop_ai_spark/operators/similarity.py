@@ -149,6 +149,16 @@ def ivf_assign(e: DataFrame) -> DataFrame:
             F.col("v_norm").alias("vn"),
         )
     ).alias("b")
+    # the trailing repartition(cell) is a deliberate REUSE BARRIER (the
+    # _shingle_sets trick): every consumer reads this relation from
+    # several subtrees (centroid refinement + candidate scan; both pair
+    # sides of embedding dedup), and a shared Exchange lets AQE's
+    # runtime exchange reuse evaluate the n*k assignment crossJoin once
+    # instead of once per subtree. hash(cell) is also exactly the
+    # distribution the downstream cell equi-joins and per-cell scans
+    # want. (At sf0.1 the query is stage-latency-bound — 2000 vectors —
+    # so the barrier is time-neutral there; the duplicated-assignment
+    # work it removes grows with the corpus.)
     return (
         v.crossJoin(F.broadcast(seeds))
         .groupBy("vec_id")
@@ -159,6 +169,7 @@ def ivf_assign(e: DataFrame) -> DataFrame:
             F.col("b.vn").alias("v_norm"),
             F.col("b.cell").alias("cell"),
         )
+        .repartition(F.col("cell"))
     )
 
 
