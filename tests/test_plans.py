@@ -136,3 +136,18 @@ def test_no_query_uses_row_python_udfs(spark, sf_dir):
     for name in sorted(QUERIES):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q17_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must become a per-partkey
+    aggregate joined back (RewriteCorrelatedScalarSubquery) — never a
+    per-row re-scan — with the brand filter pushed into the part scan."""
+    plan = _plan(spark, sf_dir, "q_tpch_q17")
+    # decorrelated: exactly two lineitem scans (outer + aggregate), one
+    # part scan; a nested-loop form would show no partkey aggregate
+    assert plan.count("lineitem.parquet") == 2
+    assert plan.count("part.parquet") == 1
+    assert "EqualTo(p_brand,Brand#23)" in plan  # pushed to the scan
+    # the subquery became a grouped aggregate on the correlation key
+    assert "partial_avg" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

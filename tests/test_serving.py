@@ -150,3 +150,38 @@ def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(got) == 1 and got[0]["val"] == "updated"
     # lookup for a key hashing to a possibly-absent bucket still works
     assert table.lookup(spark, k="nope").count() == 0
+
+
+def test_crash_mid_commit_leaves_previous_version_live(spark, tmp_path):
+    """The atomicity claim, exercised: a version directory written but
+    never pointer-committed (a crash between the parquet write and the
+    os.replace) must be invisible to readers, and the next successful
+    upsert must supersede it cleanly."""
+    import shutil
+
+    table = ServingTable(
+        str(tmp_path / "crash"), key_cols=["k"], seq_col="seq", num_buckets=4
+    )
+    base = spark.createDataFrame(
+        [("a", 1, "v1"), ("b", 1, "v1")], "k string, seq int, val string"
+    )
+    table.upsert(base)
+    v_ok = table.latest_version()
+    rows_ok = sorted(map(str, table.current(spark).collect()))
+
+    # simulate the crash: write v_ok+1 (directory + manifest) but no
+    # pointer swap — copy the good version dir as a stand-in payload
+    orphan = os.path.join(table.path, f"v={v_ok + 1}")
+    shutil.copytree(os.path.join(table.path, f"v={v_ok}"), orphan)
+
+    # readers still see the committed version only
+    assert table.latest_version() == v_ok
+    assert sorted(map(str, table.current(spark).collect())) == rows_ok
+
+    # the next upsert claims the orphaned version number and commits over it
+    table.upsert(
+        spark.createDataFrame([("a", 2, "v2")], "k string, seq int, val string")
+    )
+    assert table.latest_version() == v_ok + 1
+    rows = {r["k"]: r["val"] for r in table.current(spark).collect()}
+    assert rows == {"a": "v2", "b": "v1"}
