@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -55,3 +56,28 @@ def coalesced_for_write(df: DataFrame, max_files: int) -> DataFrame:
     ``coalesce`` (narrow, no shuffle) — combine with AQE's coalescing
     for shuffle outputs."""
     return df.coalesce(max_files)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    records_per_file: int,
+    shuffle_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write evenly-sized parquet shards for a training data loader:
+    every file holds at most ``records_per_file`` rows
+    (``maxRecordsPerFile``), so loader workers get uniform work units
+    regardless of upstream partition skew.
+
+    ``shuffle_key`` additionally hash-repartitions on that column first
+    — a deterministic corpus 'shuffle' that breaks source ordering
+    (documents from one crawl/domain end up spread across shards, the
+    property batch samplers want) without any RNG. Leave it None to
+    keep the input order and pay no shuffle."""
+    out = df.repartition(F.col(shuffle_key)) if shuffle_key else df
+    (
+        out.write.option("maxRecordsPerFile", records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )

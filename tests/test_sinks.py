@@ -67,3 +67,31 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_training_shards_bound_records_per_file(spark, sf_dir, tmp_path):
+    """Every shard holds at most records_per_file rows, and the
+    shuffle_key spreads one source's docs across shards."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+    from data_ingestion_api_system_loop_ai_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, records_per_file=64, shuffle_key="doc_id")
+    files = glob.glob(out + "/*.parquet")
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert sum(sizes) == d.count()
+    assert max(sizes) <= 64
+    # a single source's documents are spread across multiple shards
+    src = d.groupBy("source").count().orderBy("count", ascending=False).first()["source"]
+    hit = sum(
+        1 for f in files
+        if pq.read_table(f, columns=["source"]).column("source").to_pylist().count(src) > 0
+    )
+    assert hit > 1

@@ -165,3 +165,51 @@ def test_token_count_and_lang_id_match_fused_text_profile(spark, sf_dir):
         for c in ("lang", "s_fr", "s_es", "s_de", "predicted_lang"):
             assert r[c] == f[c], (r["doc_id"], c)
     assert len(fused) == len(q_token_count(spark, sf_dir).collect())
+
+
+def test_deterministic_split_is_stable_and_disjoint(spark, sf_dir):
+    """Training splits must be deterministic, disjoint, key-stable under
+    corpus growth, and reproducible by the portable-hash formula in any
+    engine (checked against DuckDB)."""
+    import duckdb
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    splits = deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    ids = {k: {r["doc_id"] for r in v.select("doc_id").collect()} for k, v in splits.items()}
+    n = d.count()
+    assert sum(len(v) for v in ids.values()) == n  # fractions cover 1.0
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
+    assert not (ids["val"] & ids["test"])
+    assert 0.7 * n < len(ids["train"]) < 0.9 * n  # roughly the asked fraction
+
+    # key-stable: the same docs stay in val when the corpus doubles
+    bigger = d.unionByName(
+        d.withColumn("doc_id", d.doc_id + 1_000_000)
+    )
+    ids2 = {
+        r["doc_id"]
+        for r in deterministic_split(
+            bigger, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )["val"].select("doc_id").collect()
+    }
+    assert ids["val"] == {i for i in ids2 if i < 1_000_000}
+
+    # engine-portable: DuckDB reproduces the sample exactly
+    samp = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.1).select("doc_id").collect()}
+    con = duckdb.connect()
+    duck = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 1000"
+        ).fetchall()
+    }
+    assert samp == duck
