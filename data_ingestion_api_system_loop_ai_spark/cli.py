@@ -74,6 +74,17 @@ def cmd_status(args) -> int:
     from .operators.pipeline import status_response
 
     spark = _spark("cli-status")
+    if getattr(args, "store", None):
+        # live read path: serve from the streaming-maintained store
+        # (the reference reads ingestionStore per request); the batch
+        # closed-form below is the deterministic twin
+        from .streaming.live import status_response_from_store
+        from .streaming.serving import ServingTable
+
+        table = ServingTable(args.store, key_cols=["batch_id"], seq_col="drain_seq")
+        body = status_response_from_store(spark, table, args.request_id)
+        print(body)
+        return 0 if "Ingestion ID not found" not in body else 1
     rows = status_response(spark, args.sf_dir, args.request_id).collect()
     if not rows:
         # exact reference 404 body: trailing period, compact separators
@@ -142,6 +153,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps = sub.add_parser("status")
     ps.add_argument("request_id")
     ps.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ps.add_argument(
+        "--store",
+        help="serve from a streaming-maintained serving table directory "
+        "instead of the deterministic batch pipeline",
+    )
     ps.set_defaults(fn=cmd_status)
 
     pi = sub.add_parser("ingest")

@@ -242,6 +242,7 @@ _DRAIN_OUTPUT = StructType(
         StructField("batch_index", IntegerType()),
         StructField("status", StringType()),
         StructField("n_pending_after", IntegerType()),
+        StructField("ids", ArrayType(LongType())),
     ]
 )
 
@@ -407,6 +408,7 @@ def _drain_one(key, pdf_iter, state: GroupState, timeout_ms: int | None = None):
                     "created_at_ms": int(row.created_at_ms),
                     "batch_index": int(row.batch_index),
                     "request_key": key_num,
+                    "ids": [int(x) for x in row.batch_ids],
                 }
             )
     pending.sort(
@@ -434,6 +436,7 @@ def _drain_one(key, pdf_iter, state: GroupState, timeout_ms: int | None = None):
                 job["batch_index"],
                 "completed",
                 len(pending),
+                job.get("ids") or [],
             )
         )
     state.update((seq, [json.dumps(j) for j in pending], bytes(bloom)))
@@ -450,6 +453,7 @@ def _drain_one(key, pdf_iter, state: GroupState, timeout_ms: int | None = None):
             "batch_index",
             "status",
             "n_pending_after",
+            "ids",
         ],
     )
 
@@ -540,6 +544,72 @@ def live_drain_query(
         .start()
     )
     return q, name
+
+
+def register_requests_sink(requests: DataFrame, table, checkpoint: str):
+    """The ``POST /ingest`` store write (reference
+    ``ingestController.js:21-27``): every chunked batch lands in the
+    serving table as ``yet_to_start`` with ``drain_seq`` 0, so the
+    table holds CURRENT status for every batch — started or not. Drain
+    rows carry ``drain_seq >= 1`` and win the serving table's
+    max-seq-per-key merge, so registration can never overwrite a
+    completed status even when micro-batches replay out of order."""
+    from .serving import attach_serving_sink
+
+    jobs = chunk_requests(requests).select(
+        F.lit("0").alias("queue"),
+        F.lit(0).cast("long").alias("drain_seq"),
+        "batch_id",
+        "request_id",
+        "priority",
+        "batch_index",
+        F.lit("yet_to_start").alias("status"),
+        F.lit(None).cast("int").alias("n_pending_after"),
+        F.col("batch_ids").alias("ids"),
+    )
+    return attach_serving_sink(jobs, table, checkpoint)
+
+
+def status_response_from_store(spark, table, request_id: str) -> str:
+    """``GET /ingest/status/:id`` served FROM THE STORE — the
+    reference's actual read pattern (``ingestController.js:35-55``
+    reads ``ingestionStore``), against the serving table the streaming
+    layer maintains. Returns the byte-exact 200 body (batches in
+    batch_index order, overall status by the reference rollup) or the
+    exact 404 body when the id is unknown. The batch pipeline's
+    ``status_response`` is the deterministic closed-form twin; this is
+    the live path."""
+    from ..operators.pipeline import _overall_status_agg
+
+    cur = table.current(spark)
+    not_found = json.dumps({"error": "Ingestion ID not found."}, separators=(",", ":"))
+    if cur is None:
+        return not_found
+    mine = cur.filter(F.col("request_id") == F.lit(request_id))
+    batches_arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "batch_index",
+                    F.struct("batch_id", "ids", "status").alias("b"),
+                )
+            )
+        ),
+        lambda s: s["b"],
+    )
+    rows = (
+        mine.groupBy("request_id")
+        .agg(_overall_status_agg().alias("status"), batches_arr.alias("batches"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("request_id").alias("ingestion_id"), "status", "batches"
+                )
+            ).alias("response")
+        )
+        .collect()
+    )
+    return rows[0]["response"] if rows else not_found
 
 
 STREAMING_QUERIES = {"q_streaming_exec_tumbling": q_streaming_exec_tumbling}

@@ -185,3 +185,66 @@ def test_crash_mid_commit_leaves_previous_version_live(spark, tmp_path):
     assert table.latest_version() == v_ok + 1
     rows = {r["k"]: r["val"] for r in table.current(spark).collect()}
     assert rows == {"a": "v2", "b": "v1"}
+
+
+def test_status_served_from_store_matches_reference_body(spark, tmp_path):
+    """GET /ingest/status/:id against the serving table: registration
+    writes every batch as yet_to_start (seq 0), drain upserts win, and
+    the body is the reference's exact shape — batches in index order,
+    overall status by the reference rollup, exact 404 for unknown ids."""
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        register_requests_sink,
+        status_response_from_store,
+    )
+
+    req_dir = tmp_path / "reqs_store"
+    req_dir.mkdir()
+    low = {"request_id": "7", "priority": "LOW", "created_at_ms": 1000,
+           "ids": [1, 2, 3, 4, 5, 6, 7]}  # 3 batches
+    high = {"request_id": "8", "priority": "HIGH", "created_at_ms": 2000,
+            "ids": [10, 11]}  # 1 batch
+    t0 = 1_700_000_000
+    _write_requests(str(req_dir / "f1.json"), [low], t0)
+    _write_requests(str(req_dir / "f2.json"), [high], t0 + 10)
+    table = ServingTable(
+        str(tmp_path / "store"), key_cols=["batch_id"], seq_col="drain_seq"
+    )
+    schema = requests_json_stream(spark, str(req_dir)).schema
+    # registration pass: all 4 batches land as yet_to_start
+    register_requests_sink(
+        requests_json_stream(spark, str(req_dir)),
+        table,
+        checkpoint=str(tmp_path / "ckpt_reg"),
+    ).awaitTermination()
+    # drain pass: two triggers -> low-0 then high-0 completed
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(req_dir))
+    )
+    attach_serving_sink(
+        live_priority_drain(stream),
+        table,
+        checkpoint=str(tmp_path / "ckpt_drain"),
+    ).awaitTermination()
+
+    body = json.loads(status_response_from_store(spark, table, "7"))
+    assert list(body) == ["ingestion_id", "status", "batches"]
+    assert body["ingestion_id"] == "7"
+    assert body["status"] == "triggered"  # mixed completed/yet_to_start
+    assert [b["status"] for b in body["batches"]] == [
+        "completed", "yet_to_start", "yet_to_start",
+    ]
+    assert [b["ids"] for b in body["batches"]] == [[1, 2, 3], [4, 5, 6], [7]]
+    assert [list(b) for b in body["batches"]] == [["batch_id", "ids", "status"]] * 3
+
+    done = json.loads(status_response_from_store(spark, table, "8"))
+    assert done["status"] == "completed"
+    assert done["batches"] == [
+        {"batch_id": "8-0", "ids": [10, 11], "status": "completed"}
+    ]
+    # exact reference 404 body
+    assert (
+        status_response_from_store(spark, table, "nope")
+        == '{"error":"Ingestion ID not found."}'
+    )
