@@ -553,7 +553,13 @@ def register_requests_sink(requests: DataFrame, table, checkpoint: str):
     table holds CURRENT status for every batch — started or not. Drain
     rows carry ``drain_seq >= 1`` and win the serving table's
     max-seq-per-key merge, so registration can never overwrite a
-    completed status even when micro-batches replay out of order."""
+    completed status even when micro-batches replay out of order.
+
+    Status-store convention: create the table with
+    ``bucket_cols=["request_id"]`` (keys stay per-batch) so every batch
+    of one request lands in ONE bucket directory and a status read is
+    O(bucket); the table pins this configuration on disk at first
+    commit, so later readers inherit it automatically."""
     from .serving import attach_serving_sink
 
     jobs = chunk_requests(requests).select(
@@ -581,11 +587,12 @@ def status_response_from_store(spark, table, request_id: str) -> str:
     the live path."""
     from ..operators.pipeline import _overall_status_agg
 
-    cur = table.current(spark)
     not_found = json.dumps({"error": "Ingestion ID not found."}, separators=(",", ":"))
-    if cur is None:
+    # lookup prunes to ONE bucket directory when the table buckets by
+    # request_id (the status-store convention set by the ingest sinks)
+    mine = table.lookup(spark, request_id=request_id)
+    if mine is None:
         return not_found
-    mine = cur.filter(F.col("request_id") == F.lit(request_id))
     batches_arr = F.transform(
         F.array_sort(
             F.collect_list(

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
+_CONFIG = "_TABLE_CONFIG.json"
 # partition-directory column; NOT underscore-prefixed because Spark's
 # file listing treats `_*` directories as hidden and would skip them
 BUCKET_COL = "bucket"
@@ -63,13 +64,51 @@ class ServingTable:
         seq_col: str,
         keep_versions: int = 3,
         num_buckets: int = 16,
+        bucket_cols: list[str] | None = None,
     ) -> None:
+        """``key_cols`` identify a row for the max-seq merge;
+        ``bucket_cols`` (default: the key) choose the PLACEMENT hash.
+        Bucketing by an access-pattern prefix of the key — e.g. rows
+        keyed by batch_id but bucketed by request_id — co-locates every
+        row a read will want in ONE bucket directory, so the read is
+        O(bucket) without a secondary index. ``bucket_cols`` must be a
+        function of the row (present in every upserted batch)."""
         self.path = path
         self.key_cols = list(key_cols)
         self.seq_col = seq_col
         self.keep_versions = keep_versions
         self.num_buckets = num_buckets
+        self.bucket_cols = list(bucket_cols) if bucket_cols else self.key_cols
         os.makedirs(path, exist_ok=True)
+        # placement parameters are PINNED on first commit: a reader (or
+        # a restarted writer) opening an existing table inherits the
+        # on-disk key/bucket/seq configuration — a mismatched guess
+        # would prune lookups to the wrong bucket or split merge keys
+        try:
+            with open(os.path.join(path, _CONFIG)) as f:
+                cfg = json.load(f)
+            self.key_cols = cfg["key_cols"]
+            self.seq_col = cfg["seq_col"]
+            self.num_buckets = cfg["num_buckets"]
+            self.bucket_cols = cfg["bucket_cols"]
+        except FileNotFoundError:
+            pass
+
+    def _save_config(self) -> None:
+        cfg_path = os.path.join(self.path, _CONFIG)
+        if not os.path.exists(cfg_path):
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "key_cols": self.key_cols,
+                        "seq_col": self.seq_col,
+                        "num_buckets": self.num_buckets,
+                        "bucket_cols": self.bucket_cols,
+                    },
+                    f,
+                )
+            os.replace(tmp, cfg_path)
 
     # -- commit protocol ---------------------------------------------------
 
@@ -111,7 +150,7 @@ class ServingTable:
 
     def _bucket_expr(self):
         return F.pmod(
-            F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)
+            F.hash(*[F.col(c) for c in self.bucket_cols]), F.lit(self.num_buckets)
         )
 
     def _vacuum(self, current: int) -> None:
@@ -145,21 +184,21 @@ class ServingTable:
         return spark.read.parquet(*paths)
 
     def lookup(self, spark: SparkSession, **key_values) -> DataFrame | None:
-        """Point lookup. When every key column is given, only the ONE
-        bucket directory the key hashes to is read — O(bucket), not
-        O(table)."""
+        """Point lookup by arbitrary column equalities. When every
+        BUCKET column is given, only the ONE bucket directory those
+        values hash to is read — O(bucket), not O(table)."""
         v = self.latest_version()
         if v < 0:
             return None
         manifest = self._manifest(v) or {}
         if not manifest:
             return None
-        if set(self.key_cols) <= set(key_values):
+        if set(self.bucket_cols) <= set(key_values):
             b = (
                 spark.range(1)
                 .select(
                     F.pmod(
-                        F.hash(*[F.lit(key_values[c]) for c in self.key_cols]),
+                        F.hash(*[F.lit(key_values[c]) for c in self.bucket_cols]),
                         F.lit(self.num_buckets),
                     ).alias("b")
                 )
@@ -226,6 +265,7 @@ class ServingTable:
         )
         new_manifest = {**manifest, **{int(b): next_v for b in touched}}
         self._write_manifest(next_v, new_manifest)
+        self._save_config()
         self._commit(next_v)
         self._vacuum(next_v)
         return next_v

@@ -207,7 +207,10 @@ def test_status_served_from_store_matches_reference_body(spark, tmp_path):
     _write_requests(str(req_dir / "f1.json"), [low], t0)
     _write_requests(str(req_dir / "f2.json"), [high], t0 + 10)
     table = ServingTable(
-        str(tmp_path / "store"), key_cols=["batch_id"], seq_col="drain_seq"
+        str(tmp_path / "store"),
+        key_cols=["batch_id"],
+        seq_col="drain_seq",
+        bucket_cols=["request_id"],  # status-store convention: O(bucket) reads
     )
     schema = requests_json_stream(spark, str(req_dir)).schema
     # registration pass: all 4 batches land as yet_to_start
@@ -248,3 +251,22 @@ def test_status_served_from_store_matches_reference_body(spark, tmp_path):
         status_response_from_store(spark, table, "nope")
         == '{"error":"Ingestion ID not found."}'
     )
+    # bucketing by request_id co-located all of request 7's batches:
+    # its three rows share one bucket value in the on-disk layout
+    from pyspark.sql import functions as F2
+
+    n_buckets_req7 = (
+        table.current(spark)
+        .filter(F2.col("request_id") == "7")
+        .select(F2.pmod(F2.hash("request_id"), F2.lit(table.num_buckets)))
+        .distinct()
+        .count()
+    )
+    assert n_buckets_req7 == 1
+    # the placement config is pinned on disk: a reader opening the
+    # table with only key/seq still prunes by request_id
+    reopened = ServingTable(
+        table.path, key_cols=["batch_id"], seq_col="drain_seq"
+    )
+    assert reopened.bucket_cols == ["request_id"]
+    assert len(reopened.lookup(spark, request_id="8").collect()) == 1
