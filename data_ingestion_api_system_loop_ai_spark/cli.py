@@ -121,6 +121,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_health(args) -> int:
+    """The reference's liveness surface (``src/app.js:11-13``: GET /
+    -> "Data Ingestion API is running!"; error middleware
+    ``src/app.js:15-18`` -> 500 "Something broke!"). Health here means
+    the engine can actually serve: the registry is intact and a Spark
+    session answers a trivial query."""
+    try:
+        if len(QUERIES) != 50:
+            raise RuntimeError(f"registry degraded: {len(QUERIES)} slots")
+        spark = _spark("cli-health")
+        assert spark.range(1).count() == 1
+        print("Data Ingestion API is running!")
+        return 0
+    except Exception as exc:  # the reference's 500 arm
+        print(f"error: {exc}", file=sys.stderr)
+        print("Something broke!")
+        return 1
+
+
 def cmd_ingest(args) -> int:
     from .operators.pipeline import ingest_responses
 
@@ -163,6 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("ingest")
     pi.add_argument("path", help="JSON-lines file of {ids, priority} requests")
     pi.set_defaults(fn=cmd_ingest)
+
+    sub.add_parser("health").set_defaults(fn=cmd_health)
 
     pc = sub.add_parser("compact")
     pc.add_argument("src")

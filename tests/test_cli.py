@@ -97,3 +97,48 @@ def test_cli_ingest_emits_reference_bodies(spark, tmp_path, capsys):
     assert lines[2] == prio_err  # invalid priority enum
     assert lines[3] == prio_err  # missing priority
     assert lines[4] == ids_err  # malformed JSON -> null fields
+
+
+def test_cli_health_is_reference_exact(spark, capsys):
+    """A13: the reference's liveness body, byte-exact (src/app.js:11-13),
+    backed by a real engine check (registry intact + live session)."""
+    assert main(["health"]) == 0
+    assert capsys.readouterr().out == "Data Ingestion API is running!\n"
+
+
+def test_cli_status_from_store(spark, tmp_path, capsys):
+    """The --store read path end to end through the CLI."""
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        register_requests_sink,
+        requests_json_stream,
+    )
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    req_dir = tmp_path / "cli_store_reqs"
+    req_dir.mkdir()
+    (req_dir / "f1.json").write_text(
+        json.dumps({"request_id": "42", "priority": "HIGH",
+                    "created_at_ms": 1000, "ids": [1, 2, 3, 4]}) + "\n"
+    )
+    table = ServingTable(
+        str(tmp_path / "cli_store"),
+        key_cols=["batch_id"],
+        seq_col="drain_seq",
+        bucket_cols=["request_id"],
+    )
+    register_requests_sink(
+        requests_json_stream(spark, str(req_dir)),
+        table,
+        checkpoint=str(tmp_path / "cli_store_ckpt"),
+    ).awaitTermination()
+
+    assert main(["status", "42", "--store", table.path]) == 0
+    body = json.loads(capsys.readouterr().out)
+    assert body["ingestion_id"] == "42"
+    assert body["status"] == "yet_to_start"  # registered, nothing drained
+    assert [b["ids"] for b in body["batches"]] == [[1, 2, 3], [4]]
+
+    assert main(["status", "nope", "--store", table.path]) == 1
+    assert capsys.readouterr().out.strip() == '{"error":"Ingestion ID not found."}'
