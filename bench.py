@@ -43,7 +43,7 @@ HEADLINE = [
     "q_similarity_topk",
     "q_similarity_ivf",
     "q_text_analysis",
-    "q_doc_fingerprint",
+    "q_sequence_pack",
     "q_sessionize",
     "q_asof_join",
     "q_stream_sliding",

@@ -1,0 +1,151 @@
+"""Sequence packing for LLM training-data pipelines.
+
+A training run consumes fixed-length token sequences, but a corpus is
+variable-length documents. The standard remedy (the GPT/T5 data
+pipeline's "concat and chunk") is: order the documents, lay their
+tokens end to end, and cut the stream every ``PACK_BUDGET`` tokens —
+no padding waste, documents may span a cut (the loader masks attention
+across the seam). This module computes that layout as a DataFrame: for
+every document, which pack it starts in, at which offset, and whether
+it crosses a pack boundary. A data loader can then assemble pack ``p``
+by reading exactly the docs with ``pack_seq in (p-1, p)`` — no
+second pass over the text.
+
+Scale design (the reason this is NOT a global sort + single window):
+
+- Documents are hash-sharded by an engine-portable md5 slot (same
+  construction as ``operators/sampling.py`` and the MinHash family, so
+  any engine reproduces the layout bit-for-bit). Each shard is an
+  independent token stream with its own running offset — the window
+  below partitions by ``shard``, so a 1000-executor cluster runs 1000+
+  windows in parallel and the only shuffle is the hash exchange into
+  shards. A single global stream would serialize 100 TB through one
+  running-sum partition.
+- Within a shard the order is ``doc_id`` — deterministic and stable
+  under corpus growth *within* a snapshot (packing is per-corpus-
+  version by nature: inserting a document necessarily re-cuts the
+  stream after it, which is why real pipelines pack once per training
+  data release).
+- The running sum is a streaming frame (``rows unbounded preceding``)
+  — Spark evaluates it in one pass per shard without materializing
+  the frame.
+
+The reference has no training surface (it is an ingestion API); this
+module belongs to the mandated LLM-pipeline extension tier, next to
+``operators/sampling.py``'s split assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.text import sql_tokens, tokenize
+from ..sources.loader import load_table
+
+# Test-scale constants; at cluster scale NSHARDS tracks executor count
+# (each shard is one loader worker's stream) and PACK_BUDGET is the
+# model's sequence length.
+NSHARDS = 8
+PACK_BUDGET = 512
+
+
+def portable_shard(key: Column, nshards: int) -> Column:
+    """Engine-portable shard in [0, nshards): first 8 md5 hex chars of
+    the key's string form, as an integer, mod the shard count. DuckDB
+    twin: ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT %
+    nshards``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % nshards
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int = PACK_BUDGET,
+    nshards: int = NSHARDS,
+) -> DataFrame:
+    """Concat-and-chunk layout over any (key, token_count) relation.
+
+    Returns one row per input row (empty rows — zero tokens — are
+    dropped; they contribute nothing to the stream) with:
+
+    - ``shard``         hash shard = independent token stream
+    - ``seq_in_shard``  position of the doc within its stream
+    - ``start_off``     first-token offset of the doc in the stream
+    - ``pack_seq``      the pack (chunk of ``budget`` tokens) the doc
+                        STARTS in, numbered per shard
+    - ``crosses_boundary``  true when the doc's tokens span a pack cut
+                        (the loader masks attention across it)
+
+    One shuffle (hash into shards), one streaming window per shard.
+    """
+    key, toks = F.col(key_col), F.col(tokens_col)
+    sharded = df.filter(toks > 0).select(
+        key_col,
+        toks.cast("long").alias("n_tokens"),
+        portable_shard(key, nshards).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy(key_col)
+    run = (
+        W.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(run)
+    start = (cum - F.col("n_tokens")).alias("start_off")
+    return sharded.select(
+        key_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq_in_shard"),
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("pack_seq"),
+        (F.floor((cum - 1) / budget) != F.floor((cum - F.col("n_tokens")) / budget))
+        .alias("crosses_boundary"),
+    )
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pack the ``documents`` corpus: tokenize (the portable
+    word tokenizer shared with the text-analysis family), then lay out
+    each shard's token stream into ``PACK_BUDGET``-token packs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_toks")
+    )
+    return pack_assignments(docs, "doc_id", "n_toks")
+
+
+PACKING_QUERIES = {
+    "q_sequence_pack": q_sequence_pack,
+}
+
+PACKING_ORACLES = {
+    "q_sequence_pack": f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {NSHARDS} AS BIGINT) AS shard
+  FROM documents
+  WHERE len({sql_tokens('text')}) > 0
+), laid AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(row_number() OVER w AS BIGINT) AS seq_in_shard,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum
+  FROM toks
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, shard, seq_in_shard, n_tokens,
+       cum - n_tokens AS start_off,
+       (cum - n_tokens) // {PACK_BUDGET} AS pack_seq,
+       ((cum - 1) // {PACK_BUDGET}) <> ((cum - n_tokens) // {PACK_BUDGET})
+         AS crosses_boundary
+FROM laid
+""",
+}

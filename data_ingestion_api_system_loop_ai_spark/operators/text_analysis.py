@@ -248,8 +248,11 @@ TEXT_QUERIES = {
     # q_token_count and q_lang_id are hash-checked INSIDE q_text_profile
     # (same expressions, one scan) and pinned by direct parity tests —
     # their slots fund q_tpch_q17 under the driver's 50-row cap.
+    # q_doc_fingerprint's slot funds q_sequence_pack: its SimHash
+    # subplan is still hash-checked inside q_dedup_simhash every round,
+    # and the full query keeps a direct DuckDB parity test
+    # (tests/test_unregistered_ops.py) against DOC_FINGERPRINT_ORACLE.
     "q_text_profile": q_text_profile,
-    "q_doc_fingerprint": q_doc_fingerprint,
 }
 
 _EN = "', '".join(STOPWORDS["en"])
@@ -296,7 +299,12 @@ SELECT doc_id, lang, n_tokens, n_distinct, n_bpe_ish, n_chars_actual, stop_hits,
             ELSE 'de' END AS predicted_lang
 FROM scored
 """,
-    "q_doc_fingerprint": sql_simhash_cte()
+}
+
+# Unregistered (slot funds q_sequence_pack) but still oracle-exact: the
+# direct parity test in tests/test_unregistered_ops.py runs this.
+DOC_FINGERPRINT_ORACLE = (
+    sql_simhash_cte()
     + """
 , fp AS (
   SELECT doc_id,
@@ -304,5 +312,5 @@ FROM scored
   FROM toks
 )
 SELECT fp.doc_id, fingerprint, simhash FROM fp JOIN sh ON fp.doc_id = sh.doc_id
-""",
-}
+"""
+)

@@ -213,3 +213,73 @@ def test_deterministic_split_is_stable_and_disjoint(spark, sf_dir):
         ).fetchall()
     }
     assert samp == duck
+
+
+def test_doc_fingerprint_oracle_exact(spark, sf_dir):
+    """q_doc_fingerprint left the registry (its slot funds
+    q_sequence_pack) but stays oracle-exact: same DuckDB comparison the
+    driver would run, plus its SimHash subplan is hash-checked inside
+    q_dedup_simhash every round."""
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        DOC_FINGERPRINT_ORACLE,
+        q_doc_fingerprint,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_doc_fingerprint(spark, sf_dir), con, DOC_FINGERPRINT_ORACLE)
+    finally:
+        con.close()
+
+
+def test_sequence_pack_layout_invariants(spark, sf_dir):
+    """The concat-and-chunk layout is a valid token stream per shard:
+    offsets are contiguous (each doc starts where the previous ended),
+    pack_seq is the budget-chunk of the start offset, and
+    crosses_boundary marks exactly the docs whose token span straddles
+    a cut."""
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        PACK_BUDGET,
+        q_sequence_pack,
+    )
+
+    rows = sorted(
+        q_sequence_pack(spark, sf_dir).collect(),
+        key=lambda r: (r["shard"], r["seq_in_shard"]),
+    )
+    assert rows
+    expect_off = {}
+    for r in rows:
+        assert r["start_off"] == expect_off.get(r["shard"], 0)
+        expect_off[r["shard"]] = r["start_off"] + r["n_tokens"]
+        assert r["pack_seq"] == r["start_off"] // PACK_BUDGET
+        end_pack = (r["start_off"] + r["n_tokens"] - 1) // PACK_BUDGET
+        assert r["crosses_boundary"] == (end_pack != r["pack_seq"])
+
+
+def test_pack_assignments_generic_relation(spark):
+    """The generic packer: tiny relation with a known layout — doc of
+    exactly budget tokens fills pack 0; next doc starts pack 1; a
+    3-token doc straddling the cut is flagged. One shard so the layout
+    is hand-checkable."""
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 3), (3, 9), (4, 0)], "k long, toks long"
+    )
+    out = {
+        r["k"]: r
+        for r in pack_assignments(
+            df, "k", "toks", budget=10, nshards=1
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # zero-token rows drop out
+    assert (out[1]["start_off"], out[1]["pack_seq"]) == (0, 0)
+    assert not out[1]["crosses_boundary"]  # exactly fills pack 0
+    assert (out[2]["start_off"], out[2]["pack_seq"]) == (10, 1)
+    assert (out[3]["start_off"], out[3]["pack_seq"]) == (13, 1)
+    assert out[3]["crosses_boundary"]  # tokens 13..21 straddle the cut at 20
