@@ -32,10 +32,7 @@ HEADLINE = [
     "q_join_broadcast",
     "q_scan_filter_project",
     "q_window_rank",
-    "q_topk_sort_limit",
     "q_rollup_cube",
-    "q_set_ops",
-    "q_scalar_funcs",
     "q_distinct_agg",
     "q_dedup_exact",
     "q_dedup_near",
@@ -48,7 +45,6 @@ HEADLINE = [
     "q_asof_join",
     "q_stream_sliding",
     "q_watermark_late",
-    "q_pivot_wide",
     "q_udf_surface",
     "q_tpch_q3",
     "q_tpch_q5",
@@ -66,6 +62,10 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_multimodal_meta",
     "q_media_pipeline",
+    "q_decontaminate",
+    "q_quality_filter",
+    "q_domain_mix",
+    "q_corpus_shuffle",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Repetition-based document quality filtering (Gopher-style rules).
+
+Web-scale corpora are dominated by boilerplate and degenerate
+repetition; the standard heuristics (the Gopher / MassiveText filter
+battery) score each document on repetition and shape statistics and
+drop the tail. This module computes the battery as pure JVM
+expressions — no Python in the hot path — and emits the per-doc
+verdict alongside the metrics so downstream stages can re-threshold
+without recomputing:
+
+- ``n_tokens``        word count
+- ``top_token_frac``  occurrences of the most frequent token / n_tokens
+                      (degenerate docs repeat one token)
+- ``dup_2gram_frac``  1 - distinct 2-grams / total 2-grams (with
+                      multiplicity — repeated phrasing)
+- ``mean_token_len``  characters per token (gibberish and markup skew
+                      this far from natural text)
+- ``keep``            the conjunction of the threshold rules
+
+Scale design: the per-token counting is ONE explode + two-stage
+aggregation (groupBy (doc, token) then groupBy doc) — map-side partial
+aggregation applies to both, and the shuffle key (doc_id, token) is
+near-unique so there is no skew; the 2-gram statistics never leave the
+row (array expressions inside whole-stage codegen). Thresholds are
+calibrated to the synthetic corpus (top_token_frac p90 ~= 0.14,
+dup_2gram_frac p90 ~= 0.065) so both verdicts occur; production values
+(Rae et al. 2021, table A1) differ only in the constants.
+
+The reference (an ingestion API) has no quality surface; this module
+belongs to the mandated LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokenize
+from ..sources.loader import load_table
+
+MIN_TOKENS = 10
+MAX_TOP_TOKEN_FRAC = 0.15
+MAX_DUP_2GRAM_FRAC = 0.05
+MIN_MEAN_TOKEN_LEN, MAX_MEAN_TOKEN_LEN = 3.0, 10.0
+
+
+def _grams2(tokens: Column) -> Column:
+    """2-grams WITH multiplicity (repetition is the signal — the
+    distinct form used by the dedup family would erase it). Guarded for
+    <2 tokens: Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]), so the
+    unguarded form would fabricate grams for empty docs."""
+    return F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i), F.element_at(tokens, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_profile(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition/shape metrics + keep verdict over any
+    (key, text) relation."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(key_col).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(_grams2(toks)).cast("long").alias("n_2grams"),
+        F.size(F.array_distinct(_grams2(toks))).cast("long").alias("n_2grams_d"),
+    )
+    counted = (
+        base.select("doc_id", F.explode("tokens").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.max("cnt").cast("long").alias("top_cnt"),
+            F.sum(F.col("cnt") * F.length("t")).cast("long").alias("tot_len"),
+        )
+    )
+    top_frac = F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+    dup2 = F.round(
+        1 - F.col("n_2grams_d") / F.greatest(F.col("n_2grams"), F.lit(1)), 6
+    )
+    mean_len = F.round(F.col("tot_len") / F.col("n_tokens"), 6)
+    return (
+        base.drop("tokens")
+        .join(counted, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup2.alias("dup_2gram_frac"),
+            mean_len.alias("mean_token_len"),
+            (
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (top_frac < MAX_TOP_TOKEN_FRAC)
+                & (dup2 < MAX_DUP_2GRAM_FRAC)
+                & mean_len.between(MIN_MEAN_TOKEN_LEN, MAX_MEAN_TOKEN_LEN)
+            ).alias("keep"),
+        )
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score the ``documents`` corpus. Docs with no tokens at
+    all drop out (inner join on the token aggregate): a token-less doc
+    is unkeepable by definition and the reference corpus has none."""
+    return quality_profile(load_table(spark, sf_dir, "documents"))
+
+
+_G2 = "tokens[i] || ' ' || tokens[i+1]"
+
+QUALITY_ORACLES = {
+    "q_quality_filter": f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tokens FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(greatest(len(tokens) - 1, 0) AS BIGINT) AS n_2grams,
+         CAST(len(list_distinct(list_transform(
+           range(1, greatest(len(tokens) - 1, 0) + 1), i -> {_G2})))
+           AS BIGINT) AS n_2grams_d
+  FROM toks
+),
+tok AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY doc_id, t),
+counted AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(max(cnt) AS BIGINT) AS top_cnt,
+         CAST(sum(cnt * len(t)) AS BIGINT) AS tot_len
+  FROM tc GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens,
+       round(top_cnt * 1.0 / n_tokens, 6) AS top_token_frac,
+       round(1 - n_2grams_d * 1.0 / greatest(n_2grams, 1), 6) AS dup_2gram_frac,
+       round(tot_len * 1.0 / n_tokens, 6) AS mean_token_len,
+       (n_tokens >= {MIN_TOKENS}
+        AND round(top_cnt * 1.0 / n_tokens, 6) < {MAX_TOP_TOKEN_FRAC}
+        AND round(1 - n_2grams_d * 1.0 / greatest(n_2grams, 1), 6)
+              < {MAX_DUP_2GRAM_FRAC}
+        AND round(tot_len * 1.0 / n_tokens, 6)
+              BETWEEN {MIN_MEAN_TOKEN_LEN} AND {MAX_MEAN_TOKEN_LEN}) AS keep
+FROM base JOIN counted ON base.doc_id = counted.doc_id
+""",
+}
+
+QUALITY_QUERIES = {
+    "q_quality_filter": q_quality_filter,
+}

@@ -408,3 +408,18 @@ SELECT event_id,
 FROM events
 """,
 }
+
+
+# Evicted from the driver's 50-slot registry to fund the LLM-pipeline
+# quartet (decontamination / quality filter / domain mix / corpus
+# shuffle). Still full API surface and still oracle-EXACT: the same
+# Spark-vs-DuckDB comparison the driver runs is pinned by
+# tests/test_unregistered_ops.py over these dicts.
+UNREGISTERED_RELATIONAL_QUERIES = {
+    n: RELATIONAL_QUERIES.pop(n)
+    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs")
+}
+UNREGISTERED_RELATIONAL_ORACLES = {
+    n: RELATIONAL_ORACLES.pop(n)
+    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs")
+}

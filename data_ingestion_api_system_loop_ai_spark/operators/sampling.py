@@ -87,3 +87,140 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     run and on every engine (unlike ``df.sample``, whose selection
     depends on partition layout and RNG seed plumbing)."""
     return deterministic_split(df, key, {"s": fraction})["s"]
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix resampling & deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+#
+# Two more layout decisions every training pipeline makes:
+#
+# - DOMAIN MIXING: the raw corpus's domain proportions are never the
+#   proportions you train on (The Pile / LLaMA-style mixture weights).
+#   ``domain_mix`` downsamples each domain to an integer-rational
+#   target fraction with a RANK-STRIDE rule: rows are ranked inside
+#   their domain by a seeded portable hash, and row ``r`` is kept iff
+#   ``floor(r*num/den) > floor((r-1)*num/den)`` — exactly
+#   ``floor(n*num/den)`` survivors per domain, evenly spread across the
+#   hash order (a hash-mod filter is lumpy at small n; integer
+#   arithmetic keeps both engines bit-identical, no float fractions).
+# - CORPUS SHUFFLE: SGD wants documents in pseudo-random order, and the
+#   order must be reproducible across reruns and engines. A seeded md5
+#   over the key IS the permutation; ranking by it with the two-phase
+#   ``global_row_number`` (prefix buckets = the first hash byte) gives
+#   every doc its global shuffle position without a single-partition
+#   sort — the same scale argument as ``plans/ranking.py``.
+
+from pyspark.sql import SparkSession
+from pyspark.sql.window import Window as W
+
+from ..plans.ranking import global_row_number
+from ..sources.loader import load_table
+
+# lang -> (num, den): downweight the dominant language, keep the rest.
+MIX_WEIGHTS: dict[str, tuple[int, int]] = {
+    "en": (7, 20),  # 0.35
+    "fr": (1, 1),
+    "es": (1, 1),
+    "de": (1, 1),
+    "zh": (4, 5),  # 0.80
+}
+SHUFFLE_SEED = 42
+
+
+def _seeded_hex(key: Column, seed: int | str) -> Column:
+    """Seeded engine-portable permutation key: md5 over ``seed:key``.
+    DuckDB twin: ``md5('<seed>:' || CAST(k AS VARCHAR))``."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+
+
+def _weight_col(
+    weights: dict[str, tuple[int, int]], domain_col: str, idx: int, default: int
+) -> Column:
+    """Literal map lookup: domain -> numerator (idx 0) / denominator
+    (idx 1) of its target fraction."""
+    pairs = F.create_map(
+        *[x for d, w in weights.items() for x in (F.lit(d), F.lit(w[idx]))]
+    )
+    return F.coalesce(pairs[F.col(domain_col)], F.lit(default))
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: dict[str, tuple[int, int]],
+    seed: int | str = SHUFFLE_SEED,
+    rank_col: str = "rank_in_domain",
+) -> DataFrame:
+    """Resample ``df`` to the target per-domain mixture. Domains absent
+    from ``weights`` are dropped (weight 0). One window shuffle keyed
+    by domain; the stride predicate is a projection. Keeps exactly
+    ``floor(n * num/den)`` rows per domain, evenly spread across the
+    seeded hash order. Products stay well under 2^53, so the floored
+    double division is integer-exact on every engine."""
+    h = _seeded_hex(F.col(key_col), seed)
+    w = W.partitionBy(domain_col).orderBy(h.asc(), F.col(key_col).asc())
+    ranked = df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    num = _weight_col(weights, domain_col, 0, 0)
+    den = _weight_col(weights, domain_col, 1, 1)
+    r = F.col(rank_col)
+    keep = F.floor(r * num / den) > F.floor((r - 1) * num / den)
+    return ranked.filter(keep)
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance ``documents`` to the target language mixture; emits the
+    surviving rows' identity plus their in-domain sample rank."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return domain_mix(docs, "lang", "doc_id", MIX_WEIGHTS, rank_col="rank_in_lang")
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for the corpus: seeded md5
+    permutation key, two-phase global rank (first hash byte = 256
+    prefix buckets), position is 1-based."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED).alias("h")
+    ).withColumn("b", F.substring("h", 1, 2))
+    return global_row_number(
+        keyed, ["b"], ["h", "doc_id"], rn_col="shuffle_pos"
+    ).select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+_MIX_CASE_NUM = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN {n}" for d, (n, _) in MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+_MIX_CASE_DEN = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN {den}" for d, (_, den) in MIX_WEIGHTS.items()
+) + " ELSE 1 END"
+
+SAMPLING_QUERIES = {
+    "q_domain_mix": q_domain_mix,
+    "q_corpus_shuffle": q_corpus_shuffle,
+}
+
+SAMPLING_ORACLES = {
+    "q_domain_mix": f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS r,
+         {_MIX_CASE_NUM} AS num, {_MIX_CASE_DEN} AS den
+  FROM documents
+)
+SELECT doc_id, lang, source, r AS rank_in_lang
+FROM ranked
+WHERE (r * num) // den > ((r - 1) * num) // den
+""",
+    "q_corpus_shuffle": f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+""",
+}

@@ -330,3 +330,10 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
 FROM events GROUP BY 1
 """,
 }
+
+
+# q_pivot_wide's slot funds the LLM-pipeline quartet (see
+# operators/sampling.py / quality.py / contamination.py); it keeps the
+# driver-grade DuckDB comparison via tests/test_unregistered_ops.py.
+UNREGISTERED_TIMESERIES_QUERIES = {"q_pivot_wide": TIMESERIES_QUERIES.pop("q_pivot_wide")}
+UNREGISTERED_TIMESERIES_ORACLES = {"q_pivot_wide": TIMESERIES_ORACLES.pop("q_pivot_wide")}

@@ -33,6 +33,9 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     (".operators.dedup", "DEDUP_QUERIES", "DEDUP_ORACLES"),
     (".operators.similarity", "SIMILARITY_QUERIES", "SIMILARITY_ORACLES"),
     (".operators.text_analysis", "TEXT_QUERIES", "TEXT_ORACLES"),
+    (".operators.quality", "QUALITY_QUERIES", "QUALITY_ORACLES"),
+    (".operators.contamination", "CONTAMINATION_QUERIES", "CONTAMINATION_ORACLES"),
+    (".operators.sampling", "SAMPLING_QUERIES", "SAMPLING_ORACLES"),
     (".operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
     (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
     (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),

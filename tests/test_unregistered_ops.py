@@ -7,6 +7,9 @@ unexercised."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
     q_media_features,
 )
@@ -283,3 +286,120 @@ def test_pack_assignments_generic_relation(spark):
     assert (out[2]["start_off"], out[2]["pack_seq"]) == (10, 1)
     assert (out[3]["start_off"], out[3]["pack_seq"]) == (13, 1)
     assert out[3]["crosses_boundary"]  # tokens 13..21 straddle the cut at 20
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_topk_sort_limit", "q_set_ops", "q_scalar_funcs", "q_pivot_wide"],
+)
+def test_evicted_relational_slots_stay_oracle_exact(name, spark, sf_dir):
+    """Round-3 slot swap: these four funded the LLM-pipeline quartet
+    (q_decontaminate / q_quality_filter / q_domain_mix /
+    q_corpus_shuffle) but keep the driver-grade DuckDB comparison."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+        UNREGISTERED_RELATIONAL_ORACLES,
+        UNREGISTERED_RELATIONAL_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        UNREGISTERED_TIMESERIES_ORACLES,
+        UNREGISTERED_TIMESERIES_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    queries = {**UNREGISTERED_RELATIONAL_QUERIES, **UNREGISTERED_TIMESERIES_QUERIES}
+    oracles = {**UNREGISTERED_RELATIONAL_ORACLES, **UNREGISTERED_TIMESERIES_ORACLES}
+    con = duckdb_con(sf_dir)
+    try:
+        compare(queries[name](spark, sf_dir), con, oracles[name])
+    finally:
+        con.close()
+
+
+def test_domain_mix_hits_exact_target_counts(spark, sf_dir):
+    """The rank-stride rule keeps exactly floor(n * num/den) rows per
+    domain — evenly spread, not hash-lumpy."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        MIX_WEIGHTS,
+        q_domain_mix,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in q_domain_mix(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, (num, den) in MIX_WEIGHTS.items():
+        assert got.get(lang, 0) == totals[lang] * num // den
+
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once and positions are 1..n with no
+    gaps; rerunning yields the identical order (seeded, not RNG)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_corpus_shuffle,
+    )
+
+    a = q_corpus_shuffle(spark, sf_dir).collect()
+    pos = sorted(r["shuffle_pos"] for r in a)
+    assert pos == list(range(1, len(a) + 1))
+    b = {r["doc_id"]: r["shuffle_pos"] for r in q_corpus_shuffle(spark, sf_dir).collect()}
+    assert {r["doc_id"]: r["shuffle_pos"] for r in a} == b
+
+
+def test_contamination_report_flags_planted_overlap(spark):
+    """A training doc sharing a 4-gram with an eval doc is flagged; a
+    disjoint doc is not; the eval doc itself is excluded from output."""
+    from data_ingestion_api_system_loop_ai_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains eval 4-gram
+            (2, "zeta eta theta iota kappa"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta omega")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination_report(train, ev).collect()}
+    assert out[1]["contaminated"] and out[1]["n_collisions"] == 1
+    assert out[1]["n_eval_docs"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_collisions"] == 0
+
+
+def test_quality_profile_flags_degenerate_repetition(spark):
+    """A doc that repeats one token fails top_token_frac; a doc that
+    loops one phrase fails dup_2gram_frac; varied text passes."""
+    from data_ingestion_api_system_loop_ai_spark.operators.quality import (
+        quality_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 50),
+            (2, "one two " * 30),
+            (
+                3,
+                "the quick brown fox jumps over a lazy dog while many other "
+                "animals watch from nearby hills and some birds sing songs",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_profile(docs).collect()}
+    assert not out[1]["keep"] and out[1]["top_token_frac"] == 1.0
+    assert not out[2]["keep"] and out[2]["dup_2gram_frac"] > 0.9
+    assert out[3]["keep"]
