@@ -112,9 +112,8 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
 #   sort — the same scale argument as ``plans/ranking.py``.
 
 from pyspark.sql import SparkSession
-from pyspark.sql.window import Window as W
 
-from ..plans.ranking import global_row_number
+from ..plans.ranking import global_row_number, grouped_row_number
 from ..sources.loader import load_table
 
 # lang -> (num, den): downweight the dominant language, keep the rest.
@@ -160,8 +159,17 @@ def domain_mix(
     seeded hash order. Products stay well under 2^53, so the floored
     double division is integer-exact on every engine."""
     h = _seeded_hex(F.col(key_col), seed)
-    w = W.partitionBy(domain_col).orderBy(h.asc(), F.col(key_col).asc())
-    ranked = df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    # two-phase per-domain rank: a domain can be arbitrarily large at
+    # corpus scale, so the rank runs over (domain, hash-prefix bucket)
+    # partitions — 256 parallel windows per domain — with per-domain
+    # prefix offsets broadcast back (plans/ranking.grouped_row_number),
+    # never one window partition per domain. The first hash byte is a
+    # leading prefix of the hash order, so the rank equals the plain
+    # ORDER BY hash rank bit-for-bit.
+    keyed = df.withColumn("_h", h).withColumn("_hb", F.substring("_h", 1, 2))
+    ranked = grouped_row_number(
+        keyed, [domain_col], ["_hb"], ["_h", key_col], rn_col=rank_col
+    ).drop("_h", "_hb")
     num = _weight_col(weights, domain_col, 0, 0)
     den = _weight_col(weights, domain_col, 1, 1)
     r = F.col(rank_col)

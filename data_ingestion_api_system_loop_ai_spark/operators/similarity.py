@@ -355,3 +355,182 @@ SELECT query_id, cell, neighbor_id, cosine, rnk FROM (
 ) WHERE rnk <= {IVF_TOPK}
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-vectors) ANN variant
+# ---------------------------------------------------------------------------
+#
+# The third member of the ANN family (exact brute force = correctness
+# baseline; IVF = trained-quantizer scale path): HYPERPLANE LSH needs
+# no training pass at all — each vector's signature is the sign pattern
+# of its dot products with NPLANES fixed pseudo-random hyperplanes
+# (Charikar's SimHash for cosine similarity), and candidates are pairs
+# agreeing on ALL bits of at least one band (banding identical to the
+# MinHash family). Properties vs IVF: zero training cost, signatures
+# are a pure per-row projection (no shuffle until the band join), and
+# the collision probability has the closed form (1 - theta/pi)^R per
+# band — but it cannot adapt to data geometry the way a trained
+# quantizer does. At 100 TB you pick per workload; the engine offers
+# both.
+#
+# Hyperplane components are DERIVED, not drawn: component i of plane p
+# is md5("rp:<p>:<i>") -> first 8 hex chars -> uniform in [0,1) -> -0.5
+# (symmetric around zero; sign-hashing needs only symmetry, not
+# gaussianity). The doubles are computed once in Python below and
+# embedded as literals in BOTH the Spark plan and the DuckDB oracle, so
+# the scheme is engine-portable and has no RNG state anywhere.
+
+import hashlib
+
+RP_NPLANES = 16
+RP_BANDS = 4
+RP_R = RP_NPLANES // RP_BANDS  # bits per band
+RP_DIM = 64  # embeddings table dimension
+RP_TOPK = 5
+
+
+def _rp_component(p: int, i: int) -> float:
+    h = hashlib.md5(f"rp:{p}:{i}".encode()).hexdigest()[:8]
+    return int(h, 16) / 2**32 - 0.5
+
+
+RP_PLANES: list[list[float]] = [
+    [_rp_component(p, i) for i in range(RP_DIM)] for p in range(RP_NPLANES)
+]
+
+
+def _rp_bit(emb: str, p: int) -> Column:
+    plane = F.array(*[F.lit(x) for x in RP_PLANES[p]])
+    dp = F.aggregate(
+        F.zip_with(emb, plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (dp > 0).cast("int")
+
+
+def rplsh_signatures(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, v_norm, band, key): one row per (vector,
+    band), key = the band's R sign bits as a string. A pure projection
+    + explode — the hyperplane constants live in the plan."""
+    bits = [_rp_bit("embedding", p).alias(f"_b{p}") for p in range(RP_NPLANES)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"_b{b * RP_R + j}").cast("string") for j in range(RP_R)]
+            ).alias("key"),
+        )
+        for b in range(RP_BANDS)
+    ]
+    return (
+        e.select(
+            "vec_id", "embedding", norm_expr("embedding").alias("v_norm"), *bits
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "v_norm",
+            F.explode(F.array(*band_structs)).alias("bk"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "v_norm",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+
+
+def q_similarity_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH cosine top-5: queries (every 100th vector) meet
+    candidates through the (band, key) equi-join — the query side is
+    tiny and broadcast, so the big side never shuffles for the probe —
+    then exact cosine ranks the (deduplicated) candidates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = rplsh_signatures(e)
+    q = sig.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "band",
+        "key",
+    )
+    cand = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+        "band",
+        "key",
+    )
+    pairs = (
+        cand.join(F.broadcast(q), ["band", "key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "q_norm", "c_emb", "c_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RP_TOPK)
+    )
+
+
+def _rp_plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in RP_PLANES[p]) + "]"
+
+
+_RP_BITS_SQL = ", ".join(
+    f"CAST(list_sum(list_transform(range(1, {RP_DIM}+1),"
+    f" i -> CAST(embedding[i] AS DOUBLE) * ({_rp_plane_sql(p)})[i])) > 0"
+    f" AS INTEGER) AS b{p}"
+    for p in range(RP_NPLANES)
+)
+_RP_BANDS_SQL = "\n  UNION ALL ".join(
+    "SELECT vec_id, {b} AS band, ".format(b=b)
+    + " || ".join(f"CAST(b{b * RP_R + j} AS VARCHAR)" for j in range(RP_R))
+    + " AS key FROM bits"
+    for b in range(RP_BANDS)
+)
+
+# Oracle for the unregistered q_similarity_rplsh (driver-grade parity
+# via tests/test_unregistered_ops.py; the registry is at its 50-slot cap).
+SIMILARITY_RPLSH_ORACLE = f"""
+WITH bits AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS v_norm,
+         {_RP_BITS_SQL}
+  FROM embeddings
+),
+banded AS (
+  {_RP_BANDS_SQL}
+),
+q AS (SELECT * FROM banded WHERE vec_id % 100 = 0),
+cand_pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM q JOIN banded c ON q.band = c.band AND q.key = c.key
+  WHERE c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round({_DOT.format(a='qb.embedding', b='cb.embedding')}
+               / (qb.v_norm * cb.v_norm), 6) AS cosine
+  FROM cand_pairs p
+  JOIN bits qb ON qb.vec_id = p.query_id
+  JOIN bits cb ON cb.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {RP_TOPK}
+"""

@@ -74,6 +74,52 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    bucket_keys: Sequence[str],
+    order_keys: Sequence[str],
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Contiguous 1-based row number WITHIN each group, in
+    ``ORDER BY bucket_keys, order_keys`` group-locally — without moving
+    a whole group through one window partition (a group = a domain or
+    tenant can be arbitrarily large at corpus scale; ``partitionBy
+    (group)`` alone would serialize it).
+
+    Same two-phase shape as ``global_row_number``: local rank over
+    (group, bucket) — fine-grained parallel partitions — then a
+    per-(group, bucket) count relation whose exclusive prefix sum runs
+    in a window partitioned by GROUP over O(#buckets) rows, broadcast
+    back. ``bucket_keys`` must be a leading prefix of the intended
+    within-group order (e.g. the first byte of the hash you order by).
+    """
+    gk, bk, ok = list(group_keys), list(bucket_keys), list(order_keys)
+    local_w = W.partitionBy(*gk, *bk).orderBy(*ok)
+    local = df.withColumn("_lrn", F.row_number().over(local_w).cast("long"))
+    offsets = (
+        df.groupBy(*gk, *bk)
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.partitionBy(*gk)
+                    .orderBy(*bk)
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("_cnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), gk + bk)
+        .withColumn(rn_col, F.col("_offset") + F.col("_lrn"))
+        .drop("_lrn", "_offset")
+    )
+
+
 def prefix_agg_over_buckets(
     df: DataFrame,
     order_key: str,

@@ -403,3 +403,75 @@ def test_quality_profile_flags_degenerate_repetition(spark):
     assert not out[1]["keep"] and out[1]["top_token_frac"] == 1.0
     assert not out[2]["keep"] and out[2]["dup_2gram_frac"] > 0.9
     assert out[3]["keep"]
+
+
+def test_pii_redaction_oracle_parity_on_constructed_data(spark):
+    """The synthetic corpus has no PII (no digits at all), so the
+    redaction operator is exercised on constructed rows that hit every
+    rule — same DuckDB comparator the driver uses, via a registered
+    in-memory table."""
+    import duckdb
+
+    from data_ingestion_api_system_loop_ai_spark.operators.redaction import (
+        redact_pii,
+        sql_redact_pii,
+    )
+
+    from .oracle_utils import compare
+
+    rows = [
+        (1, "contact a.b+c@example.org or admin@sub.domain.io today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, port 8080"),
+        (3, "call +1 (555) 123-4567 or 555-867-5309 x99"),
+        (4, "order 1234567890 ref 000042 and short 12345"),
+        (5, "no pii here at all"),
+        (6, "mixed: x9@y.zz from 8.8.8.8 id 99999999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    try:
+        import pandas as pd
+
+        con.register("pii_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        compare(redact_pii(df), con, sql_redact_pii("pii_docs"))
+    finally:
+        con.close()
+
+
+def test_similarity_rplsh_oracle_parity(spark, sf_dir):
+    """Hyperplane-LSH ANN (unregistered; registry at its 50-slot cap):
+    the same Spark-vs-DuckDB comparison the driver runs."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        SIMILARITY_RPLSH_ORACLE,
+        q_similarity_rplsh,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_similarity_rplsh(spark, sf_dir), con, SIMILARITY_RPLSH_ORACLE)
+    finally:
+        con.close()
+
+
+def test_similarity_rplsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recall a reasonable share of the true top-5
+    (4 bands x 4 bits on 64-dim vectors); guards against a degenerate
+    banding that returns near-empty candidate sets."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        q_similarity_rplsh,
+        q_similarity_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_similarity_topk(spark, sf_dir).collect()
+        if r["rnk"] <= 5
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_similarity_rplsh(spark, sf_dir).collect()
+    }
+    assert exact and lsh
+    assert len(lsh & exact) >= 0.4 * len(exact)
