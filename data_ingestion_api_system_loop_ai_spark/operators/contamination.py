@@ -40,6 +40,28 @@ NGRAM_K = 4  # production: 13 (natural-text n-gram entropy is far higher)
 # deterministic stand-in for "the benchmark suite": every 20th document
 EVAL_MOD, EVAL_REM = 20, 7
 
+# Ubiquity guard, part of the operator's SEMANTICS (mirrored exactly in
+# the oracle, like the dedup family's DF cutoff): an n-gram present in
+# more than max(MIN, FRAC * n_eval_docs) eval documents is boilerplate,
+# not benchmark leakage — and it is also precisely the shingle whose
+# eval posting list would blow up the probe join (the unguarded form
+# benched 37 s at sf0.1 on the tiny-vocab synthetic corpus).
+EVAL_DF_CUTOFF_MIN = 20
+EVAL_DF_CUTOFF_FRAC = 0.02
+
+
+def _shingle_arr(text_col: str, k: int):
+    """Let-bound distinct k-gram array (the _shingle_sets idiom,
+    operators/dedup.py:234): ``ts`` is a lambda variable, so tokenize
+    runs once per row instead of once per element_at inside the
+    shingle lambda."""
+    return F.element_at(
+        F.transform(
+            F.array(tokenize(F.col(text_col))), lambda ts: shingles_k(ts, k)
+        ),
+        1,
+    )
+
 
 def contamination_report(
     train: DataFrame,
@@ -51,32 +73,53 @@ def contamination_report(
     """Per-training-document contamination report against an eval set.
 
     Returns one row per training doc: ``n_shingles`` (its distinct
-    k-grams), ``n_collisions`` (how many of them appear in ANY eval
-    doc), ``n_eval_docs`` (distinct eval docs sharing at least one),
+    k-grams), ``n_collisions`` (how many of them appear in the eval
+    set's discriminative shingle space — ubiquity cutoff above),
+    ``n_eval_docs`` (distinct eval docs sharing at least one),
     ``overlap_frac``, and ``contaminated`` (any collision at all — the
     conservative production rule: one shared 13-gram is disqualifying).
+
+    Join shape: the eval side collapses to ONE posting row per distinct
+    surviving shingle (shingle -> sorted eval-doc array), so the probe
+    is a broadcast equi-join with AT MOST ONE match per training
+    (doc, shingle) — output cardinality is bounded by the training
+    shingle relation, never by |train| x |eval| on a hot n-gram.
     """
     t_sh = train.select(
         F.col(key_col).alias("doc_id"),
-        F.explode(shingles_k(tokenize(F.col(text_col)), k)).alias("s"),
+        F.explode(_shingle_arr(text_col, k)).alias("s"),
     )
     e_sh = eval_docs.select(
         F.col(key_col).alias("eval_id"),
-        F.explode(shingles_k(tokenize(F.col(text_col)), k)).alias("s"),
+        F.explode(_shingle_arr(text_col, k)).alias("s"),
+    )
+    ev_stats = e_sh.agg(F.countDistinct("eval_id").alias("n_eval"))
+    cutoff = F.greatest(
+        F.lit(EVAL_DF_CUTOFF_MIN),
+        F.ceil(F.lit(EVAL_DF_CUTOFF_FRAC) * F.col("n_eval")),
+    )
+    ev_post = (
+        e_sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("eval_id")).alias("eids"))
+        .crossJoin(F.broadcast(ev_stats))
+        .filter(F.size("eids") <= cutoff)
+        .select("s", "eids")
     )
     hits = (
-        t_sh.join(F.broadcast(e_sh), "s")
+        t_sh.join(F.broadcast(ev_post), "s")
+        # t_sh is distinct per doc (shingles_k is a set) and ev_post has
+        # one row per shingle, so count(*) IS the distinct collision count
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("s").alias("n_collisions"),
-            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.count("*").alias("n_collisions"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("eids"))))
+            .cast("long")
+            .alias("n_eval_docs"),
         )
     )
     sizes = train.select(
         F.col(key_col).alias("doc_id"),
-        F.size(shingles_k(tokenize(F.col(text_col)), k)).cast("long").alias(
-            "n_shingles"
-        ),
+        F.size(_shingle_arr(text_col, k)).cast("long").alias("n_shingles"),
     )
     return sizes.join(F.broadcast(hits), "doc_id", "left").select(
         "doc_id",
@@ -116,11 +159,20 @@ sh AS (
 ),
 tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
 ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+ev_stats AS (SELECT count(DISTINCT eval_id) AS n_eval FROM ev),
+ev_post AS (
+  SELECT s, list(DISTINCT eval_id) AS eids
+  FROM ev, ev_stats
+  GROUP BY s, n_eval
+  HAVING count(DISTINCT eval_id)
+         <= greatest({EVAL_DF_CUTOFF_MIN},
+                     CAST(ceil({EVAL_DF_CUTOFF_FRAC} * n_eval) AS BIGINT))
+),
 hits AS (
   SELECT tr.doc_id,
-         count(DISTINCT tr.s) AS n_collisions,
-         count(DISTINCT ev.eval_id) AS n_eval_docs
-  FROM tr JOIN ev USING (s) GROUP BY tr.doc_id
+         count(*) AS n_collisions,
+         CAST(len(list_distinct(flatten(list(eids)))) AS BIGINT) AS n_eval_docs
+  FROM tr JOIN ev_post USING (s) GROUP BY tr.doc_id
 ),
 sizes AS (
   SELECT doc_id,

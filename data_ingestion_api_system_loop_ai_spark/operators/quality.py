@@ -65,12 +65,33 @@ def quality_profile(
 ) -> DataFrame:
     """Per-document repetition/shape metrics + keep verdict over any
     (key, text) relation."""
+    # LET BINDING (the _shingle_sets idiom, operators/dedup.py:234):
+    # naive ``_grams2(tokenize(text))`` re-tokenizes once per element —
+    # CollapseProject inlines the alias into every element_at inside the
+    # HOF lambda, outside codegen's subexpression elimination. Wrapping
+    # the tokenized array in a 1-element array and transforming over it
+    # makes ``ts`` a lambda VARIABLE: tokenize runs once per struct
+    # evaluation, O(n) total instead of O(n^2) regex splits per doc
+    # (the unbound form benched 19 s at sf0.1; this one ~1 s).
     toks = tokenize(F.col(text_col))
-    base = df.select(
-        F.col(key_col).alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(_grams2(toks)).cast("long").alias("n_2grams"),
-        F.size(F.array_distinct(_grams2(toks))).cast("long").alias("n_2grams_d"),
+    g = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda ts: F.struct(
+                ts.alias("tokens"),
+                F.size(_grams2(ts)).cast("long").alias("n_2grams"),
+                F.size(F.array_distinct(_grams2(ts)))
+                .cast("long")
+                .alias("n_2grams_d"),
+            ),
+        ),
+        1,
+    )
+    base = df.select(F.col(key_col).alias("doc_id"), g.alias("g")).select(
+        "doc_id",
+        F.col("g.tokens").alias("tokens"),
+        F.col("g.n_2grams").alias("n_2grams"),
+        F.col("g.n_2grams_d").alias("n_2grams_d"),
     )
     counted = (
         base.select("doc_id", F.explode("tokens").alias("t"))
