@@ -1,0 +1,173 @@
+"""Connected components over near-duplicate pairs: clusters + canonicals.
+
+The dedup family (``operators/dedup.py``) emits verified PAIRS; an
+actual dedup pass needs GROUPS — if A~B and B~C, exactly one of
+{A, B, C} survives even though (A, C) was never a candidate pair. That
+closure is connected components, the one step in the pipeline that is
+inherently ITERATIVE (no fixed-depth SQL expresses transitive
+connectivity).
+
+Spark-first design — min-label propagation, the standard distributed
+CC construction (the simplified form of large-star/small-star, which
+Spark's own GraphFrames uses):
+
+- every node starts labeled with itself;
+- each round, every node takes the min of its own label and its
+  neighbors' labels (one equi-join edges->labels + one min-aggregate —
+  both shuffle on node id, both map-side combinable);
+- converged when no label changed. Rounds needed = graph diameter,
+  O(log n) for the short near-dup chains dedup produces (a diameter-
+  bound loop, not an unbounded scan).
+
+The loop is DRIVER-SIDE CONTROL FLOW ONLY: per round one aggregated
+convergence scalar crosses to the driver (a count, never data), and
+``localCheckpoint`` truncates the lineage each round so the plan stays
+flat instead of growing exponentially. This is the canonical Spark
+shape for iterative algorithms (ALS / PageRank / GraphFrames do the
+same); at 100 TB the per-round cost is two hash shuffles of the label
+relation, and the label relation only shrinks as components merge.
+
+The component id is the MINIMUM doc id in the component —
+deterministic, so the whole iterative computation is still
+oracle-checkable: DuckDB reproduces it with a recursive CTE (min over
+the transitive closure), and the parity test in
+``tests/test_unregistered_ops.py`` runs the same driver-grade compare.
+``dedup_canonicals`` then keeps one doc per cluster (the canonical
+min) plus every unclustered doc — the actual "write the deduplicated
+corpus" step.
+
+The reference has no dedup surface (it is an ingestion API); this
+module belongs to the mandated LLM-pipeline extension tier. Unregistered
+(the driver registry is at its 50-slot cap) but driver-grade
+parity-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .dedup import q_dedup_near
+
+MAX_CC_ITERATIONS = 50  # diameter guard; near-dup chains are short
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` = min node id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("n_min", F.col("component")) < F.col("component"))
+                .alias("_chg"),
+            )
+        ).localCheckpoint()  # truncate lineage; loop stays O(1) plan depth
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the verified near-dup pairs (``q_dedup_near``, exact
+    Jaccard >= 0.5) into components: (doc_id, component, cluster_size)."""
+    pairs = q_dedup_near(spark, sf_dir)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def q_dedup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: every document, tagged with the cluster
+    canonical it resolves to (itself when unclustered or when it IS the
+    canonical) and whether it survives the dedup pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = connected_components(q_dedup_near(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return docs.join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("canonical"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "keep"
+        ),
+    )
+
+
+# DuckDB twins: transitive closure by recursive CTE over the
+# bidirected pair graph, component = min reachable node (incl. self).
+# `pairs` must be a CTE named dd_pairs(doc_a, doc_b) — the caller
+# prepends the q_dedup_near oracle; see tests/test_unregistered_ops.py.
+CC_CLOSURE_SQL = """
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dd_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dd_pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst
+  FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (
+  SELECT src AS node,
+         least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+"""
+
+COMPONENTS_SQL = f"""
+, {CC_CLOSURE_SQL.strip().lstrip()}
+, sizes AS (SELECT component, count(*) AS n FROM cc GROUP BY component)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(n AS BIGINT) AS cluster_size
+FROM cc JOIN sizes USING (component)
+"""
+
+CANONICALS_SQL = f"""
+, {CC_CLOSURE_SQL.strip().lstrip()}
+SELECT d.doc_id,
+       CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS canonical,
+       coalesce(cc.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+"""

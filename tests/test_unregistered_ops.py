@@ -475,3 +475,62 @@ def test_similarity_rplsh_recall_vs_exact(spark, sf_dir):
     }
     assert exact and lsh
     assert len(lsh & exact) >= 0.4 * len(exact)
+
+
+def _cc_oracle(body: str) -> str:
+    """Full recursive-CTE oracle: the q_dedup_near oracle nested as the
+    dd_pairs CTE, then transitive closure + min-label components."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        DEDUP_ORACLES,
+    )
+
+    return f"WITH RECURSIVE dd_pairs AS ({DEDUP_ORACLES['q_dedup_near']})" + body
+
+
+def test_dedup_components_oracle_parity(spark, sf_dir):
+    """Iterative min-label propagation equals DuckDB's recursive-CTE
+    transitive closure — the inherently iterative operator is still
+    under the driver-grade compare."""
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        COMPONENTS_SQL,
+        q_dedup_components,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_dedup_components(spark, sf_dir), con, _cc_oracle(COMPONENTS_SQL))
+    finally:
+        con.close()
+
+
+def test_dedup_canonicals_oracle_parity(spark, sf_dir):
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        CANONICALS_SQL,
+        q_dedup_canonicals,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_dedup_canonicals(spark, sf_dir), con, _cc_oracle(CANONICALS_SQL))
+    finally:
+        con.close()
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, and D-E: {A,B,C} collapse to min A even though (A,C)
+    was never a pair; {D,E} stay separate."""
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
