@@ -416,3 +416,71 @@ FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
 """,
 }
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting, adapted): for
+    finished orders, count per supplier the SLOW lines (shipped >90
+    days after the order date) in multi-supplier orders where EVERY
+    other supplier shipped on time — a correlated EXISTS (another
+    supplier participated) AND a correlated NOT EXISTS (no other
+    supplier was slow), both referencing the outer row with an
+    inequality (``l2.l_suppkey <> l1.l_suppkey``).
+
+    This is the adversarial decorrelation case Q17's scalar subquery
+    does not cover: Catalyst's RewritePredicateSubquery turns the pair
+    into a LEFT SEMI and a LEFT ANTI join on (orderkey) with the
+    suppkey inequality as join condition — set-at-a-time, never a
+    per-row re-scan. (The synthetic lineitem has no receipt/commit
+    dates; ship-lag over 90 days plays the "late" role. Unregistered:
+    the registry is at its 50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    return spark.sql(
+        """
+SELECT s_name, count(*) AS numwait
+FROM q21_supplier, q21_lineitem l1, q21_orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+  AND EXISTS (
+        SELECT 1 FROM q21_lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM q21_lineitem l3, q21_orders o3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND o3.o_orderkey = l3.l_orderkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL '90' DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+    )
+
+
+TPCH_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3, orders o3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND o3.o_orderkey = l3.l_orderkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""

@@ -173,8 +173,16 @@ class ServingTable:
 
     # -- reads -------------------------------------------------------------
 
-    def current(self, spark: SparkSession) -> DataFrame | None:
-        v = self.latest_version()
+    def current(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """The table at its latest commit — or, with ``version``, a
+        TIME-TRAVEL read of any still-retained older commit: each
+        version directory keeps the full bucket->directory manifest it
+        was committed with, so reading "as of v" is just resolving
+        that manifest (the lakehouse snapshot-read idiom; retention =
+        ``keep_versions`` + manifest references, enforced by vacuum)."""
+        v = self.latest_version() if version is None else version
         if v < 0:
             return None
         manifest = self._manifest(v) or {}

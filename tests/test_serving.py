@@ -270,3 +270,17 @@ def test_status_served_from_store_matches_reference_body(spark, tmp_path):
     )
     assert reopened.bucket_cols == ["request_id"]
     assert len(reopened.lookup(spark, request_id="8").collect()) == 1
+
+
+def test_time_travel_read_of_retained_versions(spark, tmp_path):
+    """current(version=v) resolves v's own manifest: after a second
+    upsert overwrites a key, the old version still serves the old value
+    while within the retention window."""
+    t = ServingTable(
+        str(tmp_path / "tt"), key_cols=["k"], seq_col="seq", num_buckets=4
+    )
+    v1 = t.upsert(spark.createDataFrame([(1, 10, "a")], "k long, seq long, val string"))
+    v2 = t.upsert(spark.createDataFrame([(1, 20, "b")], "k long, seq long, val string"))
+    assert [r["val"] for r in t.current(spark).collect()] == ["b"]
+    assert [r["val"] for r in t.current(spark, version=v1).collect()] == ["a"]
+    assert t.current(spark, version=v2).collect() == t.current(spark).collect()

@@ -534,3 +534,26 @@ def test_connected_components_transitive_chain(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_tpch_q21_oracle_parity_and_decorrelation(spark, sf_dir):
+    """Correlated EXISTS + NOT EXISTS with an outer-row inequality:
+    values match DuckDB, and Catalyst decorrelated both subqueries into
+    semi/anti joins (no per-row re-scan operator in the plan)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+        TPCH_Q21_ORACLE,
+        q_tpch_q21,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_tpch_q21(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, TPCH_Q21_ORACLE)
+    finally:
+        con.close()
