@@ -224,6 +224,56 @@ def q_streaming_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of ``operators.timeseries.q_sessionize`` using the
+    engine's NATIVE session windows: ``session_window`` merges an
+    event into the open session while it lands inside [last_ts, last_ts
+    + gap), closing state as the watermark passes — bounded-state
+    incremental sessionization, where the batch form's lag/running-sum
+    construction would need the whole history.
+
+    Boundary semantics vs batch: the batch rule starts a new session
+    when the gap is STRICTLY exceeded (diff > gap); session windows
+    split when windows merely touch (diff == gap). The synthetic events
+    table has no exact-boundary pair (asserted impossible by the
+    agreement test's data), so the two forms agree row-for-row here;
+    a corpus with boundary events would see the one-event difference.
+
+    ``session_end`` is the batch-comparable max event time, not the
+    window end (which session_window pads by the gap). Watermarks
+    require zoned TIMESTAMP (the engine rejects NTZ event time), so the
+    column is cast in and the emitted bounds cast back — an exact
+    round-trip under the repo's pinned UTC session timezone."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").cast("timestamp_ntz").alias("session_start"),
+            F.max("ts").cast("timestamp_ntz").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "sum_value"
+        )
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollups computed by the streaming engine (file source ->
+    availableNow -> memory sink); the agreement test pins it against
+    the oracle-checked batch ``q_sessionize``. COMPLETE output mode: in
+    append mode the sessions newer than (max event time - watermark
+    delay) are still open when the finite replay ends and would be
+    withheld — a live deployment tails them out as the watermark
+    advances, but the batch-agreement check needs every session."""
+    name = run_stream_to_table(session_agg(events_stream(spark, sf_dir)))
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Live Tier-A pipeline: stateful priority drain
 # ---------------------------------------------------------------------------

@@ -483,3 +483,49 @@ def test_bloom_guard_never_forgets_drained_ids():
     # false-positive rate stays manageable at this load
     fresh = sum(bloom_contains(bits, f"new-{i}") for i in range(10_000))
     assert fresh < 200  # < 2%
+
+
+def test_streaming_sessionize_agrees_with_batch(spark, sf_dir):
+    """Native session_window rollups (streaming engine, bounded state)
+    must equal the oracle-checked batch lag/running-sum sessionization
+    on every comparable column. Also asserts the data has no
+    exact-boundary gap pair, which is what makes the strict-gap (batch)
+    and touching-window (streaming) semantics coincide."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_sessionize,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        q_streaming_sessionize,
+    )
+    from pyspark.sql.window import Window as W
+
+    gap_pairs = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "g",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            ),
+        )
+        .filter(F.col("g") == 30 * 60 * 1_000_000)
+        .count()
+    )
+    assert gap_pairs == 0
+
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], round(r["sum_value"], 6)
+        )
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], round(r["sum_value"], 6)
+        )
+        for r in q_streaming_sessionize(spark, sf_dir).collect()
+    }
+    assert batch == stream and len(batch) > 0
