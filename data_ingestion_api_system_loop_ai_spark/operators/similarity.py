@@ -485,6 +485,259 @@ def q_similarity_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN with asymmetric-distance (ADC) scan
+# ---------------------------------------------------------------------------
+#
+# The fourth member of the ANN family, and the MEMORY story at 100 TB:
+# brute force (correctness baseline), hyperplane LSH (training-free
+# probe), IVF (trained cell partition), and now PQ — the corpus is
+# compressed to M=8 codebook ids of log2(K)=4 bits each (~4 B/vector vs
+# 512 B of raw doubles, 128x), and queries scan CODES, not vectors:
+# each query precomputes an M x K table of exact subspace distances to
+# the codebook (the "asymmetric" half — the query side stays
+# full-precision), and a candidate's approximate distance is M table
+# lookups summed. At cluster scale the codes relation is what stays
+# resident/shuffled; raw embeddings are touched only at encode time.
+#
+# Engine-portable determinism, same tricks as IVF above:
+#   - vectors are L2-normalized first (identical double divisions both
+#     engines), so ascending L2^2 ranks exactly like descending cosine
+#     and the recall test can reuse the exact top-k as ground truth;
+#   - codebook seeds are a systematic sample (every step-th vector in
+#     vec_id rank order, first K), codeword id = sample position — no
+#     RNG anywhere;
+#   - one exact Lloyd refinement: codeword = elementwise mean of its
+#     assigned subvectors via DECIMAL(25,12) sums (order-independent,
+#     bit-identical doubles in Spark and DuckDB);
+#   - ADC sums the M lookup values as decimals (order-independent)
+#     before the final double round.
+
+PQ_M = 8  # subspaces
+PQ_SUB = RP_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_TOPK = 5
+
+
+def _let(bound: Column, fn) -> Column:
+    """LET-bind ``bound``: evaluate once per row, use many times inside
+    ``fn``. (transform-over-singleton-array; HOF bodies escape codegen
+    subexpression elimination, so plain aliases inlined by
+    CollapseProject re-evaluate per reference — README round-3
+    lesson 1.)"""
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
+def _l2_expr(a, b) -> Column:
+    """Left-fold squared L2 distance (element order, like dot_expr)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each vector L2-normalized then cut into PQ_M
+    subvectors of PQ_SUB dims. Norm and unit vector are let-bound so
+    the fold runs once per row, not once per slice/element. The
+    trailing repartition is the deliberate reuse barrier (the
+    ``_shingle_sets`` trick): training pass, encode pass, and the query
+    distance tables all consume this relation, and one shared Exchange
+    lets AQE evaluate the normalize+slice projection once."""
+    unit = _let(
+        norm_expr("embedding"),
+        lambda n: F.transform(F.col("embedding"), lambda x: x.cast("double") / n),
+    )
+    slices = _let(
+        unit,
+        lambda u: F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.slice(u, m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                )
+                for m in range(PQ_M)
+            ]
+        ),
+    )
+    return (
+        e.select("vec_id", F.explode(slices).alias("s"))
+        .select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .repartition("vec_id", "m")
+    )
+
+
+def pq_codebooks(e: DataFrame, subs: DataFrame | None = None) -> DataFrame:
+    """(m, c, cw): the trained codebooks. Seeds are the first PQ_K
+    vectors of a systematic sample over vec_id rank order (two-phase
+    distributed row number — ids only, no single-partition sort of
+    vectors), codeword id c = sample position 0..K-1; one exact Lloyd
+    step refines each codeword to the decimal-sum mean of its assigned
+    subvectors. Empty cells drop out (their seed drew no vectors) —
+    nearest-codeword semantics are unaffected. All relations here are
+    tiny (K*M rows) except the one assignment pass, which is a
+    broadcast join + map-side-combinable min(struct) — no n*K shuffle."""
+    from ..plans.ranking import global_row_number
+
+    if subs is None:
+        subs = pq_subvectors(e)
+    stats = e.agg(F.count("*").alias("n")).select(
+        F.greatest((F.col("n") / PQ_K).cast("long"), F.lit(1)).alias("step")
+    )
+    ids = e.select("vec_id").withColumn("_bkt", (F.col("vec_id") / 4096).cast("long"))
+    seed_sel = (
+        global_row_number(ids, ["_bkt"], ["vec_id"], rn_col="_rn")
+        .crossJoin(F.broadcast(stats))
+        .filter((F.col("_rn") - 1) % F.col("step") == 0)
+        .withColumn("c", ((F.col("_rn") - 1) / F.col("step")).cast("long"))
+        .filter(F.col("c") < PQ_K)
+        .select("vec_id", "c")
+    )
+    cb0 = subs.join(F.broadcast(seed_sel), "vec_id").select(
+        "m", "c", F.col("sv").alias("cw0")
+    )
+    a1 = (
+        subs.join(F.broadcast(cb0), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(
+                    _l2_expr("sv", "cw0").alias("d"),
+                    F.col("c").alias("c"),
+                    F.col("sv").alias("sv"),
+                )
+            ).alias("b")
+        )
+        .select("m", F.col("b.c").alias("c"), F.col("b.sv").alias("sv"))
+    )
+    return (
+        a1.select("m", "c", F.posexplode("sv").alias("i", "v"))
+        .groupBy("m", "c", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,12)")).cast("double") / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("m", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))), lambda s: s["cv"]
+            ).alias("cw")
+        )
+    )
+
+
+def pq_encode(e: DataFrame, subs: DataFrame | None = None,
+              codebooks: DataFrame | None = None) -> DataFrame:
+    """(vec_id, m, code): every vector's nearest refined codeword per
+    subspace — the compressed representation (M x log2(K) bits). Row
+    form; ``pq_codes_array`` collects the array form."""
+    if subs is None:
+        subs = pq_subvectors(e)
+    if codebooks is None:
+        codebooks = pq_codebooks(e, subs)
+    return (
+        subs.join(F.broadcast(codebooks), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(_l2_expr("sv", "cw").alias("d"), F.col("c").alias("c"))
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.c").alias("code"))
+    )
+
+
+def pq_codes_array(e: DataFrame) -> DataFrame:
+    """(vec_id, code: array<long> length PQ_M) — the stored index."""
+    return (
+        pq_encode(e)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("code")
+        )
+    )
+
+
+PQ_SHORTLIST = 100  # ADC candidates refined exactly per query
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC cosine top-5, the FAISS IVFPQ+refine shape: queries
+    (every 100th vector) build exact M x K distance tables against the
+    codebooks (tiny, broadcast); the corpus is scanned as CODES ONLY —
+    approximate distance is the decimal-exact sum of M table lookups,
+    so the big side of the shortlist join never touches a raw
+    embedding — and the ADC top-PQ_SHORTLIST per query is then re-ranked
+    with EXACT cosines (a broadcast of R*nq candidate ids back against
+    the vector relation). Shortlist depth R is a constant per query —
+    it scales with k, not with the corpus, so the exact-refine cost at
+    100 TB is unchanged while the scan side shrinks 128x."""
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = pq_subvectors(e)
+    cb = pq_codebooks(e, subs)
+    codes = pq_encode(e, subs, cb)
+    dtable = (
+        subs.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "c",
+            _l2_expr("sv", "cw").alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes.m == dtable.m) & (codes.code == dtable.c),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(25,12)")).cast("double"), 6
+            ).alias("approx_d")
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    short = (
+        adc.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_expr("embedding").alias("q_norm"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_expr("embedding").alias("c_norm"),
+    )
+    refined = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+    )
+
+
 def _rp_plane_sql(p: int) -> str:
     return "[" + ", ".join(repr(x) for x in RP_PLANES[p]) + "]"
 
@@ -533,4 +786,108 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
                                ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM scored
 ) WHERE rnk <= {RP_TOPK}
+"""
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``_l2_expr`` (list_sum matches the left fold
+    bit-for-bit, as established for the dot products above)."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUB}+1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+# Oracle for the unregistered q_similarity_pq (driver-grade parity via
+# tests/test_unregistered_ops.py; the registry is at its 50-slot cap).
+SIMILARITY_PQ_ORACLE = f"""
+WITH stats AS (
+  SELECT greatest(CAST(count(*) // {PQ_K} AS BIGINT), 1) AS step FROM embeddings
+),
+vn AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE)
+                / sqrt({_DOT.format(a='embedding', b='embedding')})) AS unit
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings
+),
+seed_sel AS (
+  SELECT vec_id, (rn - 1) // step AS c
+  FROM ranked, stats
+  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < {PQ_K}
+),
+subm AS (
+  SELECT vec_id, t.m,
+         list_slice(unit, t.m * {PQ_SUB} + 1, t.m * {PQ_SUB} + {PQ_SUB}) AS sv
+  FROM vn, range(0, {PQ_M}) t(m)
+),
+cb0 AS (
+  SELECT s.c, sub.m, sub.sv AS cw0
+  FROM subm sub JOIN seed_sel s USING (vec_id)
+),
+a1 AS (
+  SELECT sub.vec_id, sub.m,
+         min({{'d': {_l2_sql('sub.sv', 'cb0.cw0')}, 'c': cb0.c, 'sv': sub.sv}}) AS b
+  FROM subm sub JOIN cb0 ON sub.m = cb0.m
+  GROUP BY sub.vec_id, sub.m
+),
+a1x AS (
+  SELECT m, struct_extract(b, 'c') AS c, struct_extract(b, 'sv') AS sv FROM a1
+),
+flat AS (
+  SELECT m, c,
+         unnest(list_transform(range(1, {PQ_SUB}+1),
+                               i -> {{'i': i, 'v': sv[i]}})) AS s
+  FROM a1x
+),
+rfe AS (
+  SELECT m, c, s.i AS i,
+         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+  FROM flat GROUP BY m, c, s.i
+),
+ref AS (
+  SELECT m, c, list(cv ORDER BY i) AS cw FROM rfe GROUP BY m, c
+),
+codes AS (
+  SELECT sub.vec_id, sub.m,
+         struct_extract(
+           min({{'d': {_l2_sql('sub.sv', 'ref.cw')}, 'c': ref.c}}), 'c') AS code
+  FROM subm sub JOIN ref ON sub.m = ref.m
+  GROUP BY sub.vec_id, sub.m
+),
+qd AS (
+  SELECT sub.vec_id AS query_id, sub.m, ref.c,
+         {_l2_sql('sub.sv', 'ref.cw')} AS d
+  FROM subm sub JOIN ref ON sub.m = ref.m
+  WHERE sub.vec_id % 100 = 0
+),
+adc AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         round(CAST(SUM(CAST(qd.d AS DECIMAL(25,12))) AS DOUBLE), 6) AS approx_d
+  FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.c
+  WHERE codes.vec_id <> qd.query_id
+  GROUP BY qd.query_id, codes.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d, neighbor_id) AS srnk
+    FROM adc
+  ) WHERE srnk <= {PQ_SHORTLIST}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_cos('qe.embedding', 'ce.embedding')}, 6) AS cosine
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM refined
+) WHERE rnk <= {PQ_TOPK}
 """

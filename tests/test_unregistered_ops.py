@@ -477,6 +477,70 @@ def test_similarity_rplsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh & exact) >= 0.4 * len(exact)
 
 
+def test_similarity_pq_oracle_parity(spark, sf_dir):
+    """Product-quantization ANN (unregistered; registry at its 50-slot
+    cap): same Spark-vs-DuckDB comparison the driver runs — the trained
+    codebooks, the 4-bit codes, the ADC shortlist, and the exact refine
+    all replicate bit-for-bit across engines."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        SIMILARITY_PQ_ORACLE,
+        q_similarity_pq,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_similarity_pq(spark, sf_dir), con, SIMILARITY_PQ_ORACLE)
+    finally:
+        con.close()
+
+
+def test_similarity_pq_recall_vs_exact(spark, sf_dir):
+    """The ADC-shortlist + exact-refine pipeline recalls most of the
+    true cosine top-5 (measured 22/25 at sf0.001; assert a safe 60%
+    floor — random-ish synthetic vectors are PQ's worst case)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        q_similarity_pq,
+        q_similarity_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_similarity_topk(spark, sf_dir).collect()
+        if r["rnk"] <= 5
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_similarity_pq(spark, sf_dir).collect()
+    }
+    assert exact and pq
+    assert len(pq & exact) >= 0.6 * len(exact)
+
+
+def test_pq_codes_are_compact(spark, sf_dir):
+    """The stored index is PQ_M 4-bit codes per vector — one row per
+    vector, code array length PQ_M, every value in [0, PQ_K)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codes_array,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = pq_codes_array(e)
+    n = e.count()
+    bad = codes.filter(
+        (F.size("code") != PQ_M)
+        | (F.array_min("code") < 0)
+        | (F.array_max("code") >= PQ_K)
+    ).count()
+    assert codes.count() == n and bad == 0
+
+
 def _cc_oracle(body: str) -> str:
     """Full recursive-CTE oracle: the q_dedup_near oracle nested as the
     dd_pairs CTE, then transitive closure + min-label components."""
