@@ -484,3 +484,68 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 10
 """
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity, adapted): dormant
+    high-balance customers — in a subset of market segments, with a
+    balance above the average POSITIVE balance of that subset, and with
+    no urgent-priority order — grouped by "country code". This is the
+    third decorrelation shape in the battery: an UNCORRELATED scalar
+    subquery (Q17's was correlated) that Catalyst evaluates once and
+    injects as a literal into the scan filter, plus a NOT EXISTS that
+    RewritePredicateSubquery turns into a LEFT ANTI join on custkey —
+    never a per-row re-scan of orders.
+
+    Adaptations to the synthetic schema: customer has no c_phone, so
+    the country code is the last two digits of c_name (keeps the
+    substring-extraction flavor); near-every customer has SOME order,
+    so "never placed an order" becomes "never placed an URGENT order"
+    (~12% selective — the raw Q22 anti-join would be degenerate here).
+    Exactness: balances compare as SCALED LONGS and the output sum is a
+    decimal accumulation, the Q17/Q1 trick, so no boundary can flip on
+    summation order. (Unregistered: the registry is at its 50-slot
+    cap; driver-grade DuckDB parity + plan assert in
+    tests/test_unregistered_ops.py.)"""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS DECIMAL(30,0))) AS DOUBLE)
+             / 100, 2) AS totacctbal
+FROM q22_customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+  AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+        SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        FROM q22_customer c2
+        WHERE c2.c_acctbal > 0.0
+          AND c2.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD'))
+  AND NOT EXISTS (
+        SELECT 1 FROM q22_orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+    )
+
+
+TPCH_Q22_ORACLE = """
+SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS DECIMAL(30,0))) AS DOUBLE)
+             / 100, 2) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
+  AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+        SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0
+          AND c2.c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD'))
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""

@@ -337,3 +337,80 @@ FROM events GROUP BY 1
 # driver-grade DuckDB comparison via tests/test_unregistered_ops.py.
 UNREGISTERED_TIMESERIES_QUERIES = {"q_pivot_wide": TIMESERIES_QUERIES.pop("q_pivot_wide")}
 UNREGISTERED_TIMESERIES_ORACLES = {"q_pivot_wide": TIMESERIES_ORACLES.pop("q_pivot_wide")}
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history building
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    attr: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 from an observation log: collapse
+    consecutive observations of the same ``attr`` value per ``key`` into
+    validity intervals — the classic warehouse history-build (a MERGE
+    INTO ... WHEN MATCHED THEN close / WHEN NOT MATCHED THEN open, done
+    set-at-a-time over the whole log instead of row-at-a-time).
+
+    Output: (key, attr, valid_from, valid_to, version_seq, is_current) —
+    ``valid_to`` is the next version's start (half-open intervals, the
+    lakehouse convention) and NULL while current.
+
+    Plan: two windows partitioned by ``key`` — change detection
+    (``lag(attr)``) over the raw log, then interval close (``lead``)
+    over the CHANGE ROWS ONLY, which is the collapsed (much smaller)
+    relation. Both are ordinary parallel windows: a dimension key's
+    history fits one partition by construction (that is what makes it a
+    dimension), so no single-partition funnel exists at any corpus
+    size. ``order_cols`` must total-order observations within a key
+    (include a unique tie-breaker)."""
+    w = W.partitionBy(key).orderBy(*order_cols)
+    changes = (
+        df.withColumn("_prev", F.lag(attr).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(attr) != F.col("_prev")))
+        .drop("_prev")
+    )
+    wc = W.partitionBy(key).orderBy(*order_cols)
+    return (
+        changes.withColumn("valid_to", F.lead(F.col(order_cols[0])).over(wc))
+        .withColumn("version_seq", F.row_number().over(wc).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(order_cols[0], "valid_from")
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over the events log: each user's ``event_type`` as the
+    tracked attribute — intervals of unchanged type, versioned, with
+    the open current row. (Unregistered: the registry is at its
+    50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_history(e, "user_id", ["ts", "event_id"], "event_type").select(
+        "user_id", "event_type", "valid_from", "valid_to", "version_seq", "is_current"
+    )
+
+
+SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM flagged
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_seq,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+"""

@@ -477,6 +477,85 @@ def test_similarity_rplsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh & exact) >= 0.4 * len(exact)
 
 
+def test_tpch_q22_oracle_parity_and_plan(spark, sf_dir):
+    """Uncorrelated scalar subquery + NOT EXISTS: values match DuckDB,
+    the anti join is decorrelated (LeftAnti in the plan), and the
+    scalar average is a one-shot subquery, not a per-row re-scan."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+        TPCH_Q22_ORACLE,
+        q_tpch_q22,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_tpch_q22(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "LeftAnti" in plan and "Subquery" in plan
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, TPCH_Q22_ORACLE)
+    finally:
+        con.close()
+
+
+def test_scd2_oracle_parity(spark, sf_dir):
+    """SCD Type-2 history build over the events log — driver-grade
+    DuckDB comparison (lag-collapse + lead-close windows)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        SCD2_ORACLE,
+        q_scd2,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_scd2(spark, sf_dir), con, SCD2_ORACLE)
+    finally:
+        con.close()
+
+
+def test_scd2_interval_invariants(spark):
+    """Hand-checkable log: versions are contiguous half-open intervals
+    per key, consecutive same-value observations collapse, exactly one
+    open (is_current) row per key, and re-appearing values open a NEW
+    version (type-2, not type-1)."""
+    import datetime as dt
+
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        scd2_history,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (1, t0 + dt.timedelta(hours=1), 2, "a"),  # collapses into v1
+        (1, t0 + dt.timedelta(hours=2), 3, "b"),
+        (1, t0 + dt.timedelta(hours=3), 4, "a"),  # re-appearance -> v3
+        (2, t0, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = scd2_history(df, "user_id", ["ts", "event_id"], "event_type")
+    got = sorted(
+        (
+            (r["user_id"], r["version_seq"], r["event_type"],
+             r["valid_from"], r["valid_to"], r["is_current"])
+        )
+        for r in out.collect()
+    )
+    h1 = [g for g in got if g[0] == 1]
+    assert [g[2] for g in h1] == ["a", "b", "a"]
+    # contiguous half-open intervals: each valid_to == next valid_from
+    assert h1[0][4] == h1[1][3] and h1[1][4] == h1[2][3]
+    assert [g[5] for g in h1] == [False, False, True]
+    h2 = [g for g in got if g[0] == 2]
+    assert len(h2) == 1 and h2[0][5] and h2[0][4] is None
+
+
 def test_similarity_pq_oracle_parity(spark, sf_dir):
     """Product-quantization ANN (unregistered; registry at its 50-slot
     cap): same Spark-vs-DuckDB comparison the driver runs — the trained
