@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import uuid
 
 import pandas as pd
@@ -54,13 +55,32 @@ from pyspark.sql.types import (
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+_EVENTS_NTZ_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double,"
+    " props string"
+)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (stand-in for Kafka).
-    The nanos timestamp arrives as raw int64 and is truncated to
-    microsecond TIMESTAMP_NTZ exactly like the batch loader."""
+
+    The physical ``ts`` layout varies by generator version: INT64
+    TIMESTAMP(NANOS) (read as raw long under the legacy conf and
+    truncated to microseconds, matching the batch loader) or plain
+    TIMESTAMP(MICROS) (streamed natively as TIMESTAMP_NTZ). A
+    one-off batch schema probe picks the branch — streaming sources
+    need the schema pinned up front, so the adaptive ``if dtype``
+    check the batch loader does per-read happens here at plan time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    if probe != "bigint":
+        return (
+            spark.readStream.schema(_EVENTS_NTZ_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
