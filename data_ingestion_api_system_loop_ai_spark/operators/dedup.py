@@ -466,6 +466,79 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 16
+
+
+def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_no, span): consecutive ``SPAN_K``-token passages of
+    each document, last partial span kept. The tokens array is LET-BOUND
+    (``transform(array(tokenize), ts -> ...)``) so the regex tokenizer
+    runs once per document, not once per span — the README round-3
+    idiom; HOF bodies sit outside codegen subexpression elimination."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = F.transform(
+        F.array(tokenize(F.col("text"))),
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0), (F.ceil(F.size(ts) / F.lit(SPAN_K)) - 1).cast("int")
+                ),
+                lambda i: F.concat_ws(" ", F.slice(ts, i * SPAN_K + 1, SPAN_K)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+    return d.select("doc_id", F.posexplode(spans).alias("span_no", "span"))
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact passage dedup (the C4 duplicate-line rule /
+    RefinedWeb exact-substring pass, at fixed 16-token span
+    granularity): every span keeps only its FIRST corpus occurrence
+    (min (doc_id, span_no)), and documents are reassembled from their
+    surviving spans in order. Returns per-doc (n_spans_total,
+    n_spans_kept, dedup_text) — a doc whose every span appeared
+    earlier elsewhere comes back empty, the cross-document half of
+    dedup that whole-doc hashing (q_dedup_exact) cannot see.
+
+    100 TB shape: spans explode ~n_tokens/K rows; the winner pick is
+    ONE hash shuffle on the span text with map-side partial min
+    (``min(struct(doc_id, span_no))`` combines associatively), and the
+    winners themselves ARE the surviving spans, so reassembly is one
+    further shuffle keyed by doc_id. No join back to the exploded
+    relation, no window over the corpus. Span keys are uniformly
+    distributed (full 16-token text as key) — no hot-key skew; a
+    production run would hash spans to 128-bit digests to shrink
+    shuffle payload, at the cost of oracle comparability here."""
+    spans = _doc_spans(spark, sf_dir)
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans_total"))
+    winners = (
+        spans.groupBy("span")
+        .agg(F.min(F.struct("doc_id", "span_no")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.span_no").alias("span_no"),
+            "span",
+        )
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_no", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans_total",
+        F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -502,6 +575,37 @@ sh AS (
                 tokens[i+3] || ' ' || tokens[i+4]))) AS s
   FROM toks
 )
+"""
+
+# Direct-test oracle for q_dedup_spans (unregistered — the driver caps
+# CORRECTNESS at 50 slots; tests/test_unregistered_ops.py runs this
+# comparison at driver grade).
+SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id, i - 1 AS span_no,
+         array_to_string(ts[((i-1)*{SPAN_K}+1):((i-1)*{SPAN_K}+{SPAN_K})], ' ') AS span
+  FROM toks,
+       UNNEST(generate_series(1, CAST(ceil(len(ts) / {SPAN_K}.0) AS BIGINT))) AS g(i)
+),
+totals AS (SELECT doc_id, count(*) AS n_spans_total FROM spans GROUP BY doc_id),
+winners AS (
+  SELECT doc_id, span_no, span FROM (
+    SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
+    FROM spans
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_spans_kept,
+         string_agg(span, ' ' ORDER BY span_no) AS dedup_text
+  FROM winners GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans_total,
+       coalesce(k.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(k.dedup_text, '') AS dedup_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 DEDUP_ORACLES = {

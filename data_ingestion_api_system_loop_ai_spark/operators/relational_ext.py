@@ -549,3 +549,146 @@ WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'HOUSEHOLD')
 GROUP BY cntrycode
 ORDER BY cntrycode
 """
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    customers to their non-urgent orders, count per customer, then
+    histogram the counts. The shape the rest of the battery never
+    touches: an outer join whose NULL-preserved rows are load-bearing
+    (customers with zero matching orders must survive as c_count = 0)
+    feeding a second, reduced aggregation. Both aggregations shuffle on
+    their own key (custkey then c_count) with map-side partial counts;
+    the second key space is tiny (~max orders per customer), so the
+    final shuffle is a few dozen rows per partition at any corpus
+    size. (Unregistered: the registry is at its 50-slot cap;
+    driver-grade DuckDB parity in tests/test_unregistered_ops.py.)"""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q13_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q13_orders")
+    return spark.sql(
+        """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM q13_customer LEFT OUTER JOIN q13_orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+    )
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the supplier(s) hitting the MAXIMUM — an argmax over a derived
+    aggregate, expressed as the classic scalar subquery over a shared
+    CTE. Catalyst evaluates the max ONCE (one extra reduction over the
+    ~n_suppliers aggregate, not a per-row re-scan) and the revenue CTE
+    is tiny after its groupBy, so the equality filter is a broadcast
+    compare. Revenue accumulates as DECIMAL(25,6) of the double
+    product — order-independent, so the max-equality cannot flip with
+    partitioning (the Q3 idiom). (Unregistered: 50-slot cap;
+    driver-grade DuckDB parity in tests/test_unregistered_ops.py.)"""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_rev
+  FROM q15_lineitem
+  WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+    )
+
+
+TPCH_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# Orders whose total quantity exceeds this are "large" (p99 of the
+# per-order sum is ~262 at sf0.01, so ~1% of orders qualify).
+Q18_QTY_THRESHOLD = 250
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose summed quantity
+    clears a threshold, found via IN over a GROUP BY ... HAVING
+    subquery. The decorrelation shape Q17/Q21/Q22 don't cover: the IN
+    list is itself an AGGREGATED relation, so Catalyst plans
+    aggregate-then-LeftSemi on orderkey — the filter applies to ~1% of
+    keys before the 3-way join fans out, instead of joining everything
+    and filtering late. Quantities compare as scaled longs (the Q17
+    boundary trick): no double-sum ordering can flip membership at the
+    threshold. (Unregistered: 50-slot cap; driver-grade DuckDB parity
+    + LeftSemi plan assert in tests/test_unregistered_ops.py.)"""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q18_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+    return spark.sql(
+        f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100
+         AS sum_qty
+FROM q18_customer, q18_orders, q18_lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM q18_lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_QTY_THRESHOLD} * 100)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+    )
+
+
+TPCH_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100
+         AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {Q18_QTY_THRESHOLD} * 100)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""

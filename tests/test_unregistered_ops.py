@@ -700,3 +700,84 @@ def test_tpch_q21_oracle_parity_and_decorrelation(spark, sf_dir):
         compare(df, con, TPCH_Q21_ORACLE)
     finally:
         con.close()
+
+
+def test_dedup_spans_oracle_parity(spark, sf_dir):
+    """Corpus-level exact passage dedup matches the DuckDB oracle at
+    driver grade, and the corpus actually exercises it (some spans are
+    removed, no doc gains spans)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        SPAN_DEDUP_ORACLE,
+        q_dedup_spans,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_dedup_spans(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, SPAN_DEDUP_ORACLE)
+    finally:
+        con.close()
+    rows = df.collect()
+    assert all(r["n_spans_kept"] <= r["n_spans_total"] for r in rows)
+    assert sum(r["n_spans_total"] - r["n_spans_kept"] for r in rows) > 0
+
+
+def test_dedup_spans_first_occurrence_semantics(spark):
+    """Constructed corpus: the repeated span survives only in the
+    earliest (doc_id, span_no) position; a fully-duplicate doc comes
+    back empty with its span count intact."""
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    span_a = " ".join(f"tok{i}" for i in range(dd.SPAN_K))
+    span_b = " ".join(f"alt{i}" for i in range(dd.SPAN_K))
+    docs = [
+        (1, f"{span_a} {span_b}"),  # owns both spans
+        (2, span_a),                # fully duplicate of doc 1's first span
+        (3, f"{span_b} unique tail"),  # dup first span, unique partial tail
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in dd.q_dedup_spans(spark, tmp).collect()}
+    assert out[1]["dedup_text"] == f"{span_a} {span_b}"
+    assert out[1]["n_spans_total"] == out[1]["n_spans_kept"] == 2
+    assert out[2]["dedup_text"] == "" and out[2]["n_spans_total"] == 1
+    assert out[2]["n_spans_kept"] == 0
+    assert out[3]["dedup_text"] == "unique tail"
+    assert (out[3]["n_spans_total"], out[3]["n_spans_kept"]) == (2, 1)
+
+
+@pytest.mark.parametrize(
+    "qname, oname, plan_frag",
+    [
+        ("q_tpch_q13", "TPCH_Q13_ORACLE", "LeftOuter"),
+        ("q_tpch_q15", "TPCH_Q15_ORACLE", "Subquery"),
+        ("q_tpch_q18", "TPCH_Q18_ORACLE", "LeftSemi"),
+    ],
+)
+def test_tpch_battery_oracle_parity_and_plans(qname, oname, plan_frag, spark, sf_dir):
+    """Q13 (outer-join count distribution), Q15 (argmax over a derived
+    aggregate), Q18 (IN over a HAVING aggregate): values match DuckDB
+    and the plan carries the decorrelated/outer shape, never a per-row
+    re-scan."""
+    from data_ingestion_api_system_loop_ai_spark.operators import relational_ext as rx
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = getattr(rx, qname)(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan_frag in plan, f"{qname}: {plan_frag} not in plan"
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, getattr(rx, oname))
+    finally:
+        con.close()
+    assert len(df.take(1)) == 1, f"{qname} returned no rows"
