@@ -284,3 +284,27 @@ def test_time_travel_read_of_retained_versions(spark, tmp_path):
     assert [r["val"] for r in t.current(spark).collect()] == ["b"]
     assert [r["val"] for r in t.current(spark, version=v1).collect()] == ["a"]
     assert t.current(spark, version=v2).collect() == t.current(spark).collect()
+
+
+def test_change_feed_between_versions(spark, tmp_path):
+    """CDC read: per-key insert/update classification from the seq
+    contract, unchanged keys absent (even when their bucket was
+    rewritten), idempotent replay produces an empty feed, and a feed
+    from before the first commit is all inserts."""
+    schema = "k string, seq long, val string"
+    t = ServingTable(
+        str(tmp_path / "cf"), key_cols=["k"], seq_col="seq", num_buckets=8
+    )
+    v1 = t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 1, "y")], schema))
+    v2 = t.upsert(spark.createDataFrame([("a", 2, "x2"), ("c", 1, "z")], schema))
+    feed = {r["k"]: r for r in t.change_feed(spark, v1, v2).collect()}
+    assert feed["a"]["change_type"] == "update"
+    assert (feed["a"]["old_seq"], feed["a"]["new_seq"]) == (1, 2)
+    assert feed["c"]["change_type"] == "insert" and feed["c"]["old_seq"] is None
+    assert "b" not in feed
+    # identical replay (same seq): no feed rows at all
+    v3 = t.upsert(spark.createDataFrame([("a", 2, "x2")], schema))
+    assert t.change_feed(spark, v2, v3).count() == 0
+    # feed from "before the table existed" is the full state as inserts
+    full = {r["k"]: r["change_type"] for r in t.change_feed(spark, -1, v3).collect()}
+    assert full == {"a": "insert", "b": "insert", "c": "insert"}
