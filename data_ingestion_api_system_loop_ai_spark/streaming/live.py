@@ -227,6 +227,66 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    interval_ms: int | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: matched pairs emit as
+    they arrive; an UNMATCHED left row emits exactly once, null-padded,
+    when the global watermark (min across both inputs) passes its join
+    window — the point where no future right row could still match, so
+    the engine can prove the null. This is the streaming form of "every
+    event, with its paired event if one exists" that the inner join
+    (``stream_stream_interval_join``) cannot express.
+
+    The one structural difference from the inner form: EVERY predicate
+    — pair ordering and the exact ms bound included — lives in the JOIN
+    CONDITION. The inner variant applies them as post-filters, which is
+    equivalent there; on an outer join a post-filter referencing right
+    columns evaluates null for the padded rows and silently re-drops
+    them, turning the join back into an inner one. State sizing and
+    sharding are identical to the inner form (keyed by user_id +
+    time-range, expired by watermark)."""
+    l = (
+        left.select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("event_a"),
+            F.col("ts").cast("timestamp").alias("l_ts"),
+        )
+        .withColumn("l_ms", F.unix_millis("l_ts"))
+        .withWatermark("l_ts", delay)
+    )
+    r = (
+        right.select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("event_b"),
+            F.col("ts").cast("timestamp").alias("r_ts"),
+        )
+        .withColumn("r_ms", F.unix_millis("r_ts"))
+        .withWatermark("r_ts", delay)
+    )
+    from ..operators.timeseries import RANGE_JOIN_MS
+
+    if interval_ms is None:
+        interval_ms = RANGE_JOIN_MS
+    slack = interval_ms + 1
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - INTERVAL {slack} MILLISECOND"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {slack} MILLISECOND"))
+        & (F.col("event_a") < F.col("event_b"))
+        & (F.abs(F.col("l_ms") - F.col("r_ms")) <= F.lit(interval_ms))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col("l_user").alias("user_id"),
+        "event_a",
+        "event_b",
+        F.abs(F.col("l_ms") - F.col("r_ms")).alias("diff_ms"),
+    )
+
+
 def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id within the watermark horizon:
     ``dropDuplicates`` keeps per-key state only until the watermark

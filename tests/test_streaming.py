@@ -529,3 +529,51 @@ def test_streaming_sessionize_agrees_with_batch(spark, sf_dir):
         for r in q_streaming_sessionize(spark, sf_dir).collect()
     }
     assert batch == stream and len(batch) > 0
+
+
+def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
+    """Left-outer interval join: the matched pair emits with its diff;
+    the unmatched left row emits null-padded once the watermark (pushed
+    by a later file on BOTH inputs — the global watermark is the min)
+    proves no future right row can match. Rows still inside the
+    watermark horizon at termination stay pending and must NOT emit."""
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        stream_stream_interval_join_left,
+    )
+
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    ldir.mkdir(), rdir.mkdir()
+    t0 = 1_700_000_000
+
+    def w(path, rows, mtime):
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    w(str(ldir / "f1.json"),
+      [{"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:00:00.000"},
+       {"event_id": 2, "user_id": 2, "ts": "2024-01-01 00:00:00.000"}], t0)
+    w(str(rdir / "f1.json"),
+      [{"event_id": 10, "user_id": 1, "ts": "2024-01-01 00:00:00.200"}], t0)
+    # second trigger: push BOTH watermarks 2h forward (delay 10 min),
+    # expiring the first batch's state and flushing outer results
+    pusher = [{"event_id": 99, "user_id": 9, "ts": "2024-01-01 02:00:00.000"}]
+    w(str(ldir / "f2.json"), pusher, t0 + 10)
+    w(str(rdir / "f2.json"), pusher, t0 + 10)
+
+    schema = "event_id long, user_id long, ts timestamp"
+    src = lambda d: (  # noqa: E731
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    joined = stream_stream_interval_join_left(src(ldir), src(rdir), interval_ms=500)
+    name = run_stream_to_table(joined, output_mode="append")
+    got = {
+        (r["user_id"], r["event_a"]): (r["event_b"], r["diff_ms"])
+        for r in spark.table(name).collect()
+    }
+    assert got[(1, 1)] == (10, 200)          # matched within the interval
+    assert got[(2, 2)] == (None, None)       # proven unmatched -> null-padded
+    assert (9, 99) not in got                # watermark never passed it
+    assert len(got) == 2
