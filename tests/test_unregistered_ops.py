@@ -781,3 +781,60 @@ def test_tpch_battery_oracle_parity_and_plans(qname, oname, plan_frag, spark, sf
     finally:
         con.close()
     assert len(df.take(1)) == 1, f"{qname} returned no rows"
+
+
+def _ref_pagerank(edges, iterations=10, d=0.85):
+    """Independent driver-side PageRank for cross-checking the
+    distributed implementation on small graphs."""
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(rank[v] for v in nodes if v not in out)
+        nxt = {v: (1.0 - d) / n + d * dm / n for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nxt[t] += d * rank[s] / len(ts)
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_on_star_and_dangling(spark):
+    """Star graph (undirected) + a dangling node: ranks match an
+    independent computation within float tolerance, the hub outranks
+    the leaves, and total mass stays 1."""
+    from data_ingestion_api_system_loop_ai_spark.operators.components import pagerank
+
+    star = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)]
+    dangling = [(5, 1)]  # 5 points at the hub but has no in-edges back
+    edges = star + dangling
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=10
+        ).collect()
+    }
+    want = _ref_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    assert all(abs(got[v] - want[v]) < 1e-9 for v in want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[2] > got[5]  # hub > leaf > dangling-only node
+    assert abs(got[2] - got[3]) < 1e-12 and abs(got[3] - got[4]) < 1e-12
+
+
+def test_pagerank_over_near_dup_pairs(spark, sf_dir):
+    """PageRank runs over the real near-dup pair graph (both edge
+    directions) and conserves rank mass."""
+    from data_ingestion_api_system_loop_ai_spark.operators.components import pagerank
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import q_dedup_near
+
+    pairs = q_dedup_near(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a as src", "doc_b as dst").unionByName(
+        pairs.selectExpr("doc_b as src", "doc_a as dst")
+    )
+    ranks = pagerank(edges, iterations=5).collect()
+    assert len(ranks) > 0
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
