@@ -151,6 +151,29 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """CDC read over a serving-table directory: what changed between
+    two committed versions (default: the previous one and the latest),
+    one JSON line per changed key. The CLI face of
+    ``ServingTable.change_feed`` — O(changed buckets), not O(table)."""
+    from .streaming.serving import ServingTable
+
+    spark = _spark("cli-changes")
+    table = ServingTable(args.store, key_cols=["batch_id"], seq_col="drain_seq")
+    latest = table.latest_version()
+    if latest < 0:
+        print("no commits in store", file=sys.stderr)
+        return 1
+    v_to = latest if args.to_version is None else args.to_version
+    v_from = (v_to - 1) if args.from_version is None else args.from_version
+    feed = table.change_feed(spark, v_from, v_to)
+    if feed is None:
+        return 0
+    for r in feed.orderBy(*table.key_cols).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_api_system_loop_ai_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -184,6 +207,12 @@ def build_parser() -> argparse.ArgumentParser:
     pi.set_defaults(fn=cmd_ingest)
 
     sub.add_parser("health").set_defaults(fn=cmd_health)
+
+    pg = sub.add_parser("changes")
+    pg.add_argument("store", help="serving table directory")
+    pg.add_argument("--from-version", type=int, default=None)
+    pg.add_argument("--to-version", type=int, default=None)
+    pg.set_defaults(fn=cmd_changes)
 
     pc = sub.add_parser("compact")
     pc.add_argument("src")

@@ -142,3 +142,31 @@ def test_cli_status_from_store(spark, tmp_path, capsys):
 
     assert main(["status", "nope", "--store", table.path]) == 1
     assert capsys.readouterr().out.strip() == '{"error":"Ingestion ID not found."}'
+
+
+def test_cli_changes_reports_cdc_rows(spark, tmp_path, capsys):
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    schema = "k string, seq long, val string"
+    store = str(tmp_path / "cdc_store")
+    t = ServingTable(store, key_cols=["k"], seq_col="seq", num_buckets=4)
+    t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 1, "y")], schema))
+    t.upsert(spark.createDataFrame([("a", 2, "x2"), ("c", 1, "z")], schema))
+    # the command reopens the store cold: key/seq/bucket config must come
+    # from the pinned on-disk table config, not the CLI's defaults
+    assert main(["changes", store]) == 0
+    rows = [
+        json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()
+    ]
+    got = {r["k"]: r["change_type"] for r in rows}
+    assert got == {"a": "update", "c": "insert"}
+    # explicit full-history window: everything is an insert
+    assert main(["changes", store, "--from-version", "-1"]) == 0
+    rows = [
+        json.loads(l) for l in capsys.readouterr().out.splitlines() if l.strip()
+    ]
+    assert {r["k"]: r["change_type"] for r in rows} == {
+        "a": "insert", "b": "insert", "c": "insert",
+    }
