@@ -179,6 +179,81 @@ def parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def footer_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` read from parquet FOOTERS — no data
+    scan, O(files) metadata reads. This is the statistics source a
+    skipping scan actually consults; ``file_column_ranges`` below
+    recomputes the same numbers BY scanning and exists to cross-check
+    this function in tests.
+
+    Driver-side loop over the file listing: the maintenance-time scale
+    path is an INCREMENTAL stats table (append one row per file as the
+    writer lands it — what lakehouse manifests store); rebuilding from
+    footers is the recovery/bootstrap path, and at 100 TB it would be
+    distributed over the file list, not looped here."""
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for f in parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        entry: dict = {"file": f, "rows": md.num_rows}
+        for c in cols:
+            j = names.index(c)
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            entry[f"{c}_min"] = min(mins) if mins else None
+            entry[f"{c}_max"] = max(maxs) if maxs else None
+        rows.append(entry)
+    return rows
+
+
+def prune_files(
+    path: str, col: str, lo=None, hi=None
+) -> tuple[list[str], int]:
+    """Files whose footer [min, max] range on ``col`` overlaps
+    [lo, hi] (None = unbounded; files without stats are kept — skipping
+    must never be lossy). Returns (selected files, total files)."""
+    stats = footer_stats(path, [col])
+    selected = []
+    for s in stats:
+        mn, mx = s[f"{col}_min"], s[f"{col}_max"]
+        if mn is None or mx is None:
+            selected.append(s["file"])
+            continue
+        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            selected.append(s["file"])
+    return selected, len(stats)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """Range scan with FILE-LEVEL skipping done before Spark plans: the
+    file list shrinks to the overlapping files (footer stats), then the
+    residual predicate still applies row-exactly — identical results to
+    a full scan + filter, minus the opens/footers/row-groups of files
+    that provably contain no match. The residual filter also pushes
+    down, so parquet row-group pruning stacks on top of the file-level
+    skip (clustered layouts from ``rewrite_sorted``/``rewrite_zorder``
+    make both levels selective)."""
+    files, _total = prune_files(path, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def file_column_ranges(spark: SparkSession, path: str, col: str) -> DataFrame:
     """Per-file min/max of ``col`` — the footer statistics a skipping
     scan consults, recomputed as a DataFrame for tests/inspection."""

@@ -103,3 +103,47 @@ def test_sorted_rewrite_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
     before = Counter(map(str, spark.read.parquet(src).collect()))
     after = Counter(map(str, spark.read.parquet(dst).collect()))
     assert before == after
+
+
+def test_footer_stats_prune_and_read(spark, sf_dir, tmp_path):
+    """Footer-derived min/max agrees with a scan-computed check; a range
+    read prunes the file list before Spark plans the scan and still
+    returns exactly the full-scan-filter result."""
+    from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+        footer_stats,
+        prune_files,
+        read_pruned,
+    )
+
+    src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag_fs"))
+    dst = str(tmp_path / "sorted_fs")
+    rewrite_sorted(spark, src, dst, ["event_id"], target_file_bytes=32 * 1024)
+
+    stats = {s["file"]: s for s in footer_stats(dst, ["event_id"])}
+    scanned = {
+        r["file"].replace("file://", ""): r
+        for r in file_column_ranges(spark, dst, "event_id").collect()
+    }
+    assert len(stats) == len(scanned) >= 2
+    for f, s in stats.items():
+        assert (s["event_id_min"], s["event_id_max"]) == (
+            scanned[f]["min_v"], scanned[f]["max_v"],
+        )
+
+    full = spark.read.parquet(dst)
+    lo = full.agg(F.expr("percentile(event_id, 0.4)")).first()[0]
+    hi = full.agg(F.expr("percentile(event_id, 0.6)")).first()[0]
+    lo, hi = int(lo), int(hi)
+    selected, total = prune_files(dst, "event_id", lo, hi)
+    assert 0 < len(selected) < total  # skipping actually skipped files
+    got = Counter(
+        map(str, read_pruned(spark, dst, "event_id", lo, hi).collect())
+    )
+    want = Counter(
+        map(
+            str,
+            full.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+            .collect(),
+        )
+    )
+    assert got == want and len(want) > 0

@@ -146,3 +146,61 @@ def test_prefix_agg_matches_serial_running_max(spark, rows, width):
     for k, v in sorted(rows):
         assert got[k] == best
         best = v if best is None else max(best, v)
+
+
+def _py_span_dedup(texts, k):
+    """Pure-Python first-occurrence span dedup (independent reference)."""
+    import re
+
+    seen = {}
+    spans_by_doc = {}
+    for doc_id, text in sorted(texts):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        spans = [
+            " ".join(toks[i : i + k]) for i in range(0, len(toks), k)
+        ]
+        spans_by_doc[doc_id] = spans
+        for no, s in enumerate(spans):
+            seen.setdefault(s, (doc_id, no))
+    out = {}
+    for doc_id, spans in spans_by_doc.items():
+        kept = [
+            s for no, s in enumerate(spans) if seen[s] == (doc_id, no)
+        ]
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_matches_python_reference(spark, texts):
+    """q_dedup_spans agrees with an independent driver-side model on
+    arbitrary tiny-alphabet corpora (high span-collision rate by
+    construction — tokens from {a, b, c} make cross-doc duplicate spans
+    common, empty docs and short tails included)."""
+    import os
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    want = {
+        d: v
+        for d, v in _py_span_dedup(rows, dd.SPAN_K).items()
+        if v[0] > 0  # docs with zero spans drop out of the totals base
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: (r["n_spans_total"], r["n_spans_kept"], r["dedup_text"])
+            for r in dd.q_dedup_spans(spark, tmp).collect()
+        }
+    assert got == want

@@ -838,3 +838,32 @@ def test_pagerank_over_near_dup_pairs(spark, sf_dir):
     ranks = pagerank(edges, iterations=5).collect()
     assert len(ranks) > 0
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """percentile_approx (the one-pass mergeable quantile sketch — the
+    scale path where exact percentile would need a full sort) respects
+    its documented rank-error bound 1/accuracy against the exact rank."""
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    acc = 100
+    qs = [0.25, 0.5, 0.75, 0.95]
+    row = li.agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array({','.join(map(str, qs))}),"
+            f" {acc})"
+        ).alias("approx")
+    ).first()
+    n = li.count()
+    checks = li.agg(
+        *[
+            F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("long")).alias(
+                f"le_{i}"
+            )
+            for i, v in enumerate(row["approx"])
+        ]
+    ).first()
+    for i, q in enumerate(qs):
+        rank = checks[f"le_{i}"]
+        assert abs(rank - q * n) <= n / acc + 1, (q, rank, n)
