@@ -467,6 +467,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPAN_K = 16
+# (doc_id, span_no) packs into one long for a hash-aggregable first-
+# occurrence min: 2^20 span slots per doc = 16M-token documents at
+# SPAN_K=16 before overflow, with doc_id headroom to 2^43
+_SPAN_PACK = 1 << 20
 
 
 def _doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,22 +506,28 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup that whole-doc hashing (q_dedup_exact) cannot see.
 
     100 TB shape: spans explode ~n_tokens/K rows; the winner pick is
-    ONE hash shuffle on the span text with map-side partial min
-    (``min(struct(doc_id, span_no))`` combines associatively), and the
-    winners themselves ARE the surviving spans, so reassembly is one
-    further shuffle keyed by doc_id. No join back to the exploded
-    relation, no window over the corpus. Span keys are uniformly
-    distributed (full 16-token text as key) — no hot-key skew; a
-    production run would hash spans to 128-bit digests to shrink
-    shuffle payload, at the cost of oracle comparability here."""
+    ONE hash shuffle on the span text with map-side partial min — the
+    (doc_id, span_no) order is PACKED into a single long
+    (``doc_id * 2^20 + span_no``, numerically equal to the
+    lexicographic order) so the aggregate is a plain ``min(long)``
+    HashAggregate, not the SortAggregate a ``min(struct)`` would force
+    (struct min is sort-based, paying a per-partition sort on the span
+    keys) — and the winners themselves ARE the surviving spans, so
+    reassembly is one further shuffle keyed by doc_id. No join back to
+    the exploded relation, no window over the corpus. Span keys are
+    uniformly distributed (full 16-token text as key) — no hot-key
+    skew; a production run would hash spans to 128-bit digests to
+    shrink shuffle payload, at the cost of oracle comparability here."""
     spans = _doc_spans(spark, sf_dir)
     totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans_total"))
     winners = (
         spans.groupBy("span")
-        .agg(F.min(F.struct("doc_id", "span_no")).alias("w"))
+        .agg(
+            F.min(F.col("doc_id") * _SPAN_PACK + F.col("span_no")).alias("w")
+        )
         .select(
-            F.col("w.doc_id").alias("doc_id"),
-            F.col("w.span_no").alias("span_no"),
+            F.expr(f"w div {_SPAN_PACK}").alias("doc_id"),
+            (F.col("w") % _SPAN_PACK).cast("int").alias("span_no"),
             "span",
         )
     )

@@ -303,6 +303,35 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via the Spark 4 VARIANT type: ``parse_json``
+    decodes ``events.props`` ONCE into the binary variant encoding, and
+    every extraction after that is a typed ``variant_get`` path lookup
+    on the decoded form — at N extractions per row this beats
+    ``get_json_object`` (q_scalar_funcs' form), which re-parses the
+    JSON string per call. Shape here: parse -> typed extract -> grouped
+    aggregate, all JVM-side. (Unregistered — 50-slot cap; driver-grade
+    DuckDB parity via json_extract in tests/test_unregistered_ops.py.)"""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )
+
+
+VARIANT_PROPS_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_distinct_k
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q_scan_filter_project": q_scan_filter_project,
     "q_join_broadcast": q_join_broadcast,

@@ -867,3 +867,21 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     for i, q in enumerate(qs):
         rank = checks[f"le_{i}"]
         assert abs(rank - q * n) <= n / acc + 1, (q, rank, n)
+
+
+def test_variant_props_oracle_parity(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured path (parse_json + typed
+    variant_get) agrees with DuckDB's json_extract at driver grade."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+        VARIANT_PROPS_ORACLE,
+        q_variant_props,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_variant_props(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, VARIANT_PROPS_ORACLE)
+    finally:
+        con.close()
