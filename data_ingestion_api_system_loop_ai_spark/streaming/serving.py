@@ -131,19 +131,47 @@ class ServingTable:
     def _manifest_file(self, version: int) -> str:
         return os.path.join(self.path, f"v={version}", _MANIFEST)
 
-    def _manifest(self, version: int) -> dict[int, int] | None:
-        """bucket -> version whose ``v=<version>/bucket=<b>`` directory
-        holds that bucket's current rows."""
+    def _manifest_raw(self, version: int) -> dict | None:
         try:
             with open(self._manifest_file(version)) as f:
-                return {int(k): int(v) for k, v in json.load(f).items()}
+                return json.load(f)
         except FileNotFoundError:
             return None
+
+    def _manifest(self, version: int) -> dict[int, int] | None:
+        """bucket -> version whose ``v=<version>/bucket=<b>`` directory
+        holds that bucket's current rows. Two on-disk forms: the legacy
+        flat {bucket: version} map, and the current
+        {"buckets": ..., "num_buckets": N} envelope (the envelope makes
+        the bucket COUNT part of the atomically-committed version, so
+        ``rebucket`` can change it under the same pointer-swap
+        guarantee as any data commit)."""
+        raw = self._manifest_raw(version)
+        if raw is None:
+            return None
+        buckets = raw["buckets"] if "buckets" in raw else raw
+        return {int(k): int(v) for k, v in buckets.items()}
+
+    def _refresh_placement(self, version: int) -> None:
+        """Adopt the bucket count the given version was committed with
+        (envelope manifests only; legacy manifests keep the config
+        value). Called before any operation that hashes keys to
+        buckets, so a reader/writer that opened the table before a
+        rebucket still routes correctly after it."""
+        raw = self._manifest_raw(version)
+        if raw is not None and "num_buckets" in raw:
+            self.num_buckets = int(raw["num_buckets"])
 
     def _write_manifest(self, version: int, manifest: dict[int, int]) -> None:
         os.makedirs(os.path.join(self.path, f"v={version}"), exist_ok=True)
         with open(self._manifest_file(version), "w") as f:
-            json.dump({str(k): v for k, v in sorted(manifest.items())}, f)
+            json.dump(
+                {
+                    "buckets": {str(k): v for k, v in sorted(manifest.items())},
+                    "num_buckets": self.num_buckets,
+                },
+                f,
+            )
 
     def _bucket_dir(self, bucket: int, version: int) -> str:
         return os.path.join(self.path, f"v={version}", f"{BUCKET_COL}={bucket}")
@@ -201,6 +229,7 @@ class ServingTable:
         manifest = self._manifest(v) or {}
         if not manifest:
             return None
+        self._refresh_placement(v)
         if set(self.bucket_cols) <= set(key_values):
             b = (
                 spark.range(1)
@@ -299,6 +328,8 @@ class ServingTable:
         spark = batch_df.sparkSession
         cur_v = self.latest_version()
         manifest = (self._manifest(cur_v) or {}) if cur_v >= 0 else {}
+        if cur_v >= 0:
+            self._refresh_placement(cur_v)
         batch = batch_df.withColumn(BUCKET_COL, self._bucket_expr())
         touched = sorted(
             r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
@@ -332,6 +363,61 @@ class ServingTable:
         self._write_manifest(next_v, new_manifest)
         self._save_config()
         self._commit(next_v)
+        self._vacuum(next_v)
+        return next_v
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Change the table's bucket count — the maintenance escape
+        hatch when state outgrows the original layout (a bucket should
+        stay ~hundreds of MB; state that grew 100x needs 100x the
+        buckets for upserts and point lookups to stay O(bucket)).
+
+        One deliberate O(table) rewrite: every row re-hashes into the
+        new bucket space under version N+1, whose manifest records the
+        NEW count — the bucket count rides the same atomic pointer swap
+        as the data, so a crash anywhere mid-rebucket leaves the old
+        count and old directories live, and a reader that opened the
+        table before the rebucket re-adopts the committed count on its
+        next operation (``_refresh_placement``). The pinned config file
+        is refreshed after the commit purely as the cold-open default;
+        correctness never depends on it once an envelope manifest
+        exists."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        cur_v = self.latest_version()
+        cur = self.current(spark)
+        if cur is None:
+            self.num_buckets = new_num_buckets
+            return cur_v
+        self.num_buckets = new_num_buckets
+        next_v = cur_v + 1
+        rehashed = cur.withColumn(BUCKET_COL, self._bucket_expr())
+        touched = sorted(
+            r[BUCKET_COL] for r in rehashed.select(BUCKET_COL).distinct().collect()
+        )
+        (
+            rehashed.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, f"v={next_v}"))
+        )
+        # fresh manifest: every live bucket lives in the new version;
+        # nothing references older directories
+        self._write_manifest(next_v, {int(b): next_v for b in touched})
+        self._commit(next_v)
+        cfg_path = os.path.join(self.path, _CONFIG)
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "key_cols": self.key_cols,
+                    "seq_col": self.seq_col,
+                    "num_buckets": self.num_buckets,
+                    "bucket_cols": self.bucket_cols,
+                },
+                f,
+            )
+        os.replace(tmp, cfg_path)
         self._vacuum(next_v)
         return next_v
 

@@ -308,3 +308,35 @@ def test_change_feed_between_versions(spark, tmp_path):
     # feed from "before the table existed" is the full state as inserts
     full = {r["k"]: r["change_type"] for r in t.change_feed(spark, -1, v3).collect()}
     assert full == {"a": "insert", "b": "insert", "c": "insert"}
+
+
+def test_rebucket_scales_layout_and_keeps_serving(spark, tmp_path):
+    """Rebucketing rewrites the table under a new bucket count committed
+    WITH the version (manifest envelope): point lookups and upserts
+    route by the new hash space afterwards — including from a handle
+    opened before the rebucket — and the change feed across the
+    rebucket version is empty (same keys, same seqs, relocated)."""
+    schema = "k string, seq long, val string"
+    t = ServingTable(
+        str(tmp_path / "rb"), key_cols=["k"], seq_col="seq", num_buckets=2
+    )
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(20)]
+    t.upsert(spark.createDataFrame(rows, schema))
+    stale = ServingTable(str(tmp_path / "rb"), key_cols=["k"], seq_col="seq")
+    v_before = t.latest_version()
+    v_re = t.rebucket(spark, 8)
+    assert v_re == v_before + 1 and t.num_buckets == 8
+    # data intact, relocated: CDC across the rebucket sees no key change
+    assert t.change_feed(spark, v_before, v_re).count() == 0
+    # lookups route through the NEW hash space
+    for key in ("k3", "k17"):
+        got = t.lookup(spark, k=key).collect()
+        assert len(got) == 1 and got[0]["val"] == "v" + key[1:]
+    # a pre-rebucket handle adopts the committed count on its next op
+    stale.upsert(spark.createDataFrame([("k3", 2, "v3b")], schema))
+    assert stale.num_buckets == 8
+    assert t.lookup(spark, k="k3").collect()[0]["val"] == "v3b"
+    # a cold open reads the refreshed config default
+    cold = ServingTable(str(tmp_path / "rb"), key_cols=["k"], seq_col="seq")
+    assert cold.num_buckets == 8
+    assert cold.lookup(spark, k="k17").collect()[0]["val"] == "v17"
