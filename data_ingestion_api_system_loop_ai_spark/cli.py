@@ -174,6 +174,21 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    """Scale a serving store's bucket count (one deliberate O(table)
+    rewrite; see ``ServingTable.rebucket``)."""
+    from .streaming.serving import ServingTable
+
+    spark = _spark("cli-rebucket")
+    table = ServingTable(args.store, key_cols=["batch_id"], seq_col="drain_seq")
+    if table.latest_version() < 0:
+        print("no commits in store", file=sys.stderr)
+        return 1
+    v = table.rebucket(spark, args.num_buckets)
+    print(json.dumps({"version": v, "num_buckets": table.num_buckets}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_api_system_loop_ai_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -213,6 +228,11 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--from-version", type=int, default=None)
     pg.add_argument("--to-version", type=int, default=None)
     pg.set_defaults(fn=cmd_changes)
+
+    pb = sub.add_parser("rebucket")
+    pb.add_argument("store", help="serving table directory")
+    pb.add_argument("num_buckets", type=int)
+    pb.set_defaults(fn=cmd_rebucket)
 
     pc = sub.add_parser("compact")
     pc.add_argument("src")

@@ -170,3 +170,20 @@ def test_cli_changes_reports_cdc_rows(spark, tmp_path, capsys):
     assert {r["k"]: r["change_type"] for r in rows} == {
         "a": "insert", "b": "insert", "c": "insert",
     }
+
+
+def test_cli_rebucket_scales_store(spark, tmp_path, capsys):
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    schema = "k string, seq long, val string"
+    store = str(tmp_path / "rb_store")
+    t = ServingTable(store, key_cols=["k"], seq_col="seq", num_buckets=2)
+    t.upsert(spark.createDataFrame([(f"k{i}", 1, "v") for i in range(12)], schema))
+    assert main(["rebucket", store, "8"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_buckets"] == 8
+    cold = ServingTable(store, key_cols=["k"], seq_col="seq")
+    assert cold.num_buckets == 8
+    assert cold.lookup(spark, k="k7").collect()[0]["val"] == "v"

@@ -885,3 +885,17 @@ def test_variant_props_oracle_parity(spark, sf_dir):
         compare(df, con, VARIANT_PROPS_ORACLE)
     finally:
         con.close()
+
+
+def test_media_features_arrow_matches_pandas_form(spark, sf_dir):
+    """mapInArrow and mapInPandas forms of the media feature extraction
+    produce identical rows (same stub, two Python batch surfaces)."""
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        q_media_features_arrow,
+    )
+
+    a = Counter(map(str, q_media_features_arrow(spark, sf_dir).collect()))
+    p = Counter(map(str, q_media_features(spark, sf_dir).collect()))
+    assert a == p and len(a) > 0
