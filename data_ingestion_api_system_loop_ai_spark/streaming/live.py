@@ -41,6 +41,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -294,6 +295,49 @@ def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     q_dedup_exact's hash-groupBy."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
+class DrainMetricsListener(StreamingQueryListener):
+    """Per-batch observability for the streaming layer — the engine's
+    structured replacement for the reference's console logging of every
+    drain step (``ingestService.js:59,72,79,208`` logs batch starts,
+    processed ids, and completions to stdout). A
+    ``StreamingQueryListener`` runs on the listener bus OFF the query
+    thread, so collection costs the drain nothing; metrics arrive as
+    the engine's own progress telemetry (rows per batch, batch
+    duration, state rows) rather than print statements inside the hot
+    loop. ``for_query(query_id)`` filters to one stream when several
+    run on the session."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self.batches.append(
+            {
+                "query_id": str(p.id),
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                "state_rows": sum(
+                    s.numRowsTotal for s in (p.stateOperators or [])
+                ),
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self.terminated.append(str(event.id))
+
+    def for_query(self, query_id: str) -> list[dict]:
+        return [b for b in self.batches if b["query_id"] == str(query_id)]
 
 
 def q_streaming_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -577,3 +577,62 @@ def test_stream_stream_left_outer_join_emits_null_padded_rows(spark, tmp_path):
     assert got[(2, 2)] == (None, None)       # proven unmatched -> null-padded
     assert (9, 99) not in got                # watermark never passed it
     assert len(got) == 2
+
+
+def test_drain_metrics_listener_observes_batches(spark, tmp_path):
+    """The metrics listener captures every micro-batch of a drain off
+    the query thread: input-row totals equal the requests fed in, and
+    termination is observed. (The reference console-logs each drain
+    step; here the same telemetry is structured progress data.)"""
+    import time
+
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        DrainMetricsListener,
+    )
+
+    req_dir = tmp_path / "mreqs"
+    req_dir.mkdir()
+    t0 = 1_700_000_000
+    _write_request_file(
+        str(req_dir / "f1.json"),
+        [{"request_id": "1", "priority": "LOW", "created_at_ms": 1000,
+          "ids": [1, 2, 3]}],
+        t0,
+    )
+    _write_request_file(
+        str(req_dir / "f2.json"),
+        [{"request_id": "2", "priority": "HIGH", "created_at_ms": 2000,
+          "ids": [10]}],
+        t0 + 10,
+    )
+    listener = DrainMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        schema = requests_json_stream(spark, str(req_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(req_dir))
+        )
+        q = (
+            live_priority_drain(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("metrics_drain")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qid = q.id
+        q.awaitTermination()
+        # listener bus is async: wait for the termination event to land
+        for _ in range(100):
+            if str(qid) in listener.terminated:
+                break
+            time.sleep(0.1)
+        batches = listener.for_query(qid)
+        assert len(batches) >= 2  # one per input file
+        assert sum(b["num_input_rows"] for b in batches) == 2
+        assert all(b["duration_ms"] is not None for b in batches)
+        assert str(qid) in listener.terminated
+    finally:
+        spark.streams.removeListener(listener)
