@@ -692,3 +692,94 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking, adapted): orders in a
+    half-year window with at least one late line (shipped >60 days
+    after the order date — the synthetic lineitem has no
+    commit/receipt dates), counted by priority. The plain correlated
+    EXISTS: RewritePredicateSubquery plans a LEFT SEMI on orderkey with
+    the lateness predicate as join condition, so lineitem is touched
+    once, not once per order. The date-window filter sits on the
+    orders SCAN (pushed down) before the join. (Unregistered: 50-slot
+    cap; driver-grade DuckDB parity + LeftSemi plan assert.)"""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+SELECT o_orderpriority, count(*) AS order_count
+FROM q4_orders
+WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP_NTZ '1996-07-01 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM q4_lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '60' DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted): suppliers who
+    hold an outsized share of some part — a (supplier, part) pair
+    carrying more than a sixth of that part's total shipped quantity
+    (the half-share rule of the original is empty on this evenly
+    spread synthetic data) — via an IN subquery whose
+    body contains a CORRELATED SCALAR subquery (the per-part total).
+    The composite decorrelation shape the battery lacked: Catalyst
+    must decorrelate the scalar into an aggregate-join INSIDE the IN
+    relation, then turn the IN into a LEFT SEMI — two rewrites
+    stacked. Quantities compare as scaled longs and the half-threshold
+    is the integer-exact ``6*q > total`` (no fractional double
+    multiply to tie-break wrong). The synthetic schema has no partsupp; shipped
+    lineitem quantities play the availqty role. (Unregistered: 50-slot
+    cap; driver-grade DuckDB parity + plan assert.)"""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q20_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    return spark.sql(
+        """
+SELECT s_suppkey, s_name
+FROM q20_supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (SELECT l_suppkey, l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+        FROM q20_lineitem GROUP BY l_suppkey, l_partkey) pair
+  WHERE 6 * q > (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                 FROM q20_lineitem l2
+                 WHERE l2.l_partkey = pair.l_partkey))
+ORDER BY s_suppkey
+"""
+    )
+
+
+TPCH_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM (SELECT l_suppkey, l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+        FROM lineitem GROUP BY l_suppkey, l_partkey) pair
+  WHERE 6 * q > (SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                 FROM lineitem l2
+                 WHERE l2.l_partkey = pair.l_partkey))
+ORDER BY s_suppkey
+"""

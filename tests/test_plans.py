@@ -160,3 +160,23 @@ def test_q17_subquery_is_decorrelated(spark, sf_dir):
     # the subquery became a grouped aggregate on the correlation key
     assert "partial_avg" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_span_dedup_winner_pick_is_hash_aggregated(spark, sf_dir):
+    """The first-occurrence pick must stay a HashAggregate over the
+    packed (doc_id, span_no) long: a min(struct) would silently fall
+    back to SortAggregate and pay a per-partition sort on the span
+    keys. Exactly two exchanges: winners by span, reassembly by doc_id
+    (plus the totals join's own doc_id exchange under AQE reuse)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_spans,
+    )
+
+    df = q_dedup_spans(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan  # engine-wide lint holds here too

@@ -899,3 +899,31 @@ def test_media_features_arrow_matches_pandas_form(spark, sf_dir):
     a = Counter(map(str, q_media_features_arrow(spark, sf_dir).collect()))
     p = Counter(map(str, q_media_features(spark, sf_dir).collect()))
     assert a == p and len(a) > 0
+
+
+@pytest.mark.parametrize(
+    "qname, oname, plan_frag",
+    [
+        ("q_tpch_q4", "TPCH_Q4_ORACLE", "LeftSemi"),
+        ("q_tpch_q20", "TPCH_Q20_ORACLE", "LeftSemi"),
+    ],
+)
+def test_tpch_q4_q20_oracle_parity_and_plans(qname, oname, plan_frag, spark, sf_dir):
+    """Q4 (plain correlated EXISTS) and Q20 (correlated scalar nested
+    inside an IN — two decorrelation rewrites stacked): values match
+    DuckDB, plans are semi joins, never per-row re-scans."""
+    from data_ingestion_api_system_loop_ai_spark.operators import relational_ext as rx
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = getattr(rx, qname)(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan_frag in plan, f"{qname}: {plan_frag} not in plan"
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, getattr(rx, oname))
+    finally:
+        con.close()
+    assert len(df.take(1)) == 1, f"{qname} returned no rows"
