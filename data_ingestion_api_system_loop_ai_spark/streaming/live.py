@@ -297,6 +297,26 @@ def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store — the
+    production backend once keyed state outgrows executor heap. The
+    default HDFSBackedStateStoreProvider keeps every key of every
+    stateful operator in JVM memory (fine for the drain's bounded
+    queue; fatal for, say, stream-stream join state over a day's
+    watermark at 100 TB ingest); RocksDB spills to executor-local disk
+    with incremental snapshot checkpointing, bounding heap by the
+    working set. Session-level conf, read at each query's start — set
+    before ``start()``; running queries keep their provider."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+
+
 class DrainMetricsListener(StreamingQueryListener):
     """Per-batch observability for the streaming layer — the engine's
     structured replacement for the reference's console logging of every

@@ -95,3 +95,45 @@ def test_training_shards_bound_records_per_file(spark, sf_dir, tmp_path):
         if pq.read_table(f, columns=["source"]).column("source").to_pylist().count(src) > 0
     )
     assert hit > 1
+
+
+def test_ingest_wire_data_source(spark, tmp_path):
+    """The Spark 4 Python Data Source connector for the reference's
+    ingest wire format: fixed schema (no inference), one input
+    partition per capture file (per-file parallel read), rows equal to
+    the native JSON reader, and malformed lines fail with file+line
+    attribution instead of silent nulls."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.sources.wire_source import (
+        WIRE_SCHEMA,
+        IngestWireDataSource,
+    )
+
+    spark.dataSource.register(IngestWireDataSource)
+    d = tmp_path / "wire"
+    d.mkdir()
+    rows = [
+        {"request_id": "1", "priority": "LOW", "created_at_ms": 10, "ids": [1, 2]},
+        {"request_id": "2", "priority": "HIGH", "created_at_ms": 20, "ids": [9]},
+        {"request_id": "3", "priority": None, "created_at_ms": None, "ids": None},
+    ]
+    for i, r in enumerate(rows):
+        with open(d / f"f{i}.jsonl", "w") as f:
+            f.write(_json.dumps(r) + "\n")
+
+    df = spark.read.format("ingestwire").load(str(d))
+    assert df.rdd.getNumPartitions() == 3  # one partition per capture file
+    got = {r["request_id"]: r.asDict() for r in df.collect()}
+    want = {
+        r["request_id"]: r.asDict()
+        for r in spark.read.schema(WIRE_SCHEMA).json(str(d)).collect()
+    }
+    assert got == want and len(got) == 3
+
+    with open(d / "bad.jsonl", "w") as f:
+        f.write('{"request_id": "4", truncated\n')
+    with _pytest.raises(Exception, match="bad.jsonl:1"):
+        spark.read.format("ingestwire").load(str(d)).collect()

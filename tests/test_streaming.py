@@ -636,3 +636,45 @@ def test_drain_metrics_listener_observes_batches(spark, tmp_path):
         assert str(qid) in listener.terminated
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The streaming tumbling aggregation under the RocksDB state store
+    produces exactly the default-provider result, and the progress
+    metrics prove RocksDB actually held the state (the provider is the
+    scale path once keyed state outgrows executor heap)."""
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        tumbling_agg,
+        use_rocksdb_state,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        q = (
+            tumbling_agg(events_stream(spark, sf_dir))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_tumbling")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        assert any(
+            "rocksdb" in m.lower()
+            for op in progress["stateOperators"]
+            for m in (op.get("customMetrics") or {})
+        ), "RocksDB provider did not engage"
+        got = Counter(
+            map(str, spark.table("rocksdb_tumbling").collect())
+        )
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    name = run_stream_to_table(tumbling_agg(events_stream(spark, sf_dir)))
+    want = Counter(map(str, spark.table(name).collect()))
+    assert got == want and len(want) > 0
