@@ -28,7 +28,13 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 # the POST /ingest body plus capture metadata; matches
 # schemas.REQUEST_WIRE_SCHEMA's field names
@@ -51,13 +57,27 @@ class IngestWireReader(DataSourceReader):
     def partitions(self):
         """One input partition per capture file — files are the wire
         format's natural parallelism unit (one HTTP capture shard
-        each); a directory of N files fans out to N executor tasks."""
+        each); a directory of N files fans out to N executor tasks.
+        A ``_SUCCESS`` manifest (written by ``IngestWireWriter``)
+        takes precedence over the raw listing, so part files from a
+        torn job (crash before commit) are never read; raw capture
+        directories without a manifest list as-is."""
         if os.path.isdir(self.path):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if not f.startswith(("_", "."))
-            )
+            manifest = os.path.join(self.path, "_SUCCESS")
+            names = None
+            if os.path.exists(manifest):
+                try:
+                    with open(manifest) as f:
+                        names = json.load(f).get("files")
+                except (json.JSONDecodeError, OSError):
+                    names = None
+            if names is None:
+                names = sorted(
+                    f
+                    for f in os.listdir(self.path)
+                    if not f.startswith(("_", "."))
+                )
+            files = [os.path.join(self.path, f) for f in sorted(names)]
         else:
             files = [self.path]
         return [_WireFilePartition(f) for f in files]
@@ -86,6 +106,76 @@ class IngestWireReader(DataSourceReader):
                 )
 
 
+class _WireCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class IngestWireWriter(DataSourceWriter):
+    """Task-side JSONL writer with a two-phase commit: every task lands
+    a uniquely-named part file (no cross-task coordination), and the
+    driver's ``commit`` publishes the job atomically-enough for the
+    format — a ``_SUCCESS`` manifest naming exactly the committed part
+    files and, in overwrite mode, removing the files of prior jobs
+    only after all tasks succeeded. ``abort`` deletes this job's
+    files; a reader that honors the manifest never sees a torn job."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ingestwire requires a path")
+        self.overwrite = overwrite
+        self.preexisting = (
+            sorted(
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".jsonl") and not f.startswith(("_", "."))
+            )
+            if os.path.isdir(self.path)
+            else []
+        )
+
+    def write(self, iterator) -> _WireCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                if d.get("ids") is not None:
+                    d["ids"] = list(d["ids"])
+                f.write(json.dumps(d, separators=(",", ":")) + "\n")
+                n += 1
+        return _WireCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in self.preexisting:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_SUCCESS.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.path))
+            except FileNotFoundError:
+                pass
+
+
 class IngestWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -96,3 +186,6 @@ class IngestWireDataSource(DataSource):
 
     def reader(self, schema) -> IngestWireReader:
         return IngestWireReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> IngestWireWriter:
+        return IngestWireWriter(self.options, overwrite)

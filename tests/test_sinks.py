@@ -137,3 +137,44 @@ def test_ingest_wire_data_source(spark, tmp_path):
         f.write('{"request_id": "4", truncated\n')
     with _pytest.raises(Exception, match="bad.jsonl:1"):
         spark.read.format("ingestwire").load(str(d)).collect()
+
+
+def test_ingest_wire_writer_round_trip_and_overwrite(spark, tmp_path):
+    """The connector's write side: tasks land unique part files, commit
+    publishes a _SUCCESS manifest naming exactly the committed files
+    (reader honors it, so torn jobs are invisible), and overwrite mode
+    replaces the previous job's data only after success."""
+    import json as _json
+    import os as _os
+
+    from data_ingestion_api_system_loop_ai_spark.sources.wire_source import (
+        IngestWireDataSource,
+    )
+
+    spark.dataSource.register(IngestWireDataSource)
+    out = str(tmp_path / "wire_out")
+    df1 = spark.createDataFrame(
+        [("1", "LOW", 10, [1, 2]), ("2", "HIGH", 20, [9])],
+        "request_id string, priority string, created_at_ms long, ids array<int>",
+    )
+    df1.write.format("ingestwire").mode("append").save(out)
+    manifest = _json.load(open(_os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 2 and len(manifest["files"]) >= 1
+
+    back = spark.read.format("ingestwire").load(out)
+    assert {r["request_id"]: r.asDict() for r in back.collect()} == {
+        r["request_id"]: r.asDict() for r in df1.collect()
+    }
+
+    # a stray file from a torn job is ignored because the manifest rules
+    with open(_os.path.join(out, "part-torn.jsonl"), "w") as f:
+        f.write('{"request_id":"99","priority":"LOW","created_at_ms":1,"ids":[]}\n')
+    assert spark.read.format("ingestwire").load(out).count() == 2
+
+    df2 = spark.createDataFrame(
+        [("3", "MEDIUM", 30, [7])],
+        "request_id string, priority string, created_at_ms long, ids array<int>",
+    )
+    df2.write.format("ingestwire").mode("overwrite").save(out)
+    rows = spark.read.format("ingestwire").load(out).collect()
+    assert [r["request_id"] for r in rows] == ["3"]
