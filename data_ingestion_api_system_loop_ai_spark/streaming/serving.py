@@ -21,6 +21,10 @@ streaming layer and read by the status surface:
   highest sequence per key. Micro-batch REPLAY (foreachBatch re-delivers
   after restart) is therefore idempotent: replayed rows lose the max-seq
   tie-break against themselves and nothing changes.
+- ``delete`` is a TOMBSTONE upsert (same max-seq merge, marker row):
+  replay-idempotent, revivable by a later higher-seq write, filtered
+  by the read surface, emitted as a liveness transition by the change
+  feed, and preserved across rebucketing.
 - ``attach_serving_sink`` wires a drain stream into the table via
   ``foreachBatch``.
 
@@ -51,6 +55,12 @@ _CONFIG = "_TABLE_CONFIG.json"
 # partition-directory column; NOT underscore-prefixed because Spark's
 # file listing treats `_*` directories as hidden and would skip them
 BUCKET_COL = "bucket"
+# row-level delete marker: deletes are TOMBSTONE upserts (a row whose
+# marker is true wins the max-seq merge like any other row, making
+# deletes replay-idempotent and revivable by a later higher-seq
+# upsert); the read surface (current/lookup) filters them, the raw
+# surface (time travel with include_tombstones, change_feed) sees them
+TOMBSTONE_COL = "ss_deleted"
 
 
 class ServingTable:
@@ -202,14 +212,19 @@ class ServingTable:
     # -- reads -------------------------------------------------------------
 
     def current(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        include_tombstones: bool = False,
     ) -> DataFrame | None:
         """The table at its latest commit — or, with ``version``, a
         TIME-TRAVEL read of any still-retained older commit: each
         version directory keeps the full bucket->directory manifest it
         was committed with, so reading "as of v" is just resolving
         that manifest (the lakehouse snapshot-read idiom; retention =
-        ``keep_versions`` + manifest references, enforced by vacuum)."""
+        ``keep_versions`` + manifest references, enforced by vacuum).
+        Deleted keys (tombstones) are filtered unless
+        ``include_tombstones`` — raw reads keep the marker column."""
         v = self.latest_version() if version is None else version
         if v < 0:
             return None
@@ -217,7 +232,16 @@ class ServingTable:
         paths = [self._bucket_dir(b, vb) for b, vb in sorted(manifest.items())]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if TOMBSTONE_COL not in df.columns:
+            return (
+                df.withColumn(TOMBSTONE_COL, F.lit(False))
+                if include_tombstones
+                else df
+            )
+        if include_tombstones:
+            return df
+        return df.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
 
     def lookup(self, spark: SparkSession, **key_values) -> DataFrame | None:
         """Point lookup by arbitrary column equalities. When every
@@ -248,6 +272,8 @@ class ServingTable:
                 cur = self.current(spark).limit(0)
         else:
             cur = self.current(spark)
+        if TOMBSTONE_COL in cur.columns:
+            cur = cur.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
         for k, val in key_values.items():
             cur = cur.filter(F.col(k) == F.lit(val))
         return cur
@@ -283,27 +309,53 @@ class ServingTable:
         if not old_paths and not new_paths:
             return None
         sides = []
-        for paths, alias in ((old_paths, "old_seq"), (new_paths, "new_seq")):
+        for paths, alias, ts_alias in (
+            (old_paths, "old_seq", "_old_ts"),
+            (new_paths, "new_seq", "_new_ts"),
+        ):
             if paths:
-                side = spark.read.parquet(*paths).select(
-                    *self.key_cols, F.col(self.seq_col).alias(alias)
+                raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+                ts = (
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                    if TOMBSTONE_COL in raw.columns
+                    else F.lit(False)
+                )
+                side = raw.select(
+                    *self.key_cols,
+                    F.col(self.seq_col).alias(alias),
+                    ts.alias(ts_alias),
                 )
             else:
                 template = old_paths or new_paths
                 side = (
                     spark.read.parquet(*template)
-                    .select(*self.key_cols, F.col(self.seq_col).alias(alias))
+                    .select(
+                        *self.key_cols,
+                        F.col(self.seq_col).alias(alias),
+                        F.lit(False).alias(ts_alias),
+                    )
                     .limit(0)
                 )
             sides.append(side)
         old, new = sides
+        # tombstone-aware classification: a key's LIVENESS transition
+        # decides insert/delete (absent-or-tombstoned -> live = insert,
+        # live -> tombstoned-or-absent = delete); a seq change between
+        # two live states is an update; dead -> dead (re-deleted or
+        # replayed tombstone) is no event.
+        old_live = F.col("old_seq").isNotNull() & ~F.col("_old_ts")
+        new_live = F.col("new_seq").isNotNull() & ~F.col("_new_ts")
         return (
             old.join(new, self.key_cols, "full_outer")
             .withColumn(
                 "change_type",
-                F.when(F.col("old_seq").isNull(), F.lit("insert"))
-                .when(F.col("new_seq").isNull(), F.lit("delete"))
-                .when(F.col("new_seq") != F.col("old_seq"), F.lit("update")),
+                F.when(~old_live & new_live, F.lit("insert"))
+                .when(old_live & ~new_live, F.lit("delete"))
+                .when(
+                    old_live & new_live
+                    & (F.col("new_seq") != F.col("old_seq")),
+                    F.lit("update"),
+                ),
             )
             .filter(F.col("change_type").isNotNull())
             .select(*self.key_cols, "change_type", "old_seq", "new_seq")
@@ -330,6 +382,8 @@ class ServingTable:
         manifest = (self._manifest(cur_v) or {}) if cur_v >= 0 else {}
         if cur_v >= 0:
             self._refresh_placement(cur_v)
+        if TOMBSTONE_COL not in batch_df.columns:
+            batch_df = batch_df.withColumn(TOMBSTONE_COL, F.lit(False))
         batch = batch_df.withColumn(BUCKET_COL, self._bucket_expr())
         touched = sorted(
             r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
@@ -340,10 +394,17 @@ class ServingTable:
         if cur_paths:
             # bucket is a partition dir, dropped on leaf-dir read;
             # recompute it (deterministic hash of the key)
-            cur = spark.read.parquet(*cur_paths).withColumn(
+            cur = spark.read.option("mergeSchema", "true").parquet(
+                *cur_paths
+            ).withColumn(
                 BUCKET_COL, self._bucket_expr()
             )
-            merged = cur.unionByName(batch)
+            if TOMBSTONE_COL not in cur.columns:  # pre-tombstone layout
+                cur = cur.withColumn(TOMBSTONE_COL, F.lit(False))
+            # allowMissingColumns: a delete batch carries only key+seq —
+            # its absent value columns null-fill (nobody reads values of
+            # a tombstoned row)
+            merged = cur.unionByName(batch, allowMissingColumns=True)
         else:
             merged = batch
         w = W.partitionBy(*self.key_cols).orderBy(F.col(self.seq_col).desc())
@@ -366,6 +427,22 @@ class ServingTable:
         self._vacuum(next_v)
         return next_v
 
+    def delete(self, keys_df: DataFrame) -> int:
+        """Row-level delete as a TOMBSTONE upsert: ``keys_df`` carries
+        the key columns (bucket columns too, if different) and a
+        ``seq_col`` value that must beat the row's current seq — the
+        same max-seq merge as any write, so replayed deletes are
+        idempotent and a later higher-seq upsert revives the key.
+        Absent value columns null-fill (nobody reads values of a
+        tombstoned row). The read surface (current/lookup) stops
+        serving the key; the change feed emits a ``delete`` row for
+        the liveness transition; time travel with
+        ``include_tombstones`` still shows the marker. Tombstones cost
+        one key-sized row per deleted key until a compaction pass
+        drops those older than every retained version — the lakehouse
+        MERGE ... WHEN MATCHED THEN DELETE, at this table's scale."""
+        return self.upsert(keys_df.withColumn(TOMBSTONE_COL, F.lit(True)))
+
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Change the table's bucket count — the maintenance escape
         hatch when state outgrows the original layout (a bucket should
@@ -385,7 +462,9 @@ class ServingTable:
         if new_num_buckets < 1:
             raise ValueError("new_num_buckets must be >= 1")
         cur_v = self.latest_version()
-        cur = self.current(spark)
+        # raw read: tombstones MUST survive a rebucket (dropping one
+        # would let a replayed lower-seq upsert revive the deleted key)
+        cur = self.current(spark, include_tombstones=True)
         if cur is None:
             self.num_buckets = new_num_buckets
             return cur_v

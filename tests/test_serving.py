@@ -340,3 +340,47 @@ def test_rebucket_scales_layout_and_keeps_serving(spark, tmp_path):
     cold = ServingTable(str(tmp_path / "rb"), key_cols=["k"], seq_col="seq")
     assert cold.num_buckets == 8
     assert cold.lookup(spark, k="k17").collect()[0]["val"] == "v17"
+
+
+def test_delete_tombstones_full_lifecycle(spark, tmp_path):
+    """Row-level deletes as tombstone upserts: the key stops being
+    served (current + point lookup), the change feed emits the
+    liveness transition (delete, then insert on revival), replayed
+    deletes are idempotent, a delete batch may omit value columns, and
+    a tombstone survives a rebucket so a replayed lower-seq upsert
+    cannot revive the key."""
+    schema = "k string, seq long, val string"
+    t = ServingTable(
+        str(tmp_path / "del"), key_cols=["k"], seq_col="seq", num_buckets=4
+    )
+    v1 = t.upsert(
+        spark.createDataFrame(
+            [("a", 1, "x"), ("b", 1, "y"), ("c", 1, "z")], schema
+        )
+    )
+    # delete b with only key+seq (value columns omitted)
+    v2 = t.delete(spark.createDataFrame([("b", 2)], "k string, seq long"))
+    assert sorted(
+        r["k"] for r in t.current(spark).collect()
+    ) == ["a", "c"]
+    assert t.lookup(spark, k="b").count() == 0
+    feed = {r["k"]: r["change_type"] for r in t.change_feed(spark, v1, v2).collect()}
+    assert feed == {"b": "delete"}
+    # raw time travel still shows the marker
+    raw = t.current(spark, include_tombstones=True)
+    assert raw.filter("k = 'b'").collect()[0]["ss_deleted"] is True
+    # replayed delete: no change events at all
+    v3 = t.delete(spark.createDataFrame([("b", 2)], "k string, seq long"))
+    assert t.change_feed(spark, v2, v3).count() == 0
+    # revival by a higher-seq upsert
+    v4 = t.upsert(spark.createDataFrame([("b", 3, "y2")], schema))
+    assert t.lookup(spark, k="b").collect()[0]["val"] == "y2"
+    assert {r["k"]: r["change_type"] for r in t.change_feed(spark, v3, v4).collect()} == {
+        "b": "insert"
+    }
+    # tombstone survives a rebucket: re-delete, rebucket, replay OLD upsert
+    t.delete(spark.createDataFrame([("b", 4)], "k string, seq long"))
+    t.rebucket(spark, 8)
+    assert t.lookup(spark, k="b").count() == 0
+    t.upsert(spark.createDataFrame([("b", 3, "y2")], schema))  # stale replay
+    assert t.lookup(spark, k="b").count() == 0  # tombstone seq 4 still wins
