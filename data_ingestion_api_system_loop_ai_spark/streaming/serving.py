@@ -443,6 +443,67 @@ class ServingTable:
         MERGE ... WHEN MATCHED THEN DELETE, at this table's scale."""
         return self.upsert(keys_df.withColumn(TOMBSTONE_COL, F.lit(True)))
 
+    def purge_tombstones(self, spark: SparkSession, min_seq) -> int:
+        """Physically drop tombstones with ``seq < min_seq`` — the
+        reclamation pass that keeps delete markers from accumulating
+        forever. The floor is the CALLER'S replay guarantee: purge
+        only below the sequence no replay can ever carry again (for a
+        checkpointed drain, the committed offset's seq; in lakehouse
+        terms, the retention window). Purging above that line would
+        let a stale replayed upsert resurrect the key the tombstone
+        was holding down.
+
+        Rewrites ONLY buckets that actually hold purgeable tombstones
+        (same touched-bucket discipline as upsert); a bucket left
+        empty by the purge drops out of the manifest entirely.
+        Returns the committed version (unchanged if nothing purged)."""
+        cur_v = self.latest_version()
+        if cur_v < 0:
+            return cur_v
+        self._refresh_placement(cur_v)
+        manifest = self._manifest(cur_v) or {}
+        paths = [self._bucket_dir(b, vb) for b, vb in sorted(manifest.items())]
+        if not paths:
+            return cur_v
+        raw = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .withColumn(BUCKET_COL, self._bucket_expr())
+        )
+        if TOMBSTONE_COL not in raw.columns:
+            return cur_v
+        dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & (
+            F.col(self.seq_col) < F.lit(min_seq)
+        )
+        touched = sorted(
+            r[BUCKET_COL]
+            for r in raw.filter(dead).select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return cur_v
+        keep = raw.filter(F.col(BUCKET_COL).isin([int(b) for b in touched])).filter(
+            ~dead
+        )
+        next_v = cur_v + 1
+        (
+            keep.repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, f"v={next_v}"))
+        )
+        written = {
+            int(r[BUCKET_COL])
+            for r in keep.select(BUCKET_COL).distinct().collect()
+        }
+        new_manifest = {
+            b: v for b, v in manifest.items() if b not in set(touched)
+        }
+        new_manifest.update({b: next_v for b in written})
+        self._write_manifest(next_v, new_manifest)
+        self._commit(next_v)
+        self._vacuum(next_v)
+        return next_v
+
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Change the table's bucket count — the maintenance escape
         hatch when state outgrows the original layout (a bucket should

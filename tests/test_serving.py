@@ -384,3 +384,26 @@ def test_delete_tombstones_full_lifecycle(spark, tmp_path):
     assert t.lookup(spark, k="b").count() == 0
     t.upsert(spark.createDataFrame([("b", 3, "y2")], schema))  # stale replay
     assert t.lookup(spark, k="b").count() == 0  # tombstone seq 4 still wins
+
+
+def test_purge_tombstones_reclaims_below_replay_floor(spark, tmp_path):
+    """Tombstones below the caller's replay floor are physically
+    dropped (raw read no longer shows them; a fully-emptied bucket
+    leaves the manifest); tombstones at/above the floor survive and
+    keep holding their keys down."""
+    schema = "k string, seq long, val string"
+    t = ServingTable(
+        str(tmp_path / "purge"), key_cols=["k"], seq_col="seq", num_buckets=4
+    )
+    t.upsert(spark.createDataFrame([("a", 1, "x"), ("b", 1, "y")], schema))
+    t.delete(spark.createDataFrame([("a", 2), ("b", 5)], "k string, seq long"))
+    v_before = t.latest_version()
+    v = t.purge_tombstones(spark, min_seq=3)
+    assert v == v_before + 1
+    raw = t.current(spark, include_tombstones=True)
+    marks = {r["k"]: r["ss_deleted"] for r in raw.collect()}
+    assert "a" not in marks          # purged (seq 2 < floor 3)
+    assert marks.get("b") is True    # survives (seq 5 >= floor)
+    assert t.lookup(spark, k="b").count() == 0  # still held down
+    # idempotent: nothing left below the floor -> no new version
+    assert t.purge_tombstones(spark, min_seq=3) == v
