@@ -63,6 +63,11 @@ BUCKET_COL = "bucket"
 TOMBSTONE_COL = "ss_deleted"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer claimed the version this writer was about to
+    commit; re-read the table state and retry the operation."""
+
+
 class ServingTable:
     """Keyed, versioned, hash-bucketed parquet serving table with
     atomic manifest commits and bucket-scoped upserts."""
@@ -138,6 +143,29 @@ class ServingTable:
             f.write(str(version))
         os.replace(tmp, self._pointer_file())  # atomic pointer swap
 
+    def _claim_version(self, version: int) -> None:
+        """Optimistic concurrency: atomically claim a version number
+        (O_CREAT|O_EXCL claim file) BEFORE doing any merge work. Two
+        writers racing on the same store — two drains, or a drain and a
+        maintenance pass — both read latest v and would both write
+        v+1, the second silently clobbering the first's directories
+        and manifest; with the claim, exactly one wins and the loser
+        raises ``ConcurrentWriteConflict`` to retry against the
+        winner's commit. On object storage the same role is played by
+        a conditional PUT on the pointer; claim files are removed by
+        vacuum along with their version directory."""
+        try:
+            fd = os.open(
+                os.path.join(self.path, f"v={version}.claim"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+        except FileExistsError:
+            raise ConcurrentWriteConflict(
+                f"version {version} already claimed by another writer; "
+                "re-read the table and retry"
+            ) from None
+
     def _manifest_file(self, version: int) -> str:
         return os.path.join(self.path, f"v={version}", _MANIFEST)
 
@@ -203,11 +231,32 @@ class ServingTable:
             if m:
                 referenced.update(m.values())
         for name in os.listdir(self.path):
-            if not name.startswith("v="):
+            if not name.startswith("v=") or name.endswith(".claim"):
                 continue
             v = int(name[2:])
             if v < floor and v not in referenced:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name.endswith(".claim"):
+                v = int(name[2 : -len(".claim")])
+                if v <= current and not os.path.isdir(
+                    os.path.join(self.path, f"v={v}")
+                ):
+                    # committed-or-vacuumed epoch with no directory left
+                    os.remove(os.path.join(self.path, name))
+
+    def break_claim(self, version: int) -> None:
+        """Manual recovery: release the claim of a writer that CRASHED
+        after claiming ``version`` but before committing (its claim
+        would otherwise block that version number forever, since no
+        commit ever supersedes it). Operator action by design — the
+        table cannot distinguish a crashed writer from a slow one;
+        call only when the claiming process is known dead. The next
+        writer then retries and wins the version."""
+        try:
+            os.remove(os.path.join(self.path, f"v={version}.claim"))
+        except FileNotFoundError:
+            pass
 
     # -- reads -------------------------------------------------------------
 
@@ -414,6 +463,7 @@ class ServingTable:
             .drop("_rn")
         )
         next_v = cur_v + 1
+        self._claim_version(next_v)
         (
             latest.repartition(max(len(touched), 1), F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
@@ -485,6 +535,7 @@ class ServingTable:
             ~dead
         )
         next_v = cur_v + 1
+        self._claim_version(next_v)
         (
             keep.repartition(max(len(touched), 1), F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
@@ -531,6 +582,7 @@ class ServingTable:
             return cur_v
         self.num_buckets = new_num_buckets
         next_v = cur_v + 1
+        self._claim_version(next_v)
         rehashed = cur.withColumn(BUCKET_COL, self._bucket_expr())
         touched = sorted(
             r[BUCKET_COL] for r in rehashed.select(BUCKET_COL).distinct().collect()

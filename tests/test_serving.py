@@ -105,7 +105,7 @@ def test_serving_point_lookup_and_atomic_pointer(spark, tmp_path):
         if m:
             retained_refs.update(m.values())
     for name in os.listdir(table.path):
-        if name.startswith("v="):
+        if name.startswith("v=") and not name.endswith(".claim"):
             ver = int(name[2:])
             assert ver >= floor or ver in retained_refs
 
@@ -407,3 +407,31 @@ def test_purge_tombstones_reclaims_below_replay_floor(spark, tmp_path):
     assert t.lookup(spark, k="b").count() == 0  # still held down
     # idempotent: nothing left below the floor -> no new version
     assert t.purge_tombstones(spark, min_seq=3) == v
+
+
+def test_concurrent_write_claim_single_winner(spark, tmp_path):
+    """Two writers racing on the same version: exactly one wins; the
+    loser raises ConcurrentWriteConflict instead of silently clobbering
+    the winner's directories, and retrying after a re-read succeeds.
+    A crashed claimant is released by the manual break_claim."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ConcurrentWriteConflict,
+    )
+
+    schema = "k string, seq long, val string"
+    store = str(tmp_path / "occ")
+    a = ServingTable(store, key_cols=["k"], seq_col="seq", num_buckets=4)
+    b = ServingTable(store, key_cols=["k"], seq_col="seq", num_buckets=4)
+    a.upsert(spark.createDataFrame([("x", 1, "v1")], schema))
+    # writer B claims the next version first (simulating the race)
+    b._claim_version(a.latest_version() + 1)
+    with _pytest.raises(ConcurrentWriteConflict):
+        a.upsert(spark.createDataFrame([("x", 2, "v2")], schema))
+    # winner's state is untouched by the failed writer
+    assert a.lookup(spark, k="x").collect()[0]["val"] == "v1"
+    # crashed claimant: operator releases the claim, retry wins
+    a.break_claim(a.latest_version() + 1)
+    a.upsert(spark.createDataFrame([("x", 2, "v2")], schema))
+    assert a.lookup(spark, k="x").collect()[0]["val"] == "v2"
