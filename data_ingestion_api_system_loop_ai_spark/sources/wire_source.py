@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -41,6 +42,28 @@ from pyspark.sql.datasource import (
 WIRE_SCHEMA = (
     "request_id string, priority string, created_at_ms long, ids array<int>"
 )
+
+
+def _iter_wire_rows(path: str):
+    """Strict per-line wire decode shared by the batch and streaming
+    readers; a malformed line fails with file:line attribution."""
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError as exc:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed wire line"
+                ) from exc
+            yield (
+                str(r["request_id"]) if "request_id" in r else None,
+                r.get("priority"),
+                r.get("created_at_ms"),
+                list(r["ids"]) if r.get("ids") is not None else None,
+            )
 
 
 class _WireFilePartition(InputPartition):
@@ -87,23 +110,56 @@ class IngestWireReader(DataSourceReader):
         fails the task with the file and line number (the reference
         400s a malformed body — a batch capture replay wants the
         position, not a silent null row)."""
-        with open(partition.path) as f:
-            for lineno, line in enumerate(f, 1):
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    r = json.loads(line)
-                except json.JSONDecodeError as exc:
-                    raise ValueError(
-                        f"{partition.path}:{lineno}: malformed wire line"
-                    ) from exc
-                yield (
-                    str(r["request_id"]) if "request_id" in r else None,
-                    r.get("priority"),
-                    r.get("created_at_ms"),
-                    list(r["ids"]) if r.get("ids") is not None else None,
-                )
+        yield from _iter_wire_rows(partition.path)
+
+
+class IngestWireStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the wire reader — the live half of the
+    connector (``spark.readStream.format("ingestwire")``). The OFFSET
+    is the set of fully-consumed capture file names: a file is wholly
+    before or wholly after any offset, so the unit of progress is the
+    unit of capture and semantics are file-granularity exactly-once —
+    Spark checkpoints the offset, ``read`` returns only files not yet
+    in it, and crash recovery replays ``readBetweenOffsets`` over the
+    same (immutable) files to reproduce a batch bit-for-bit.
+
+    The offset grows with the file count; a production deployment
+    rotates capture directories (hour=.../) or switches to a
+    (mtime, name) high-water mark once directories stop being
+    bounded — the protocol is unchanged."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ingestwire requires a path")
+
+    def _list(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return [os.path.basename(self.path)]
+        return sorted(
+            f for f in os.listdir(self.path) if not f.startswith(("_", "."))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        new = [f for f in self._list() if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        rows = [
+            row
+            for f in new
+            for row in _iter_wire_rows(os.path.join(self.path, f))
+        ]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = sorted(
+            set(end.get("files", [])) - set(start.get("files", []))
+        )
+        for f in replay:
+            yield from _iter_wire_rows(os.path.join(self.path, f))
 
 
 class _WireCommit(WriterCommitMessage):
@@ -189,3 +245,6 @@ class IngestWireDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> IngestWireWriter:
         return IngestWireWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> IngestWireStreamReader:
+        return IngestWireStreamReader(self.options)

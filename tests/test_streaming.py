@@ -678,3 +678,52 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
     name = run_stream_to_table(tumbling_agg(events_stream(spark, sf_dir)))
     want = Counter(map(str, spark.table(name).collect()))
     assert got == want and len(want) > 0
+
+
+def test_ingest_wire_stream_source_exactly_once_across_restarts(spark, tmp_path):
+    """The connector's streaming half: offsets are sets of consumed
+    capture files checkpointed by the engine — a restarted query with
+    the same checkpoint reads ONLY files that arrived since the last
+    committed offset, so every wire row lands exactly once."""
+    from data_ingestion_api_system_loop_ai_spark.sources.wire_source import (
+        IngestWireDataSource,
+    )
+
+    spark.dataSource.register(IngestWireDataSource)
+    cap = tmp_path / "wire_cap"
+    cap.mkdir()
+    ckpt = str(tmp_path / "wire_ckpt")
+
+    def w(name, reqs):
+        with open(cap / name, "w") as f:
+            for r in reqs:
+                f.write(json.dumps(r) + "\n")
+
+    def drain(_qname):
+        got = []
+
+        def sink(batch_df, _bid):
+            got.extend(r["request_id"] for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("ingestwire")
+            .load(str(cap))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    w("c1.jsonl", [{"request_id": "1", "priority": "LOW",
+                    "created_at_ms": 1, "ids": [1]}])
+    assert drain("wire_run1") == ["1"]
+    # new capture file arrives; the restarted query resumes from the
+    # committed offset: only the new file's rows are emitted
+    w("c2.jsonl", [{"request_id": "2", "priority": "HIGH",
+                    "created_at_ms": 2, "ids": [2]}])
+    assert drain("wire_run2") == ["2"]
+    # nothing new: empty batch, no re-reads
+    assert drain("wire_run3") == []
