@@ -132,6 +132,17 @@ class IngestWireStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ingestwire requires a path")
+        # same throttle the built-in file source offers: at most N new
+        # capture files per micro-batch (0 = unlimited). One file per
+        # trigger reproduces the reference's one-dequeue-per-tick drain
+        # cadence when this source feeds live_priority_drain. Nuance:
+        # under Trigger.AvailableNow the engine's simple-reader wrapper
+        # prefetches ONE read() to define "available now", so the
+        # throttle bounds each RUN rather than each trigger there —
+        # per-trigger pacing needs a processingTime trigger (the
+        # production mode) or one availableNow run per tick (the
+        # deterministic test mode).
+        self.max_files = int(options.get("maxfilespertrigger", 0) or 0)
 
     def _list(self) -> list[str]:
         if not os.path.isdir(self.path):
@@ -146,6 +157,8 @@ class IngestWireStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         seen = set(start.get("files", []))
         new = [f for f in self._list() if f not in seen]
+        if self.max_files:
+            new = new[: self.max_files]
         end = {"files": sorted(seen | set(new))}
         rows = [
             row
@@ -209,20 +222,38 @@ class IngestWireWriter(DataSourceWriter):
         return _WireCommit(fname, n)
 
     def commit(self, messages) -> None:
+        files = sorted(m.path for m in messages)
+        rows = sum(m.rows for m in messages)
+        success = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
             for f in self.preexisting:
                 try:
                     os.remove(os.path.join(self.path, f))
                 except FileNotFoundError:
                     pass
-        manifest = {
-            "files": sorted(m.path for m in messages),
-            "rows": sum(m.rows for m in messages),
-        }
-        tmp = os.path.join(self.path, "_SUCCESS.tmp")
+        else:
+            # append: fold the prior jobs' manifest in (or the raw
+            # listing of an unmanifested capture dir) — a manifest
+            # naming only the LAST job would hide earlier appends from
+            # manifest-honoring readers
+            prev_files, prev_rows = [], 0
+            if os.path.exists(success):
+                try:
+                    with open(success) as f:
+                        prev = json.load(f)
+                    prev_files = prev.get("files", [])
+                    prev_rows = prev.get("rows", 0)
+                except (json.JSONDecodeError, OSError):
+                    pass
+            else:
+                prev_files = self.preexisting  # rows unknown; best effort
+            files = sorted(set(files) | set(prev_files))
+            rows += prev_rows
+        manifest = {"files": files, "rows": rows}
+        tmp = success + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "_SUCCESS"))
+        os.replace(tmp, success)
 
     def abort(self, messages) -> None:
         for m in messages:

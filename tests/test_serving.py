@@ -435,3 +435,75 @@ def test_concurrent_write_claim_single_winner(spark, tmp_path):
     a.break_claim(a.latest_version() + 1)
     a.upsert(spark.createDataFrame([("x", 2, "v2")], schema))
     assert a.lookup(spark, k="x").collect()[0]["val"] == "v2"
+
+
+def test_wire_connector_drain_store_end_to_end(spark, tmp_path):
+    """Capstone integration on engine components only: wire capture
+    files -> ingestwire STREAM source -> registration + live priority
+    drain -> bucketed serving store -> byte-exact reference status
+    bodies. The throttled connector processes one capture file per
+    availableNow run (the engine prefetches a single read() to define
+    "available now"), so repeated runs against one checkpoint are the
+    deterministic stand-in for processing-time ticks — and double as a
+    resumption proof: every run picks up exactly where the last
+    committed offset left off."""
+    from data_ingestion_api_system_loop_ai_spark.sources.wire_source import (
+        IngestWireDataSource,
+    )
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        register_requests_sink,
+        status_response_from_store,
+    )
+
+    spark.dataSource.register(IngestWireDataSource)
+    cap = tmp_path / "wire_cap_e2e"
+    cap.mkdir()
+    low = {"request_id": "7", "priority": "LOW", "created_at_ms": 1000,
+           "ids": [1, 2, 3, 4, 5, 6, 7]}  # 3 batches
+    high = {"request_id": "8", "priority": "HIGH", "created_at_ms": 2000,
+            "ids": [10, 11]}  # 1 batch
+    _write_requests(str(cap / "c1.jsonl"), [low], 1_700_000_000)
+    _write_requests(str(cap / "c2.jsonl"), [high], 1_700_000_010)
+
+    table = ServingTable(
+        str(tmp_path / "wire_store"),
+        key_cols=["batch_id"],
+        seq_col="drain_seq",
+        bucket_cols=["request_id"],
+    )
+    # registration: unthrottled, both capture files in one batch
+    register_requests_sink(
+        spark.readStream.format("ingestwire").load(str(cap)),
+        table,
+        checkpoint=str(tmp_path / "wire_ckpt_reg"),
+    ).awaitTermination()
+    assert sorted(
+        r["batch_id"] for r in table.current(spark).collect()
+    ) == ["7-0", "7-1", "7-2", "8-0"]
+
+    def drain_tick():
+        q = attach_serving_sink(
+            live_priority_drain(
+                spark.readStream.format("ingestwire")
+                .option("maxFilesPerTrigger", "1")
+                .load(str(cap))
+            ),
+            table,
+            checkpoint=str(tmp_path / "wire_ckpt_drain"),
+        )
+        q.awaitTermination()
+
+    drain_tick()  # tick 1: only LOW has arrived -> 7-0 drains
+    body = json.loads(status_response_from_store(spark, table, "7"))
+    assert list(body) == ["ingestion_id", "status", "batches"]
+    assert body["status"] == "triggered"
+    assert [b["status"] for b in body["batches"]] == [
+        "completed", "yet_to_start", "yet_to_start"
+    ]
+    drain_tick()  # tick 2: HIGH arrives and preempts -> 8-0 drains
+    done = json.loads(status_response_from_store(spark, table, "8"))
+    assert done["status"] == "completed"
+    assert [b["status"] for b in done["batches"]] == ["completed"]
+    assert status_response_from_store(spark, table, "nope") == (
+        '{"error":"Ingestion ID not found."}'
+    )
