@@ -1,0 +1,171 @@
+"""BM25 relevance ranking over the ``documents`` table (SURVEY.md B54).
+
+The training-data use case: given a small fixed probe-term set (a
+benchmark query, a topic filter, a contamination probe), rank the
+corpus by BM25 so downstream stages can keep / drop / re-weight the
+most relevant documents. Classic BM25 (Robertson/Sparck Jones; the
+Lucene ``+1`` idf form, which is always positive) with k1=1.2, b=0.75.
+
+Plan shape — the part that matters at 100 TB: because the query-term
+set is small and fixed, per-term term frequencies are computed as
+in-row array filters over the tokenized text (NO explode, NO
+(doc,term) shuffle), corpus statistics (N, Σdl, per-term document
+frequencies) are ONE 1-row aggregate broadcast back over the scan, and
+the final top-k is TakeOrderedAndProject. The whole query runs with no
+hash-partitioned exchange of the corpus: one scan + a 1-row broadcast
++ per-partition top-k (plan-asserted in tests). The inverted-index
+formulation (explode → posting join) only wins when the query set is
+large or ad hoc; for fixed probes this projection form is strictly
+better — it is the same let-bound-array idiom that took
+q_quality_filter from 19 s to 2 s (README "Performance notes").
+
+Determinism: every arithmetic step is written as the SAME double
+expression tree on both engines (int→double promotions included), the
+per-document score is a fixed-order sum over the literal term list,
+and ties break on doc_id — so the DuckDB oracle reproduces the exact
+top-k. ln() may differ in the last ulp across libm builds; the
+driver's 9-significant-digit compare absorbs that (same allowance the
+cosine operators rely on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokenize
+from ..sources.loader import load_table
+
+# Fixed probe-term set: mid-frequency tokens of the synthetic corpus
+# vocabulary. Literal and ordered — the score sum folds in this order.
+BM25_TERMS = ("query", "join", "stream", "filter", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _tf(tokens: Column, term: str) -> Column:
+    """In-row term frequency: count of exact-match tokens (no explode)."""
+    return F.size(F.filter(tokens, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
+    """Score ``docs(doc_id, text)`` against ``terms``; returns every doc
+    with ``n_hit`` (matched term count) and ``bm25`` (double score).
+
+    Scale: one scan; stats are a 1-row broadcast; no corpus shuffle.
+    """
+    # LET BINDING, one step further than the _shingle_sets idiom
+    # (operators/quality.py:70-92): extracting N fields from a struct
+    # column re-evaluates the whole struct (and its tokenize) once per
+    # field after CollapseProject. Emitting the 1-element struct array
+    # through F.inline instead routes it through a Generate node, whose
+    # generator expression is evaluated ONCE per row and whose outputs
+    # are real attributes — tokenize runs exactly once per document no
+    # matter how many tf columns are derived.
+    toks = tokenize(F.col("text"))
+    packed = F.transform(
+        F.array(toks),
+        lambda ts: F.struct(
+            F.size(ts).alias("dl"),
+            *[_tf(ts, t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        ),
+    )
+    base = docs.select("doc_id", F.inline(packed))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    s = base.crossJoin(F.broadcast(stats))
+
+    # avgdl and the per-term contribution, written as the identical
+    # double expression tree the oracle uses (promotion points match).
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    n_hit = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(terms)):
+        n_hit = n_hit + (F.col(f"tf_{i}") > 0).cast("int")
+
+    return s.select(
+        "doc_id",
+        "dl",
+        n_hit.cast("int").alias("n_hit"),
+        score.alias("bm25"),
+    )
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54 — top-20 documents by BM25 against the fixed probe terms.
+
+    Shuffle-free scoring + TakeOrderedAndProject top-k (ties on doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(docs)
+    return (
+        scored.filter(F.col("n_hit") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def _sql_contrib(i: int) -> str:
+    return (
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * {BM25_K1 + 1.0!r})"
+        f" / (tf_{i} + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r}"
+        f" * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+    )
+
+
+def bm25_oracle_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB twin of :func:`q_bm25_rank` — same expression trees,
+    same fixed-order sum, same tiebreak."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(tokens, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    hit = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    score = " + ".join(_sql_contrib(i) for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS tokens FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(tokens) AS INTEGER) AS dl,
+         {tf_cols}
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         {df_cols}
+  FROM base
+)
+SELECT doc_id, dl, CAST({hit} AS INTEGER) AS n_hit,
+       {score} AS bm25
+FROM base, stats
+WHERE {hit} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""

@@ -927,3 +927,65 @@ def test_tpch_q4_q20_oracle_parity_and_plans(qname, oname, plan_frag, spark, sf_
     finally:
         con.close()
     assert len(df.take(1)) == 1, f"{qname} returned no rows"
+
+
+def test_bm25_oracle_parity(spark, sf_dir):
+    """BM25 ranking (B54, unregistered; registry at its 50-slot cap):
+    the same Spark-vs-DuckDB comparison the driver runs — identical
+    double expression trees, fixed-order term sum, doc_id tiebreak."""
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        bm25_oracle_sql,
+        q_bm25_rank,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_bm25_rank(spark, sf_dir), con, bm25_oracle_sql())
+    finally:
+        con.close()
+
+
+def test_bm25_plan_is_shuffle_free(spark, sf_dir):
+    """The fixed-probe BM25 must stay a projection: per-term tfs are
+    in-row array filters (no explode), corpus stats a 1-row broadcast,
+    top-k TakeOrderedAndProject — no hash-partitioned exchange of the
+    corpus anywhere in the plan."""
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        q_bm25_rank,
+    )
+
+    plan = q_bm25_rank(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_bm25_semantics_on_constructed_docs(spark):
+    """Hand-checkable BM25 behavior: more distinct probe terms beats
+    fewer at equal length; repeating a term raises the score but
+    SUBLINEARLY (the k1 saturation — the whole point of BM25 over raw
+    tf); a doc with no probe terms scores 0."""
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    pad = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "query join stream " + pad),       # 3 distinct probes
+            (2, "query alpha beta " + pad),        # 1 probe
+            (3, "query query query query " + pad), # 1 probe, tf=4
+            (4, pad + " " + pad),                  # no probes
+        ],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in bm25_scores(docs).collect()}
+    assert s[1]["n_hit"] == 3 and s[2]["n_hit"] == 1 and s[4]["n_hit"] == 0
+    assert s[1]["bm25"] > s[2]["bm25"]
+    assert s[4]["bm25"] == 0.0
+    # saturation: 4x the tf must yield far less than 4x the one-term score
+    assert s[3]["bm25"] > s[2]["bm25"]
+    assert s[3]["bm25"] < 4 * s[2]["bm25"]
