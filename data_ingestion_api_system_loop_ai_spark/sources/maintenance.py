@@ -170,16 +170,21 @@ def rewrite_zorder(
 
 
 def parquet_files(path: str) -> list[str]:
-    """Data files of a parquet dataset (recursive, metadata excluded)."""
+    """Data files of a parquet dataset (recursive, metadata excluded).
+    Hidden directories (``_``/``.`` prefixed — ``_stats``, ``_SUCCESS``
+    sidecars, checkpoint dirs) are pruned exactly as Hadoop's default
+    PathFilter does, so metadata stored inside the dataset root is
+    invisible to both this listing and Spark's own scan."""
     out = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
     return sorted(out)
 
 
-def footer_stats(path: str, cols: list[str]) -> list[dict]:
+def footer_stats(path: str, cols: list[str], files: list[str] | None = None) -> list[dict]:
     """Per-file min/max for ``cols`` read from parquet FOOTERS — no data
     scan, O(files) metadata reads. This is the statistics source a
     skipping scan actually consults; ``file_column_ranges`` below
@@ -194,7 +199,7 @@ def footer_stats(path: str, cols: list[str]) -> list[dict]:
     import pyarrow.parquet as pq
 
     rows: list[dict] = []
-    for f in parquet_files(path):
+    for f in (parquet_files(path) if files is None else files):
         md = pq.ParquetFile(f).metadata
         names = md.schema.names
         entry: dict = {"file": f, "rows": md.num_rows}
@@ -263,3 +268,136 @@ def file_column_ranges(spark: SparkSession, path: str, col: str) -> DataFrame:
         .groupBy("file")
         .agg(F.min(col).alias("min_v"), F.max(col).alias("max_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental stats table — the production form of footer pruning.
+#
+# ``footer_stats`` re-opens every footer on every call: O(files) metadata
+# round-trips per QUERY, which at 100 TB (millions of files on object
+# storage) is exactly the cost file skipping exists to avoid. The fix is
+# what lakehouse manifests store: a tiny PERSISTED table of one row per
+# data file {file, rows, per-column min/max}, maintained incrementally —
+# each update reads footers ONLY for files it has not seen before (the
+# writer's just-landed output), and pruning becomes one small local read
+# instead of a footer sweep. The table lives under ``<dataset>/_stats``,
+# hidden from both Spark's scan and ``parquet_files`` by the Hadoop
+# hidden-path convention. Skipping stays LOSSLESS by construction: data
+# files not (yet) covered by the table are always kept.
+# ---------------------------------------------------------------------------
+
+STATS_DIR = "_stats"
+STATS_FILE = "stats.parquet"
+
+
+def _stats_path(path: str, stats_dir: str | None = None) -> str:
+    return os.path.join(stats_dir or os.path.join(path, STATS_DIR), STATS_FILE)
+
+
+def load_stats_table(path: str, stats_dir: str | None = None) -> list[dict] | None:
+    """Rows of the persisted stats table ({file, rows, <col>_min/_max}),
+    or None if it has never been built. Paths are dataset-relative."""
+    import pyarrow.parquet as pq
+
+    p = _stats_path(path, stats_dir)
+    if not os.path.exists(p):
+        return None
+    return pq.read_table(p).to_pylist()
+
+
+def update_stats_table(
+    path: str, cols: list[str], stats_dir: str | None = None
+) -> dict:
+    """Build or incrementally refresh the stats table for ``cols``.
+
+    Footers are read ONLY for files absent from the existing table (or
+    for all files when the tracked column set changes — a schema change
+    of the table itself); rows for vanished files (compaction/rewrite
+    output replaced them) are dropped. The rewrite of the table file is
+    atomic (temp + rename), so a concurrent reader sees the old or the
+    new table, never a torn one. Returns {"added", "removed", "reused",
+    "total"} so maintenance jobs can log their work.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    current = parquet_files(path)
+    rel = {os.path.relpath(f, path): f for f in current}
+    existing = load_stats_table(path, stats_dir)
+    wanted_keys = {"file", "rows"} | {
+        f"{c}_{m}" for c in cols for m in ("min", "max")
+    }
+    by_file: dict[str, dict] = {}
+    if existing is not None and all(
+        wanted_keys <= set(r) for r in existing
+    ):
+        by_file = {r["file"]: r for r in existing if r["file"] in rel}
+    reused = len(by_file)
+    removed = 0 if existing is None else len(existing) - reused
+    new_files = [rel[k] for k in sorted(rel) if k not in by_file]
+    for r in footer_stats(path, cols, files=new_files):
+        r["file"] = os.path.relpath(r["file"], path)
+        by_file[r["file"]] = {k: r[k] for k in r}
+    rows = [by_file[k] for k in sorted(by_file)]
+    p = _stats_path(path, stats_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    cols_order = ["file", "rows"] + [
+        f"{c}_{m}" for c in cols for m in ("min", "max")
+    ]
+    table = pa.Table.from_pylist([{k: r.get(k) for k in cols_order} for r in rows])
+    pq.write_table(table, tmp)
+    os.replace(tmp, p)
+    return {
+        "added": len(new_files),
+        "removed": removed,
+        "reused": reused,
+        "total": len(rows),
+    }
+
+
+def prune_files_stats(
+    path: str, col: str, lo=None, hi=None, stats_dir: str | None = None
+) -> tuple[list[str], int]:
+    """File-level skip from the PERSISTED stats table — no footer reads
+    at query time. Files missing from the table (landed after the last
+    ``update_stats_table``) or with absent min/max are kept: skipping is
+    never lossy. Falls back to the footer sweep if the table was never
+    built. Returns (selected absolute paths, total files)."""
+    stats = load_stats_table(path, stats_dir)
+    current = parquet_files(path)
+    if stats is None:
+        return prune_files(path, col, lo, hi)
+    by_file = {r["file"]: r for r in stats}
+    selected = []
+    for f in current:
+        r = by_file.get(os.path.relpath(f, path))
+        if r is None:
+            selected.append(f)
+            continue
+        mn, mx = r.get(f"{col}_min"), r.get(f"{col}_max")
+        if mn is None or mx is None:
+            selected.append(f)
+            continue
+        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            selected.append(f)
+    return selected, len(current)
+
+
+def read_pruned_stats(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None,
+    stats_dir: str | None = None,
+) -> DataFrame:
+    """``read_pruned`` driven by the persisted stats table: same exact
+    results as a full scan + filter (the residual predicate still
+    applies row-exactly and still pushes down), but query planning costs
+    one small local read instead of O(files) footer opens."""
+    files, _total = prune_files_stats(path, col, lo, hi, stats_dir)
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df

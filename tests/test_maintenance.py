@@ -147,3 +147,84 @@ def test_footer_stats_prune_and_read(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_stats_table_prunes_like_footers(spark, sf_dir, tmp_path):
+    """The persisted stats table must select exactly the same file set
+    as a fresh footer sweep, and the pruned read must equal the full
+    scan + filter row-for-row."""
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+        prune_files,
+        prune_files_stats,
+        read_pruned_stats,
+        rewrite_sorted,
+        update_stats_table,
+    )
+
+    src = _fragmented_events(spark, sf_dir, str(tmp_path / "frag_st"))
+    dst = str(tmp_path / "sorted_st")
+    rewrite_sorted(spark, src, dst, ["event_id"], target_file_bytes=64 * 1024)
+    summary = update_stats_table(dst, ["event_id"])
+    assert summary["added"] == summary["total"] > 1 and summary["reused"] == 0
+
+    lo, hi = 100, 150
+    via_table, total_t = prune_files_stats(dst, "event_id", lo, hi)
+    via_footers, total_f = prune_files(dst, "event_id", lo, hi)
+    assert via_table == via_footers and total_t == total_f
+    assert 0 < len(via_table) < total_t  # the skip actually skips
+
+    got = Counter(map(str, read_pruned_stats(spark, dst, "event_id", lo, hi).collect()))
+    want = Counter(
+        map(
+            str,
+            spark.read.parquet(dst)
+            .filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stats_table_update_is_incremental_and_lossless(spark, sf_dir, tmp_path):
+    """New files: (a) are KEPT by pruning before the table is refreshed
+    (skipping never lossy), (b) cost exactly one footer read each on
+    refresh while old rows are reused, and (c) vanished files drop out."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+        parquet_files,
+        prune_files_stats,
+        update_stats_table,
+    )
+
+    dst = str(tmp_path / "inc")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    ev.repartition(4).write.mode("overwrite").parquet(dst)
+    s1 = update_stats_table(dst, ["event_id"])
+    assert s1["added"] == 4 and s1["reused"] == 0
+
+    # land new files OUT OF RANGE of the probe; do not refresh the table
+    late = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 5000) & (F.col("event_id") < 6000)
+    )
+    late.coalesce(1).write.mode("append").parquet(dst)
+    n_files = len(parquet_files(dst))
+    assert n_files == 5
+    sel, total = prune_files_stats(dst, "event_id", 5500, 5600)
+    assert total == 5
+    # the uncovered new file MUST be kept even though covered files skip
+    covered_kept = [f for f in sel if f in set(parquet_files(dst))]
+    assert len(covered_kept) >= 1 and len(sel) < total + 1
+
+    s2 = update_stats_table(dst, ["event_id"])
+    assert s2["added"] == 1 and s2["reused"] == 4 and s2["total"] == 5
+    sel2, _ = prune_files_stats(dst, "event_id", 5500, 5600)
+    assert len(sel2) == 1  # now only the genuinely-overlapping file stays
+
+    # compaction replaces files; refresh drops the vanished rows
+    for f in parquet_files(dst)[:2]:
+        os.remove(f)
+    s3 = update_stats_table(dst, ["event_id"])
+    assert s3["removed"] == 2 and s3["total"] == 3
