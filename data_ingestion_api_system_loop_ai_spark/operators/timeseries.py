@@ -414,3 +414,126 @@ SELECT user_id, event_type,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
 FROM changes
 """
+
+
+# --- B55: gap fill + linear interpolation (unregistered; 50-slot cap) ---
+
+GAP_FILL_USERS = 50  # user subset keeps the dense grid test-sized
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 — regularize an irregular per-user time series onto a dense
+    hourly grid: hours with no events are MATERIALIZED and filled by
+    linear interpolation between the neighboring observed hours
+    (leading gaps back-fill, trailing gaps forward-fill) — the resample/
+    gap-fill primitive every telemetry and feature-engineering pipeline
+    needs before windowed models.
+
+    Scale: the observed aggregation is one (user, hour) shuffle with
+    map-side partials; the grid explode is bounded by each user's own
+    [first, last] span (no global calendar cross join); interpolation
+    is two parallel per-user windows (prev/next non-null), no global
+    funnel. Exact-decimal hourly means keep the doubles engine-equal;
+    interpolation arithmetic is the identical expression tree on both
+    engines, so the oracle reproduces every filled value.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    spans = obs.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    x = j.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("next_h"),
+    )
+    frac = F.expr("timestampdiff(HOUR, prev_h, h)").cast("double") / F.expr(
+        "timestampdiff(HOUR, prev_h, next_h)"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    # NOT re-rounded: the interpolation tree is engine-identical, so the
+    # raw doubles already match bit-for-bit; a final round(…, 6) would
+    # REINTRODUCE divergence on .5-boundary values (Spark rounds the
+    # exact BigDecimal of the double, DuckDB rounds via float multiply).
+    return x.select(
+        "user_id",
+        "h",
+        filled.alias("value_filled"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
+GAP_FILL_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v
+  FROM events WHERE user_id < {GAP_FILL_USERS} GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM spans
+), j AS (
+  SELECT g.user_id, g.h, o.v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+), x AS (
+  SELECT user_id, h, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j
+)
+SELECT user_id, h,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN prev_v IS NULL THEN next_v
+       WHEN next_v IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v)
+            * (CAST(datediff('hour', prev_h, h) AS DOUBLE)
+               / datediff('hour', prev_h, next_h)) END AS value_filled,
+  (v IS NOT NULL) AS is_observed
+FROM x
+"""

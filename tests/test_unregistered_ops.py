@@ -989,3 +989,61 @@ def test_bm25_semantics_on_constructed_docs(spark):
     # saturation: 4x the tf must yield far less than 4x the one-term score
     assert s[3]["bm25"] > s[2]["bm25"]
     assert s[3]["bm25"] < 4 * s[2]["bm25"]
+
+
+def test_gap_fill_oracle_parity(spark, sf_dir):
+    """Gap fill + linear interpolation (B55, unregistered): driver-grade
+    DuckDB comparison — grid materialization, exact-decimal hourly
+    means, engine-identical interpolation arithmetic."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        GAP_FILL_ORACLE,
+        q_gap_fill,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_gap_fill(spark, sf_dir), con, GAP_FILL_ORACLE)
+    finally:
+        con.close()
+
+
+def test_gap_fill_semantics_on_constructed_series(spark, sf_dir):
+    """Hand-checkable fill behavior on the real corpus: every user's
+    grid is dense hourly with no duplicate slots, observed slots carry
+    their observed value, and each interior gap is strictly between its
+    neighbors (linear interpolation is monotone within a gap)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_gap_fill,
+    )
+
+    rows = (
+        q_gap_fill(spark, sf_dir)
+        .orderBy("user_id", "h")
+        .collect()
+    )
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_checked = 0
+    for seq in by_user.values():
+        hours = [r["h"] for r in seq]
+        assert len(set(hours)) == len(hours)
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600  # dense grid
+        # interior gaps sit strictly between their observed neighbors
+        for i, r in enumerate(seq):
+            if r["is_observed"]:
+                continue
+            prev_obs = next(
+                (s for s in reversed(seq[:i]) if s["is_observed"]), None
+            )
+            next_obs = next((s for s in seq[i + 1 :] if s["is_observed"]), None)
+            if prev_obs and next_obs and prev_obs["value_filled"] != next_obs["value_filled"]:
+                lo_v = min(prev_obs["value_filled"], next_obs["value_filled"])
+                hi_v = max(prev_obs["value_filled"], next_obs["value_filled"])
+                assert lo_v < r["value_filled"] < hi_v
+                gaps_checked += 1
+    assert gaps_checked > 0
