@@ -1047,3 +1047,43 @@ def test_gap_fill_semantics_on_constructed_series(spark, sf_dir):
                 assert lo_v < r["value_filled"] < hi_v
                 gaps_checked += 1
     assert gaps_checked > 0
+
+
+def test_sketch_rollup_merge_equals_single_pass(spark, sf_dir):
+    """The whole point of mergeable sketches: union of the stored
+    per-day HLL sketches must reproduce the single-pass estimate
+    EXACTLY (same lgK, deterministic DataSketches union), and the event
+    totals must be conserved."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        direct_user_estimate,
+        q_sketch_rollup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    merged = {r["event_type"]: r for r in q_sketch_rollup(spark, sf_dir).collect()}
+    direct = {r["event_type"]: r for r in direct_user_estimate(spark, sf_dir).collect()}
+    assert set(merged) == set(direct) and len(merged) >= 2
+    for t in merged:
+        assert merged[t]["approx_users"] == direct[t]["approx_users"], t
+    total = sum(r["n_events"] for r in merged.values())
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_sketch_rollup_within_hll_error(spark, sf_dir):
+    """Merged estimates must sit within HLL error (lgK=12 → ~1.6% rse;
+    allow 5%) of the exact distinct counts."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_sketch_rollup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in q_sketch_rollup(spark, sf_dir).collect():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), r["event_type"]
