@@ -121,6 +121,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Build or incrementally refresh a dataset's stats table (one row
+    per data file with per-column min/max) — footers are read only for
+    newly-landed files; ``read_pruned_stats`` then plans range scans
+    with zero footer opens. The ANALYZE of this engine."""
+    from .sources.maintenance import update_stats_table
+
+    summary = update_stats_table(args.path, args.cols.split(","))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_health(args) -> int:
     """The reference's liveness surface (``src/app.js:11-13``: GET /
     -> "Data Ingestion API is running!"; error middleware
@@ -233,6 +245,11 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("store", help="serving table directory")
     pb.add_argument("num_buckets", type=int)
     pb.set_defaults(fn=cmd_rebucket)
+
+    pa = sub.add_parser("analyze")
+    pa.add_argument("path")
+    pa.add_argument("--cols", required=True, help="comma-separated stat columns")
+    pa.set_defaults(fn=cmd_analyze)
 
     pc = sub.add_parser("compact")
     pc.add_argument("src")

@@ -63,3 +63,68 @@ SELECT event_id, event_type, value,
 FROM events
 """,
 }
+
+
+# --- B57: Python UDTF (unregistered; 50-slot cap) -----------------------
+
+UDTF_DOCS = 100  # doc subset keeps the row-path demo test-sized
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 — Spark 4 Python UDTF driven through SQL ``LATERAL``: emit
+    (pos, token) rows per document, completing the Python surface
+    (scalar pandas_udf, applyInPandas, mapInPandas, mapInArrow,
+    applyInPandasWithState are covered elsewhere; UDTF is the
+    table-valued form). The tokenizer mirrors ``functions.text.tokenize``
+    exactly (lowercase, split on [^a-z0-9]+, drop empties), so the
+    DuckDB oracle reproduces every (doc, pos, token) row.
+
+    Scale note: Python UDTFs are ROW-path (one Python call per input
+    row, pickled rows — no Arrow batching), so like row-at-a-time UDFs
+    they stay off hot paths; in-row token explosion at scale is the
+    JVM-side ``posexplode(tokenize(text))`` one line below in the plan
+    lint's sights. This exists as sanctioned API surface for semantics
+    that genuinely need per-row generators (recursive parsers, variable
+    fan-out decoders), demonstrated on a bounded doc subset.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9]+", (text or "").lower())
+                if t
+            ]
+            for i, t in enumerate(toks, 1):
+                yield i, t
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < UDTF_DOCS
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
+UDTF_TOKENS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tokens
+  FROM documents WHERE doc_id < {UDTF_DOCS}
+)
+SELECT doc_id,
+       unnest(list_transform(range(1, len(tokens) + 1),
+              i -> {{'pos': CAST(i AS INTEGER), 'token': tokens[i]}}),
+              recursive := true)
+FROM toks
+"""

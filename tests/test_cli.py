@@ -187,3 +187,21 @@ def test_cli_rebucket_scales_store(spark, tmp_path, capsys):
     cold = ServingTable(store, key_cols=["k"], seq_col="seq")
     assert cold.num_buckets == 8
     assert cold.lookup(spark, k="k7").collect()[0]["val"] == "v"
+
+
+def test_cli_analyze_builds_and_refreshes_stats(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ds = str(tmp_path / "analyzed")
+    load_table(spark, sf_dir, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(ds)
+    assert main(["analyze", ds, "--cols", "event_id,user_id"]) == 0
+    s1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["added"] == 3 and s1["reused"] == 0 and s1["total"] == 3
+    # refresh with no new files: all rows reused, zero footer reads
+    assert main(["analyze", ds, "--cols", "event_id,user_id"]) == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["added"] == 0 and s2["reused"] == 3 and s2["total"] == 3

@@ -1087,3 +1087,45 @@ def test_sketch_rollup_within_hll_error(spark, sf_dir):
     for r in q_sketch_rollup(spark, sf_dir).collect():
         e = exact[r["event_type"]]
         assert abs(r["approx_users"] - e) <= max(2, 0.05 * e), r["event_type"]
+
+
+def test_udtf_tokens_oracle_parity(spark, sf_dir):
+    """Python UDTF via SQL LATERAL (B57, unregistered): driver-grade
+    DuckDB comparison — every (doc, pos, token) row reproduced."""
+    from data_ingestion_api_system_loop_ai_spark.operators.udfs import (
+        UDTF_TOKENS_ORACLE,
+        q_udtf_tokens,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_udtf_tokens(spark, sf_dir), con, UDTF_TOKENS_ORACLE)
+    finally:
+        con.close()
+
+
+def test_udtf_tokens_matches_jvm_posexplode(spark, sf_dir):
+    """The UDTF must agree row-for-row with the JVM-side fast path
+    (posexplode over tokenize) — same semantics, different engine path."""
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.functions.text import tokenize
+    from data_ingestion_api_system_loop_ai_spark.operators.udfs import (
+        UDTF_DOCS,
+        q_udtf_tokens,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    jvm = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < UDTF_DOCS)
+        .select(
+            "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p0", "token")
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "token")
+    )
+    a = Counter(map(tuple, q_udtf_tokens(spark, sf_dir).collect()))
+    b = Counter(map(tuple, jvm.collect()))
+    assert a == b and a
