@@ -1129,3 +1129,91 @@ def test_udtf_tokens_matches_jvm_posexplode(spark, sf_dir):
     a = Counter(map(tuple, q_udtf_tokens(spark, sf_dir).collect()))
     b = Counter(map(tuple, jvm.collect()))
     assert a == b and a
+
+
+def _inc_dedup_fixture(spark, sf_dir, tmp_path):
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    ix = str(tmp_path / "dedup_ix")
+    build_dedup_index(docs, ix)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(5, 7)).collect()
+    }
+    return docs, ix, texts
+
+
+def test_incremental_dedup_classifies_against_history(spark, sf_dir, tmp_path):
+    """New batch vs persisted index: exact copy → exact_dup with the
+    HISTORY canonical id; lightly-edited copy → near_dup with signature
+    agreement ≥ τ; fresh text → kept; an in-batch re-copy of an indexed
+    text also resolves to the history canonical."""
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        incremental_dedup,
+    )
+
+    _docs, ix, texts = _inc_dedup_fixture(spark, sf_dir, tmp_path)
+    near = texts[7].split()
+    near[0], near[3] = "zzzz", "qqqq"
+    batch = spark.createDataFrame(
+        [
+            (1000, texts[5]),
+            (1001, " ".join(near)),
+            (1002, "totally fresh unseen content " * 10),
+            (1003, texts[5]),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert out[1000]["status"] == "exact_dup" and out[1000]["matched_id"] == 5
+    assert out[1001]["status"] == "near_dup" and out[1001]["matched_id"] == 7
+    assert out[1001]["est_jaccard"] >= 0.5
+    assert out[1002]["status"] == "kept" and out[1002]["matched_id"] is None
+    assert out[1003]["status"] == "exact_dup" and out[1003]["matched_id"] == 5
+
+
+def test_incremental_dedup_first_occurrence_within_batch(spark, sf_dir, tmp_path):
+    """Two copies of a FRESH text in one batch: the lower doc_id is
+    kept, the higher one is exact_dup pointing at it (first-occurrence-
+    wins, same rule as the batch operator)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        incremental_dedup,
+    )
+
+    _docs, ix, _texts = _inc_dedup_fixture(spark, sf_dir, tmp_path)
+    fresh = "never indexed words only " * 8
+    batch = spark.createDataFrame(
+        [(2000, fresh), (2001, fresh)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert out[2000]["status"] == "kept"
+    assert out[2001]["status"] == "exact_dup" and out[2001]["matched_id"] == 2000
+
+
+def test_incremental_dedup_append_closes_the_loop(spark, sf_dir, tmp_path):
+    """The maintenance cycle: dedup a batch, APPEND the kept docs'
+    fingerprints, re-submit the same batch — now everything is a dup
+    of the first pass (nothing is kept twice)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    _docs, ix, _texts = _inc_dedup_fixture(spark, sf_dir, tmp_path)
+    batch = spark.createDataFrame(
+        [(3000, "appended corpus sentence words " * 9)],
+        "doc_id long, text string",
+    )
+    first = incremental_dedup(spark, batch, ix).collect()
+    assert [r["status"] for r in first] == ["kept"]
+    build_dedup_index(batch, ix, mode="append")
+    second = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert second[3000]["status"] == "exact_dup" and second[3000]["matched_id"] == 3000
