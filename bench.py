@@ -72,6 +72,9 @@ HEADLINE = [
     "q_dedup_spans",
     "q_tpch_q13",
     "q_tpch_q18",
+    "q_bm25_rank",
+    "q_gap_fill",
+    "q_sketch_rollup",
 ]
 
 
@@ -84,10 +87,23 @@ def _extra_queries():
         q_tpch_q18,
     )
 
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        q_bm25_rank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_sketch_rollup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_gap_fill,
+    )
+
     return {
         "q_dedup_spans": q_dedup_spans,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
+        "q_bm25_rank": q_bm25_rank,
+        "q_gap_fill": q_gap_fill,
+        "q_sketch_rollup": q_sketch_rollup,
     }
 
 

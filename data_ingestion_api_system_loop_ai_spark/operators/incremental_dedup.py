@@ -145,7 +145,17 @@ def incremental_dedup(
     In-batch NEAR dups are out of scope here by design — the landed
     batch is itself deduped by the batch operator before its
     fingerprints append to the index."""
-    exact_ix = spark.read.parquet(os.path.join(index_path, "exact"))
+    # Re-aggregate at probe time: the index grows by blind APPEND (and a
+    # replayed micro-batch may append the same fingerprints twice), so
+    # the same sha can occur in several index files. min() restores the
+    # one-canonical-per-sha invariant and keeps the left join 1:1 —
+    # duplicate appends can never multiply probe rows. Band rows need no
+    # such guard (the best-match groupBy absorbs duplicates).
+    exact_ix = (
+        spark.read.parquet(os.path.join(index_path, "exact"))
+        .groupBy("sha")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
     bands_ix = spark.read.parquet(os.path.join(index_path, "bands"))
 
     s = _sigs(new_docs)
@@ -212,3 +222,44 @@ def incremental_dedup(
         )
     )
     return out
+
+
+def dedup_stream_writer(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """Streaming closure of the incremental-dedup cycle: every
+    micro-batch is classified against the index, ``kept`` docs land in
+    ``out_path``, and THEIR fingerprints append to the index — so a
+    duplicate arriving in a LATER trigger is dropped against history
+    that includes earlier triggers. Returns the configured writeStream
+    (caller picks the trigger and starts it).
+
+    Exactly-once: the parquet appends are not transactional with the
+    checkpoint, so a crash between append and commit replays the batch.
+    Both appends are REPLAY-SAFE by construction — the probe
+    re-aggregates the exact index (duplicate fingerprints collapse to
+    the same canonical), and re-appending the same kept docs only adds
+    rows that dedup to identical probe results. Classifications never
+    change under replay; at most the out_path needs the same
+    re-aggregation on read (first occurrence by doc_id), the usual
+    foreachBatch idempotence contract (cf. ServingTable's versioned
+    commit for the stronger guarantee)."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        report = incremental_dedup(spark, batch_df, index_path)
+        kept = batch_df.join(
+            report.filter(F.col("status") == "kept").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        kept.write.mode("append").parquet(out_path)
+        build_dedup_index(kept, index_path, mode="append")
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )

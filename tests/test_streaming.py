@@ -727,3 +727,56 @@ def test_ingest_wire_stream_source_exactly_once_across_restarts(spark, tmp_path)
     assert drain("wire_run2") == ["2"]
     # nothing new: empty batch, no re-reads
     assert drain("wire_run3") == []
+
+
+def test_streaming_dedup_against_history_index(spark, sf_dir, tmp_path):
+    """The incremental-dedup cycle under Structured Streaming: three
+    single-file triggers (maxFilesPerTrigger=1, availableNow); a doc
+    that repeats in a LATER trigger is dropped against the index rows
+    appended by the EARLIER trigger, while fresh docs land."""
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        dedup_stream_writer,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "ix")
+    seed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    build_dedup_index(seed, ix)
+    seed_text = seed.filter(F.col("doc_id") == 3).collect()[0]["text"]
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    fresh_a = "first fresh streaming document tokens " * 8
+    fresh_b = "second fresh streaming document tokens " * 8
+    files = [
+        [(5000, fresh_a)],                 # trigger 1: fresh -> kept
+        [(5001, seed_text), (5002, fresh_b)],  # vs seed index -> dup; fresh -> kept
+        [(5003, fresh_a)],                 # dup of trigger 1's doc -> dropped
+    ]
+    for i, rows in enumerate(files):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = str(tmp_path / "kept")
+    q = (
+        dedup_stream_writer(spark, stream, ix, out, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {5000, 5002}
