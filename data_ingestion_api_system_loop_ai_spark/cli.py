@@ -133,6 +133,30 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build (or append to) a dedup fingerprint index from a parquet
+    dataset of (doc_id, text) rows."""
+    from .operators.incremental_dedup import build_dedup_index
+
+    spark = _spark("cli-index")
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    build_dedup_index(docs, args.index, mode="append" if args.append else "overwrite")
+    print(json.dumps({"indexed_docs": docs.count(), "index": args.index}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Classify a new batch of (doc_id, text) parquet rows against a
+    fingerprint index; one JSON report line per doc."""
+    from .operators.incremental_dedup import incremental_dedup
+
+    spark = _spark("cli-dedup")
+    batch = spark.read.parquet(args.batch).select("doc_id", "text")
+    for r in incremental_dedup(spark, batch, args.index).orderBy("doc_id").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_health(args) -> int:
     """The reference's liveness surface (``src/app.js:11-13``: GET /
     -> "Data Ingestion API is running!"; error middleware
@@ -245,6 +269,17 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("store", help="serving table directory")
     pb.add_argument("num_buckets", type=int)
     pb.set_defaults(fn=cmd_rebucket)
+
+    px = sub.add_parser("index")
+    px.add_argument("docs")
+    px.add_argument("index")
+    px.add_argument("--append", action="store_true")
+    px.set_defaults(fn=cmd_index)
+
+    pd = sub.add_parser("dedup")
+    pd.add_argument("batch")
+    pd.add_argument("index")
+    pd.set_defaults(fn=cmd_dedup)
 
     pa = sub.add_parser("analyze")
     pa.add_argument("path")

@@ -205,3 +205,38 @@ def test_cli_analyze_builds_and_refreshes_stats(spark, sf_dir, tmp_path, capsys)
     assert main(["analyze", ds, "--cols", "event_id,user_id"]) == 0
     s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["added"] == 0 and s2["reused"] == 3 and s2["total"] == 3
+
+
+def test_cli_index_and_dedup_roundtrip(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    docs_p = str(tmp_path / "docs_src")
+    seed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    seed.write.mode("overwrite").parquet(docs_p)
+    ix = str(tmp_path / "cli_ix")
+    assert main(["index", docs_p, ix]) == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["indexed_docs"] == 50
+
+    dup_text = seed.filter(F.col("doc_id") == 9).collect()[0]["text"]
+    batch_p = str(tmp_path / "batch_src")
+    spark.createDataFrame(
+        [(9000, dup_text), (9001, "unindexed cli words " * 10)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(batch_p)
+    assert main(["dedup", batch_p, ix]) == 0
+    lines = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    by_id = {r["doc_id"]: r for r in lines}
+    assert by_id[9000]["status"] == "exact_dup" and by_id[9000]["matched_id"] == 9
+    assert by_id[9001]["status"] == "kept"
