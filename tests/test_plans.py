@@ -180,3 +180,27 @@ def test_span_dedup_winner_pick_is_hash_aggregated(spark, sf_dir):
     )
     assert "SortAggregate" not in plan
     assert "BatchEvalPython" not in plan  # engine-wide lint holds here too
+
+
+def test_new_unregistered_ops_stay_jvm_side(spark, sf_dir):
+    """The lint above covers registered queries; the round-3 additions
+    that claim JVM-only hot paths must honor it too (q_udtf_tokens is
+    excluded by design — a UDTF IS the sanctioned row path)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        q_bm25_rank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_sketch_rollup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_gap_fill,
+    )
+
+    for fn in (q_bm25_rank, q_gap_fill, q_sketch_rollup):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
