@@ -7,11 +7,13 @@ Each query is materialized through the noop sink (full execution, no
 driver-side row transfer). A trivial warm-up query first amortizes JVM/
 session startup out of the per-query numbers. Each query runs
 $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
-MEDIAN, so round-over-round comparisons aren't single-sample noise;
-a "spread" map carries {median, min, max} per query so a regression
-can be told apart from run-to-run variance without re-benching
-(VERDICT r02 #4 — the r02 "regression cluster" was unadjudicable
-from medians alone).
+MEDIAN, so round-over-round comparisons aren't single-sample noise.
+A {median, min, max} per-query spread map is written to the side file
+BENCH_SPREAD.json (NOT stdout — the driver tail-captures stdout and
+the r03 inline spread pushed the JSON line past the capture window,
+losing the round's headline number; VERDICT r03 #1/#3) so a
+regression can still be told apart from run-to-run variance without
+re-benching.
 """
 
 from __future__ import annotations
@@ -75,10 +77,18 @@ HEADLINE = [
     "q_bm25_rank",
     "q_gap_fill",
     "q_sketch_rollup",
+    # probe-from-persisted-index ANN (VERDICT r03 #5): the index is
+    # built ONCE before the timed runs (build-once artifact at 100 TB),
+    # so this number is query-only latency — compare with
+    # q_similarity_ivf, which retrains its quantizer inside the query
+    "q_similarity_ivf_index",
 ]
 
 
 def _extra_queries():
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
         q_dedup_spans,
     )
@@ -97,6 +107,19 @@ def _extra_queries():
         q_gap_fill,
     )
 
+    ix_root = tempfile.mkdtemp(prefix="bench_ann_ix_")
+    built: dict[str, str] = {}
+
+    def _ivf_from_index(spark, sf_dir):
+        # one build per sf_dir, OUTSIDE any timed run when the warm-up
+        # pass executes first (it does: the compile warm-up runs every
+        # headline query once before timing)
+        if sf_dir not in built:
+            p = os.path.join(ix_root, os.path.basename(sf_dir.rstrip("/")))
+            ann_index.build_ann_index(spark, sf_dir, p)
+            built[sf_dir] = p
+        return ann_index.q_similarity_ivf_from_index(spark, sf_dir, built[sf_dir])
+
     return {
         "q_dedup_spans": q_dedup_spans,
         "q_tpch_q13": q_tpch_q13,
@@ -104,6 +127,7 @@ def _extra_queries():
         "q_bm25_rank": q_bm25_rank,
         "q_gap_fill": q_gap_fill,
         "q_sketch_rollup": q_sketch_rollup,
+        "q_similarity_ivf_index": _ivf_from_index,
     }
 
 
@@ -147,6 +171,13 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # the persisted-index probe entry builds its index lazily on first
+    # call per sf_dir; run it once here so the BUILD lands before the
+    # timed loop and the timed samples are pure query-only latency
+    fns["q_similarity_ivf_index"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # alternate full passes rather than back-to-back repeats so one
@@ -170,6 +201,15 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the tail of stdout and parses the LAST
+    # JSON line. r03's inline spread map pushed that line past the
+    # capture window and the round's headline number was lost
+    # (BENCH_r03.json "parsed": null). The spread therefore goes to a
+    # side file; stdout gets only the compact headline line, printed
+    # LAST.
+    spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
+    with open(spread_path, "w") as f:
+        json.dump({"sf": sf, "n_runs": n_runs, "spread": spread}, f, indent=1)
     print(
         json.dumps(
             {
@@ -177,7 +217,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "sf": sf,
             }
         )
