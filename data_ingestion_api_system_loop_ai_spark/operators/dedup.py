@@ -20,6 +20,7 @@ the pair scan is per-cell quadratic, not global.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, shingles_k, sql_simhash_cte, sql_tokens, tokenize
@@ -229,6 +230,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_N = 16  # hash functions
 MINHASH_R = 2  # rows per band -> 8 bands; P(candidate | J=0.5) ~ 0.90
 MINHASH_BANDS = MINHASH_N // MINHASH_R
+# Per-(band, key) bucket cap on all-pairs candidate expansion (VERDICT
+# r03 #2): a large near-identical cluster shares ALL minima, so one
+# bucket would otherwise hold the whole cluster and the in-array pair
+# expansion builds O(m^2) structs inside a single aggregation row
+# (10^10 structs for a 100k-doc crawl dup cluster -> executor OOM).
+# The first LSH_BUCKET_CAP docs of a bucket (by doc_id) keep exact
+# all-pairs; every doc PAST the cap still becomes a candidate, paired
+# against the bucket's min-doc representative (star edges — linear in
+# bucket size, bounded collect buffer, and cluster connectivity is
+# preserved for q_dedup_components). Nothing is silently dropped —
+# only overflow-overflow pairs that don't route through the
+# representative are skipped, which in an over-cap bucket (a dense dup
+# cluster by construction) the transitive-closure step recovers; the
+# overflow population is observable via minhash_bucket_overflow().
+LSH_BUCKET_CAP = 512
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,30 +287,15 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", sets.alias("ss")).repartition(F.col("doc_id"))
 
 
-def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-portable MinHash-LSH, oracle-checkable end to end: 16
-    hash functions carved as four 32-bit windows out of each of 4 salted
-    ``md5(g || ':' || shingle)`` digests (hashing dominates MinHash cost
-    at corpus scale, so digests are reused 4-ways and computed over the
-    DISTINCT shingle set, not every occurrence), per-doc minima as 16
-    ``array_min`` expressions over the per-doc shingle-set array — no
-    row amplification, no extra shuffle — banded into 8 band keys of 2
-    minima each, candidates = docs sharing any band key (equi-join on
-    the band), then exact Jaccard verification >= 0.5 restricted
-    candidate-first (the shingle relation is semi-joined to candidate
-    docs BEFORE pair expansion, so the expensive stage never touches
-    non-candidate docs).
-
-    Because every hash is deterministic and engine-portable, DuckDB
-    replicates the exact candidate set — so the LSH *scale path itself*
-    is hash-checked, not just the brute-force fallback (the spark.ml
-    variant q_dedup_minhash_lsh stays rows-only: its hashes are
-    engine-internal). LSH recall is probabilistic by design; the oracle
-    checks parity of the algorithm, not ground-truth completeness."""
-    base = _shingle_sets(spark, sf_dir)
-    # one md5 digest yields four independent 32-bit windows, so 16 hash
-    # functions cost 4 digests per distinct shingle, not 16 — hashing is
-    # the dominant cost of MinHash at corpus scale
+def _banded_keys(base: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys from the per-doc shingle sets:
+    16 hash functions carved as four 32-bit windows out of each of 4
+    salted ``md5(g || ':' || shingle)`` digests (one digest yields four
+    independent windows, so 16 hash functions cost 4 digests per
+    DISTINCT shingle — hashing dominates MinHash cost at corpus scale),
+    per-doc minima as 16 ``array_min`` expressions (no row
+    amplification, no extra shuffle), banded into ``MINHASH_BANDS``
+    keys of ``MINHASH_R`` minima each."""
     digs = F.transform(
         "ss",
         lambda s: F.struct(
@@ -304,6 +305,7 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
     def _min_hash(i: int):
         # single-arg lambda: a two-arg transform lambda would receive
         # the array INDEX as its second argument
@@ -339,12 +341,78 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MINHASH_BANDS)
     ]
-    banded = mh.select(
+    return mh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # candidate pairs INSIDE each (band, key) bucket's posting array —
-    # one groupBy instead of a banded self-join, so the minhash subplan
-    # is evaluated once, not once per join side
+
+
+def minhash_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, key, bucket_size) for every LSH bucket past
+    ``LSH_BUCKET_CAP`` — the no-silent-caps companion to
+    ``q_dedup_minhash_banded``: a production run reports this relation
+    alongside the pair output so capped buckets (dense duplicate
+    clusters whose overflow docs were star-paired against the bucket
+    representative rather than all-paired) are visible, not silently
+    absorbed."""
+    banded = _banded_keys(_shingle_sets(spark, sf_dir))
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > LSH_BUCKET_CAP)
+    )
+
+
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash-LSH, oracle-checkable end to end: 16
+    hash functions carved as four 32-bit windows out of each of 4 salted
+    ``md5(g || ':' || shingle)`` digests (hashing dominates MinHash cost
+    at corpus scale, so digests are reused 4-ways and computed over the
+    DISTINCT shingle set, not every occurrence), per-doc minima as 16
+    ``array_min`` expressions over the per-doc shingle-set array — no
+    row amplification, no extra shuffle — banded into 8 band keys of 2
+    minima each, candidates = docs sharing any band key (equi-join on
+    the band), then exact Jaccard verification >= 0.5 restricted
+    candidate-first (the shingle relation is semi-joined to candidate
+    docs BEFORE pair expansion, so the expensive stage never touches
+    non-candidate docs).
+
+    Because every hash is deterministic and engine-portable, DuckDB
+    replicates the exact candidate set — so the LSH *scale path itself*
+    is hash-checked, not just the brute-force fallback (the spark.ml
+    variant q_dedup_minhash_lsh stays rows-only: its hashes are
+    engine-internal). LSH recall is probabilistic by design; the oracle
+    checks parity of the algorithm, not ground-truth completeness.
+
+    Buckets larger than ``LSH_BUCKET_CAP`` (dense duplicate clusters by
+    construction — only near-identical docs agree on a whole band) cap
+    the all-pairs expansion at the cap and connect every overflow doc
+    to the bucket's min-doc representative instead (see the
+    ``LSH_BUCKET_CAP`` comment; overflow observable via
+    ``minhash_bucket_overflow``). The cap rule is replicated verbatim
+    in the oracle SQL, so the hash check covers the capped algorithm
+    itself, not an uncapped idealization."""
+    base = _shingle_sets(spark, sf_dir)
+    banded = _banded_keys(base)
+    # candidate pairs INSIDE each (band, key) bucket, CAPPED (VERDICT
+    # r03 #2): rank bucket members by doc_id with a window (sort-based,
+    # disk-spillable — no unbounded aggregation buffer even for a
+    # corpus-sized dup cluster landing in one bucket). The running min
+    # over the same ordered frame is the bucket's min doc (ascending
+    # order makes running min == docs[0] on every row), so rank and
+    # representative ride ONE Window node on one (band, key) exchange.
+    wo = W.partitionBy("band", "key").orderBy("doc_id")
+    ranked = banded.select(
+        "doc_id",
+        "band",
+        "key",
+        F.row_number().over(wo).alias("rn"),
+        F.min("doc_id").over(wo).alias("rep"),
+    )
+    # head of the bucket (<= LSH_BUCKET_CAP docs): exact all-pairs via
+    # the in-array expansion — the groupBy rides the window's existing
+    # (band, key) partitioning (no second exchange) and the collect is
+    # bounded by the cap, so the worst row is CAP^2/2 structs (~2 MB),
+    # not m^2
     bucket_pairs = F.flatten(
         F.transform(
             "docs",
@@ -354,14 +422,22 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cand = (
-        banded.groupBy("band", "key")
+    cand_head = (
+        ranked.filter(F.col("rn") <= LSH_BUCKET_CAP)
+        .groupBy("band", "key")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(F.size("docs") >= 2)
         .select(F.explode(bucket_pairs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+    # overflow (rank past the cap): star pairs against the bucket
+    # representative — a pure projection, linear in bucket size; rep <
+    # doc_id always holds (rep is the bucket min), preserving the
+    # doc_a < doc_b invariant
+    cand_over = ranked.filter(F.col("rn") > LSH_BUCKET_CAP).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    cand = cand_head.unionByName(cand_over).distinct()
     # exact-verification stage, CANDIDATE-FIRST (VERDICT r01 #6): the
     # shingle-set relation is semi-joined down to docs that appear in at
     # least one candidate pair BEFORE posting lists are built and pairs
@@ -378,26 +454,24 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_cand = base.join(cand_docs, "doc_id", "left_semi").select(
         "doc_id", F.explode("ss").alias("s")
     )
-    postings = sh_cand.groupBy("s").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("docs")
-    )
     # denominator sizes from the set relation directly (cheaper subplan
     # than mh, which carries the hash extraction work)
     sizes = base.select("doc_id", F.size("ss").alias("n"))
-    pair_arr = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # intersection counts PAIR-FIRST, not posting-list-first: the old
+    # per-shingle posting-array pair expansion was the same O(m^2)-in-
+    # one-row hazard as the bucket stage (a shingle common to every doc
+    # of a dup cluster holds the whole cluster in one array). Expanding
+    # each candidate pair by doc_a's shingle set and inner-joining the
+    # (doc_b, s) side counts the intersection with per-row fan-out
+    # bounded by a single document's shingle count — two distributed
+    # hash joins, no quadratic row anywhere.
     common = (
-        postings.filter(F.size("docs") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .join(cand, ["doc_a", "doc_b"])  # keep only true LSH candidate pairs
+        cand.join(
+            sh_cand.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(
+            sh_cand.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"]
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
@@ -432,7 +506,6 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product and one divide — not three dot products. Identical
     doubles: the division grouping ``dot / (na * nb)`` matches the
     oracle expression exactly."""
-    from pyspark.sql import Window as W
     from .similarity import dot_expr, ivf_assign
 
     asg = ivf_assign(load_table(spark, sf_dir, "embeddings"))
@@ -655,10 +728,21 @@ WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
 banded AS (
   {_MINHASH_BANDS_SQL}
 ),
+ranked AS (
+  SELECT doc_id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
+         min(doc_id) OVER (PARTITION BY band, key ORDER BY doc_id) AS rep
+  FROM banded
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ranked a JOIN ranked b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+     AND a.rn <= {LSH_BUCKET_CAP} AND b.rn <= {LSH_BUCKET_CAP}
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b FROM ranked WHERE rn > {LSH_BUCKET_CAP}
+  )
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 common AS (

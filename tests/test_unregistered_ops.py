@@ -7,6 +7,8 @@ unexercised."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -121,6 +123,126 @@ def test_minhash_lsh_ml_variant_runs_and_overlaps_banded(spark, sf_dir):
     # both are LSH at J>=0.5 with different hash families; require
     # majority agreement rather than equality
     assert len(ml & banded) >= len(banded) * 0.6
+
+
+def test_minhash_banded_survives_giant_dup_cluster(spark):
+    """VERDICT r03 #2 adversarial case: a 10k-doc identical cluster
+    (ubiquitous in web crawls) lands every doc in the SAME (band, key)
+    bucket in all 8 bands. Pre-cap this built O(m^2) structs inside one
+    aggregation row (10^10 for a 100k cluster -> executor OOM); with
+    LSH_BUCKET_CAP the head of each bucket keeps exact all-pairs, every
+    overflow doc is star-paired against the bucket representative, and
+    the query completes with bounded row sizes. Asserts the exact
+    candidate algebra: C(cap, 2) head pairs + (m - cap) star pairs, all
+    verified at jaccard 1.0; overflow-overflow pairs are the (documented,
+    observable) exclusion."""
+    import os
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    m = 10_000
+    cap = dd.LSH_BUCKET_CAP
+    text = " ".join(f"tok{i}" for i in range(10))  # 6 distinct 5-shingles
+    docs = [(i, text) for i in range(1, m + 1)]
+    docs += [(m + 1, "completely different words " + " ".join(f"z{i}" for i in range(6)))]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = dd.q_dedup_minhash_banded(spark, tmp)
+        n_pairs = out.count()
+        expected = cap * (cap - 1) // 2 + (m - cap)
+        assert n_pairs == expected
+        # star pair to the representative exists for the last overflow
+        # doc; a head pair exists; the un-capped overflow-overflow pair
+        # does not; the distinct doc pairs with nothing
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in out.filter(
+                (F.col("doc_a").isin(1, cap + 1)) | (F.col("doc_b") == m + 1)
+            ).collect()
+        }
+        assert (1, m) in got and (2, 3) not in got  # star edge present; filter scoped
+        assert (cap + 1, cap + 2) not in got
+        assert not any(b == m + 1 for _, b in got)
+        # the no-silent-caps companion reports the 8 oversized buckets
+        over = dd.minhash_bucket_overflow(spark, tmp).collect()
+        assert len(over) == 8 and all(r["bucket_size"] == m for r in over)
+
+
+def test_ann_index_probe_matches_inline(spark, sf_dir, tmp_path):
+    """VERDICT r03 #5: the persisted ANN index (build/probe split) must
+    reproduce the inline queries exactly — same IVF neighbors, same PQ
+    neighbors — with training removed from the query path; a directory
+    without the commit marker is refused, not silently probed."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        q_similarity_ivf,
+        q_similarity_pq,
+    )
+
+    ix = str(tmp_path / "ann_ix")
+    with pytest.raises(FileNotFoundError):
+        ai.q_similarity_ivf_from_index(spark, sf_dir, ix)
+    ai.build_ann_index(spark, sf_dir, ix)
+
+    inline_ivf = sorted(map(tuple, q_similarity_ivf(spark, sf_dir).collect()))
+    from_ix_ivf = sorted(
+        map(tuple, ai.q_similarity_ivf_from_index(spark, sf_dir, ix).collect())
+    )
+    assert inline_ivf == from_ix_ivf and len(inline_ivf) > 0
+
+    inline_pq = sorted(map(tuple, q_similarity_pq(spark, sf_dir).collect()))
+    from_ix_pq = sorted(
+        map(tuple, ai.q_similarity_pq_from_index(spark, sf_dir, ix).collect())
+    )
+    assert inline_pq == from_ix_pq and len(inline_pq) > 0
+
+
+def test_ann_index_append_assigns_to_frozen_cells(spark, sf_dir, tmp_path):
+    """Appending to a built index assigns new vectors against the
+    FROZEN quantizer: a copy of an existing vector lands in that
+    vector's cell, and its PQ code row appears with all M codes —
+    no retrain, no rebuild."""
+    import os as _os
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import PQ_M
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "ann_ix2")
+    ai.build_ann_index(spark, sf_dir, ix)
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.orderBy("vec_id").limit(2).collect()
+    new_vecs = spark.createDataFrame(
+        [(900000 + i, r["embedding"]) for i, r in enumerate(src)],
+        "vec_id long, embedding array<float>",
+    )
+    ai.append_ann_index(spark, new_vecs, ix)
+    asg = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(_os.path.join(ix, "assignments")).collect()
+    }
+    for i, r in enumerate(src):
+        assert asg[900000 + i] == asg[r["vec_id"]]  # same cell as the copy
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in spark.read.parquet(_os.path.join(ix, "pq_codes"))
+        .filter(F.col("vec_id") >= 900000)
+        .collect()
+    }
+    assert set(codes) == {900000, 900001}
+    assert all(len(c) == PQ_M for c in codes.values())
+    # identical vectors encode to identical codes as the originals
+    orig_codes = {
+        r["vec_id"]: r["code"]
+        for r in spark.read.parquet(_os.path.join(ix, "pq_codes"))
+        .filter(F.col("vec_id").isin(*[r["vec_id"] for r in src]))
+        .collect()
+    }
+    for i, r in enumerate(src):
+        assert codes[900000 + i] == orig_codes[r["vec_id"]]
 
 
 def test_ivf_cell_count_grows_with_corpus(spark, sf_dir):
@@ -1196,6 +1318,92 @@ def test_incremental_dedup_first_occurrence_within_batch(spark, sf_dir, tmp_path
     out = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
     assert out[2000]["status"] == "kept"
     assert out[2001]["status"] == "exact_dup" and out[2001]["matched_id"] == 2000
+
+
+def test_incremental_dedup_in_batch_near_dups(spark, sf_dir, tmp_path):
+    """VERDICT r03 #4: two NEAR-but-not-exact dups arriving in one
+    trigger — neither in history — resolve first-occurrence-wins: the
+    lower doc_id is kept, the higher one is near_dup with the first as
+    match and agreement ≥ τ."""
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        incremental_dedup,
+    )
+
+    _docs, ix, _texts = _inc_dedup_fixture(spark, sf_dir, tmp_path)
+    base = ("fresh never indexed alpha beta gamma delta epsilon " * 6).split()
+    edited = list(base)
+    edited[0], edited[5] = "zzzz", "qqqq"
+    batch = spark.createDataFrame(
+        [(4000, " ".join(base)), (4001, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert out[4000]["status"] == "kept"
+    assert out[4001]["status"] == "near_dup"
+    assert out[4001]["matched_id"] == 4000
+    assert out[4001]["est_jaccard"] >= 0.5
+
+
+def test_incremental_dedup_bootstraps_from_missing_index(spark, tmp_path):
+    """ADVICE r03: a fresh stream with NO pre-built index must not
+    throw — a missing index directory is empty history; the first batch
+    classifies everything against nothing (in-batch rules still apply)
+    and can seed the index itself."""
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    ix = str(tmp_path / "never_built")
+    t = "completely new corpus text tokens " * 8
+    batch = spark.createDataFrame(
+        [(1, t), (2, t), (3, "another different document entirely " * 8)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert out[1]["status"] == "kept" and out[3]["status"] == "kept"
+    assert out[2]["status"] == "exact_dup" and out[2]["matched_id"] == 1
+    # the first batch's kept docs seed the index; a rerun sees history
+    build_dedup_index(batch, ix, mode="append")
+    again = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
+    assert again[1]["status"] == "exact_dup" and again[1]["matched_id"] == 1
+
+
+def test_incremental_dedup_torn_unit_is_invisible(spark, sf_dir, tmp_path):
+    """VERDICT r03 #3 crash injection, probe side: index table data
+    written WITHOUT a committed marker (a writer killed between the
+    table writes and the commit) must be invisible to classification —
+    otherwise a replayed batch would match against its own torn earlier
+    attempt and classify itself as a duplicate (data loss)."""
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        incremental_dedup as inc,
+    )
+
+    _docs, ix, _texts = _inc_dedup_fixture(spark, sf_dir, tmp_path)
+    batch = spark.createDataFrame(
+        [(7000, "crash injection fixture words " * 9)], "doc_id long, text string"
+    )
+    clean = {
+        r["doc_id"]: r["status"]
+        for r in inc.incremental_dedup(spark, batch, ix).collect()
+    }
+    assert clean == {7000: "kept"}
+    # emulate the crash: land the unit's table data, then DELETE the
+    # marker (equivalent to dying before _commit_unit ran)
+    inc.build_dedup_index(batch, ix, mode="append", unit="b000042")
+    os.remove(os.path.join(ix, "_commits", "b000042"))
+    replay = {
+        r["doc_id"]: r["status"]
+        for r in inc.incremental_dedup(spark, batch, ix).collect()
+    }
+    assert replay == clean  # torn unit invisible; no self-match
+    # the replayed commit overwrites the torn directories and commits
+    inc.build_dedup_index(batch, ix, mode="append", unit="b000042")
+    after = {
+        r["doc_id"]: r["status"]
+        for r in inc.incremental_dedup(spark, batch, ix).collect()
+    }
+    assert after == {7000: "exact_dup"}
 
 
 def test_incremental_dedup_append_closes_the_loop(spark, sf_dir, tmp_path):
