@@ -10,10 +10,11 @@ compact on-disk index updated as data lands:
 - ``exact``:  one row per distinct sha256 with its canonical doc —
   membership is an equi-join on the hash, O(|batch|) probe work.
 - ``bands``:  the MinHash-LSH banding of history, stored EXPLODED as
-  (band, key, doc_id, sig) and partitioned by band — an incoming doc
-  joins only the band keys it shares (partition-pruned, never a scan),
-  and the 16-component signature rides along so candidate
-  verification needs NO second lookup.
+  (band, key, doc_id, sig) and clustered by band — an incoming doc
+  joins only the band keys it shares (the index slice is semi-joined
+  down to the batch's keys before anything heavy runs), and the
+  16-component signature rides along so candidate verification needs
+  NO second lookup.
 
 Near-dup verification uses the standard signature-agreement estimate
 (matching minhash components / 16 ≈ Jaccard — the MMDS bound): exact
@@ -24,26 +25,57 @@ fixed 136 bytes per doc. Same constants as the batch operator
 batch job verifies is a candidate here with the published LSH
 probability.
 
-The index grows by APPEND: ``build_dedup_index`` over each landed
-batch after filtering (mode="append") — both tables are insert-only
-under first-occurrence-wins, no rewrite of existing rows.
+TRANSACTIONAL GROWTH (VERDICT r03 #3): the index grows by UNIT — every
+ingest (bootstrap build, manual append, stream micro-batch) lands its
+``exact`` and ``bands`` rows under a unit-scoped directory
+(``exact/unit=<u>/``, ``bands/unit=<u>/band=<b>/``) and becomes
+visible only when its marker file commits under ``_commits/<u>`` (temp
+name + atomic rename). Readers — the probe and ``read_deduped`` —
+resolve committed units first and read nothing else, so a crash
+between the out-corpus write and either index write leaves an
+UNCOMMITTED unit that is invisible everywhere; the replayed micro-batch
+re-derives the same unit name from its batch id and OVERWRITES the torn
+directories before committing the marker. Out-corpus and index can
+never observe different prefixes, and ``out_path`` never serves
+duplicate rows (no reader-side re-aggregation needed). This is the
+ServingTable manifest-commit idea with the manifest degenerated to a
+marker per insert-only unit.
 
-Scale notes: the exact probe is one shuffle of the batch's hashes
-(the index side is pre-bucketable by sha); the band probe shuffles
-|batch| × 8 band rows against a partition-pruned index slice; no
-stage touches unmatched history. All hashing is the engine-portable
-md5-window family shared with ``operators/dedup.py``.
+Scale notes: the exact probe is one shuffle of the batch's hashes; the
+band probe first semi-joins the index down to the band keys the batch
+carries (broadcast of O(|batch|) keys), then caps each (band, key)
+posting list at ``BAND_KEY_CAP`` history docs before the join — the
+same dense-dup-cluster fan-out hazard as the batch operator's
+``LSH_BUCKET_CAP`` (VERDICT r03 #2): a band key shared by a million
+near-identical history docs would otherwise multiply every probe row a
+million-fold, when matching against ANY of them already answers the
+classification question. All hashing is the engine-portable md5-window
+family shared with ``operators/dedup.py``.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_k, tokenize
 from .dedup import JACCARD_THRESHOLD, MINHASH_BANDS, MINHASH_N, MINHASH_R, SHINGLE_K
+
+_COMMITS_DIR = "_commits"
+_EXACT_SCHEMA = "sha string, canonical_id long"
+_BANDS_SCHEMA = "band int, key string, doc_id long, sig array<bigint>"
+# Per-(band, key) cap on the HISTORY posting list joined against the
+# probe (and on the in-batch old side): a key held by more docs than
+# this is a dense duplicate cluster; probing against the BAND_KEY_CAP
+# lowest doc_ids (which include the cluster's canonical under
+# first-occurrence-wins) answers "is this a near-dup of history" with
+# bounded fan-out. Consequence, documented: for an over-cap key the
+# reported match is the best among the capped slice, not the global
+# best — the classification itself is unaffected.
+BAND_KEY_CAP = 64
 
 
 def _sigs(docs: DataFrame) -> DataFrame:
@@ -119,44 +151,120 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def build_dedup_index(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Materialize (or append to) the fingerprint index for ``docs``.
-    ``mode="append"`` is the incremental maintenance path: both tables
-    are insert-only, so each landed batch appends its own fingerprints
-    after it has itself been deduped."""
+def committed_units(index_path: str) -> list[str]:
+    """Unit labels whose marker file committed — the ONLY units any
+    reader resolves. Sorted for deterministic read order."""
+    d = os.path.join(index_path, _COMMITS_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if not f.startswith((".", "_")))
+
+
+def _commit_unit(index_path: str, unit: str) -> None:
+    """Atomically publish a unit: temp file + rename, the same
+    publish-by-rename contract the wire source requires of its capture
+    files. The rename is the commit point — before it, nothing
+    references the unit's directories; after it, both tables observe
+    the unit together."""
+    d = os.path.join(index_path, _COMMITS_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{unit}.tmp")
+    with open(tmp, "w") as f:
+        f.write(unit)
+    os.replace(tmp, os.path.join(d, unit))
+
+
+def build_dedup_index(
+    docs: DataFrame, path: str, mode: str = "overwrite", unit: str | None = None
+) -> str:
+    """Materialize (or append to) the fingerprint index for ``docs``
+    as ONE committed unit; returns the unit label.
+
+    ``mode="append"`` is the incremental maintenance path. Both tables
+    land under ``<table>/unit=<label>/`` (each write overwrites its own
+    unit directory, so a replay of the same unit is idempotent) and the
+    unit becomes visible only when ``_commit_unit`` renames its marker
+    into place AFTER both writes succeed — a crash in between leaves an
+    invisible torn unit, not a half-observed index (VERDICT r03 #3).
+    Auto-generated labels assume a single writer (the streaming path
+    passes an explicit per-batch label; concurrent manual appends would
+    need the ServingTable claim protocol)."""
+    if mode == "overwrite":
+        for sub in ("exact", "bands", _COMMITS_DIR):
+            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+        label = unit or "u000000"
+    else:
+        label = unit or f"u{len(committed_units(path)):06d}"
     s = _sigs(docs)
     s.select("sha", "doc_id").groupBy("sha").agg(
         F.min("doc_id").alias("canonical_id")
-    ).write.mode(mode).parquet(os.path.join(path, "exact"))
-    _band_rows(s).write.mode(mode).partitionBy("band").parquet(
-        os.path.join(path, "bands")
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "exact", f"unit={label}")
     )
+    _band_rows(s).write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands", f"unit={label}")
+    )
+    _commit_unit(path, label)
+    return label
+
+
+def _read_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(exact, bands) over the COMMITTED units only. A missing or
+    empty index is EMPTY HISTORY, not an error (ADVICE r03): a fresh
+    stream's first micro-batch classifies everything against nothing,
+    keeps it all, and seeds the index itself — no manual
+    build_dedup_index bootstrap required. Explicit schemas make
+    zero-file units (e.g. a trigger that kept nothing) readable."""
+    units = committed_units(index_path)
+    if not units:
+        return (
+            spark.createDataFrame([], _EXACT_SCHEMA),
+            spark.createDataFrame([], _BANDS_SCHEMA),
+        )
+    exact = spark.read.schema(_EXACT_SCHEMA).parquet(
+        *[os.path.join(index_path, "exact", f"unit={u}") for u in units]
+    )
+    bands_root = os.path.join(index_path, "bands")
+    bands = (
+        spark.read.schema(_BANDS_SCHEMA)
+        # basePath keeps the hive `band=` partition column in the
+        # result when reading explicit unit directories (the ADVICE r03
+        # read_pruned lesson)
+        .option("basePath", bands_root)
+        .parquet(*[os.path.join(bands_root, f"unit={u}") for u in units])
+        .select("band", "key", "doc_id", "sig")
+    )
+    return exact, bands
 
 
 def incremental_dedup(
     spark: SparkSession, new_docs: DataFrame, index_path: str
 ) -> DataFrame:
-    """Classify each incoming doc against the index: ``exact_dup``
-    (sha256 present, including a dup WITHIN the batch — first
-    occurrence by doc_id wins), ``near_dup`` (shares an LSH band with a
-    history doc and signature agreement ≥ τ; best match reported), or
-    ``kept``. Returns (doc_id, status, matched_id, est_jaccard).
+    """Classify each incoming doc against the index AND the rest of its
+    own batch: ``exact_dup`` (sha256 present in history, or an exact
+    copy of an earlier-doc_id batch doc — first occurrence wins),
+    ``near_dup`` (shares an LSH band with a history doc OR an
+    earlier-doc_id batch doc, signature agreement ≥ τ; best match
+    reported), or ``kept``. Returns (doc_id, status, matched_id,
+    est_jaccard).
 
-    In-batch NEAR dups are out of scope here by design — the landed
-    batch is itself deduped by the batch operator before its
-    fingerprints append to the index."""
-    # Re-aggregate at probe time: the index grows by blind APPEND (and a
-    # replayed micro-batch may append the same fingerprints twice), so
-    # the same sha can occur in several index files. min() restores the
-    # one-canonical-per-sha invariant and keeps the left join 1:1 —
-    # duplicate appends can never multiply probe rows. Band rows need no
-    # such guard (the best-match groupBy absorbs duplicates).
-    exact_ix = (
-        spark.read.parquet(os.path.join(index_path, "exact"))
-        .groupBy("sha")
-        .agg(F.min("canonical_id").alias("canonical_id"))
+    In-batch near-dup resolution (VERDICT r03 #4) follows the same
+    first-occurrence-wins rule as the exact path: the candidate join's
+    in-batch side only pairs a doc against LOWER doc_ids, so the
+    earliest member of a fresh near-dup cluster is kept and later
+    members match it (a matched_id may itself have been dropped as a
+    near-dup of something earlier — its cluster's canonical survives
+    transitively, the q_dedup_components contract)."""
+    exact_raw, bands_ix = _read_index(spark, index_path)
+    # Re-aggregate at probe time: the same sha can occur in several
+    # committed units (history re-ingested across batches). min()
+    # restores the one-canonical-per-sha invariant and keeps the left
+    # join 1:1 — duplicate units can never multiply probe rows.
+    exact_ix = exact_raw.groupBy("sha").agg(
+        F.min("canonical_id").alias("canonical_id")
     )
-    bands_ix = spark.read.parquet(os.path.join(index_path, "bands"))
 
     s = _sigs(new_docs)
     # exact: vs index, then first-occurrence-wins inside the batch
@@ -173,17 +281,37 @@ def incremental_dedup(
     exact_match = F.coalesce(F.col("ix_id"), F.col("first_in_batch"))
 
     survivors = vs_ix.filter(~exact_dup).select("doc_id", "sig")
-    # near: probe only the band keys the batch actually carries
+    # near: probe only the band keys the batch actually carries — the
+    # index slice is semi-joined down by a BROADCAST of the batch's
+    # O(|batch|) keys before any heavy work touches it
     probe = _band_rows(survivors.select("doc_id", "sig"))
-    cand = probe.join(
-        bands_ix.select(
-            "band",
-            "key",
-            F.col("doc_id").alias("old_id"),
-            F.col("sig").alias("old_sig"),
-        ),
-        ["band", "key"],
+    keys = probe.select("band", "key").distinct()
+    wk = W.partitionBy("band", "key").orderBy("doc_id")
+    ix_slice = (
+        bands_ix.join(F.broadcast(keys), ["band", "key"], "left_semi")
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= BAND_KEY_CAP)
+        .drop("_rn")
     )
+    old_cols = [
+        "band",
+        "key",
+        F.col("doc_id").alias("old_id"),
+        F.col("sig").alias("old_sig"),
+    ]
+    hist_cand = probe.join(ix_slice.select(*old_cols), ["band", "key"])
+    # in-batch near candidates: the batch's own band rows, old side
+    # capped per key like the history side, earlier doc_id as the match
+    # target (first-occurrence-wins)
+    probe_old = (
+        probe.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= BAND_KEY_CAP)
+        .drop("_rn")
+    )
+    batch_cand = probe.join(probe_old.select(*old_cols), ["band", "key"]).filter(
+        F.col("old_id") < F.col("doc_id")
+    )
+    cand = hist_cand.unionByName(batch_cand)
     agree = F.size(
         F.filter(F.zip_with("sig", "old_sig", lambda a, b: a == b), lambda x: x)
     )
@@ -224,6 +352,24 @@ def incremental_dedup(
     return out
 
 
+def read_deduped(spark: SparkSession, out_path: str, index_path: str) -> DataFrame:
+    """The committed view of the deduped corpus: only out units whose
+    index marker committed are read, so a torn micro-batch (crash after
+    the out write, before the marker) is invisible — no duplicate and
+    no partial rows, without any reader-side re-aggregation."""
+    units = committed_units(index_path)
+    paths = [
+        p
+        for u in units
+        if os.path.isdir(p := os.path.join(out_path, f"unit={u}"))
+    ]
+    if not paths:
+        raise FileNotFoundError(
+            f"no committed output units under {out_path} (index {index_path})"
+        )
+    return spark.read.parquet(*paths)
+
+
 def dedup_stream_writer(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -238,26 +384,33 @@ def dedup_stream_writer(
     that includes earlier triggers. Returns the configured writeStream
     (caller picks the trigger and starts it).
 
-    Exactly-once: the parquet appends are not transactional with the
-    checkpoint, so a crash between append and commit replays the batch.
-    Both appends are REPLAY-SAFE by construction — the probe
-    re-aggregates the exact index (duplicate fingerprints collapse to
-    the same canonical), and re-appending the same kept docs only adds
-    rows that dedup to identical probe results. Classifications never
-    change under replay; at most the out_path needs the same
-    re-aggregation on read (first occurrence by doc_id), the usual
-    foreachBatch idempotence contract (cf. ServingTable's versioned
-    commit for the stronger guarantee)."""
+    Exactly-once (VERDICT r03 #3): each micro-batch is one index UNIT
+    named by its batch id. The out rows, the exact rows, and the band
+    rows all OVERWRITE their unit-scoped directories, and the unit's
+    marker commits atomically only after all three writes — in that
+    order. A crash anywhere before the marker leaves directories no
+    reader resolves; the checkpoint replays the batch, which re-derives
+    the same unit name, overwrites the torn directories, and commits.
+    Classifications are identical under replay because the probe reads
+    only COMMITTED units (a torn unit of the batch's own earlier
+    attempt can never match the batch against itself), and ``out_path``
+    serves no duplicate rows through ``read_deduped``."""
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"b{batch_id:06d}"
         report = incremental_dedup(spark, batch_df, index_path)
         kept = batch_df.join(
             report.filter(F.col("status") == "kept").select("doc_id"),
             "doc_id",
             "left_semi",
-        )
-        kept.write.mode("append").parquet(out_path)
-        build_dedup_index(kept, index_path, mode="append")
+        ).persist()
+        try:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"unit={unit}")
+            )
+            build_dedup_index(kept, index_path, mode="append", unit=unit)
+        finally:
+            kept.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(_process)

@@ -729,6 +729,39 @@ def test_ingest_wire_stream_source_exactly_once_across_restarts(spark, tmp_path)
     assert drain("wire_run3") == []
 
 
+def test_wire_stream_single_file_path(spark, tmp_path):
+    """ADVICE r03: a SINGLE capture file (not a directory) as the
+    stream path must read that file — the offset entry is the file's
+    basename and resolution must not join it back onto the file path
+    (which produced <file>/<file> and FileNotFoundError)."""
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.sources.wire_source import (
+        IngestWireDataSource,
+    )
+
+    spark.dataSource.register(IngestWireDataSource)
+    cap = tmp_path / "one.jsonl"
+    with open(cap, "w") as f:
+        f.write(_json.dumps({"request_id": "9", "priority": "LOW",
+                             "created_at_ms": 5, "ids": [1, 2]}) + "\n")
+    got = []
+
+    def sink(batch_df, _bid):
+        got.extend(r["request_id"] for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("ingestwire")
+        .load(str(cap))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt1f"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == ["9"]
+
+
 def test_streaming_dedup_against_history_index(spark, sf_dir, tmp_path):
     """The incremental-dedup cycle under Structured Streaming: three
     single-file triggers (maxFilesPerTrigger=1, availableNow); a doc
@@ -764,6 +797,10 @@ def test_streaming_dedup_against_history_index(spark, sf_dir, tmp_path):
         with open(src / f"b{i}.json", "w") as f:
             for did, text in rows:
                 f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        # the file source orders by modification time; three writes in
+        # the same clock tick would make trigger order (and therefore
+        # which copy of a duplicate wins) nondeterministic
+        os.utime(src / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -778,5 +815,76 @@ def test_streaming_dedup_against_history_index(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
 
-    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        read_deduped,
+    )
+
+    kept = {r["doc_id"] for r in read_deduped(spark, out, ix).collect()}
     assert kept == {5000, 5002}
+
+
+def test_streaming_dedup_crash_between_writes_replays_cleanly(spark, tmp_path):
+    """VERDICT r03 #3 end-to-end crash injection: the stream dies AFTER
+    the out-corpus write but BEFORE the index unit commits (the exact
+    window the old blind-append design could not survive). Restarting
+    from the checkpoint replays the batch, overwrites the torn unit,
+    and commits — classifications identical to a never-crashed run, no
+    duplicate rows in out_path, out and index observing the same
+    prefix, all without reader-side re-aggregation."""
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        incremental_dedup as inc,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    rows = [(1, "alpha corpus document tokens " * 8),
+            (2, "alpha corpus document tokens " * 8),   # in-batch exact dup
+            (3, "totally different beta text " * 8)]
+    with open(src / "b0.json", "w") as f:
+        for did, text in rows:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    ix, out, ckpt = (str(tmp_path / d) for d in ("ix", "kept", "ckpt"))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+
+    # crashing writer: dies between the out write and the index commit
+    class _Boom(RuntimeError):
+        pass
+
+    def _crashing(batch_df, batch_id):
+        unit = f"b{batch_id:06d}"
+        report = inc.incremental_dedup(spark, batch_df, ix)
+        kept = batch_df.join(
+            report.filter(F.col("status") == "kept").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        kept.write.mode("overwrite").parquet(os.path.join(out, f"unit={unit}"))
+        raise _Boom("injected crash before index commit")
+
+    q = (
+        stream.writeStream.foreachBatch(_crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass
+    assert os.path.isdir(os.path.join(out, "unit=b000000"))  # torn out unit
+    assert inc.committed_units(ix) == []  # ...but nothing committed
+
+    # restart from the same checkpoint with the REAL writer: the batch
+    # replays, the torn unit is overwritten, the unit commits
+    q2 = (
+        inc.dedup_stream_writer(spark, stream, ix, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert inc.committed_units(ix) == ["b000000"]
+    got = sorted(r["doc_id"] for r in inc.read_deduped(spark, out, ix).collect())
+    assert got == [1, 3]  # no duplicates, no torn rows, dup doc 2 dropped
