@@ -251,7 +251,11 @@ def read_pruned(
     files, _total = prune_files(path, col, lo, hi)
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(*files)
+    # basePath keeps hive partition columns in the result when reading
+    # an explicit (pruned) file list — without it a partitioned dataset
+    # would lose its partition columns, breaking the identical-results
+    # guarantee (ADVICE r03)
+    df = spark.read.option("basePath", path).parquet(*files)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
@@ -395,7 +399,9 @@ def read_pruned_stats(
     files, _total = prune_files_stats(path, col, lo, hi, stats_dir)
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(*files)
+    # basePath restores hive partition columns on the explicit file
+    # list (ADVICE r03; see read_pruned)
+    df = spark.read.option("basePath", path).parquet(*files)
     if lo is not None:
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:

@@ -151,20 +151,32 @@ class IngestWireStreamReader(SimpleDataSourceStreamReader):
             f for f in os.listdir(self.path) if not f.startswith(("_", "."))
         )
 
+    def _resolve(self, f: str) -> str:
+        # single-file path: the offset entry IS the file (its basename);
+        # joining the basename back onto the file path would produce
+        # <file>/<file> (ADVICE r03) — mirror IngestWireReader.partitions
+        if not os.path.isdir(self.path):
+            return self.path
+        return os.path.join(self.path, f)
+
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def read(self, start: dict):
+        # NOTE on capture-file publication: the offset is the file-NAME
+        # set, and a file's rows are consumed at first listing — a
+        # capture file still being appended when listed would be read
+        # partially yet marked fully-consumed, silently losing the
+        # late-appended rows. Producers must therefore publish capture
+        # files ATOMICALLY: write to a dotfile/underscore temp name in
+        # the same directory (which _list already filters out) and
+        # rename into place only when complete.
         seen = set(start.get("files", []))
         new = [f for f in self._list() if f not in seen]
         if self.max_files:
             new = new[: self.max_files]
         end = {"files": sorted(seen | set(new))}
-        rows = [
-            row
-            for f in new
-            for row in _iter_wire_rows(os.path.join(self.path, f))
-        ]
+        rows = [row for f in new for row in _iter_wire_rows(self._resolve(f))]
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -172,7 +184,7 @@ class IngestWireStreamReader(SimpleDataSourceStreamReader):
             set(end.get("files", [])) - set(start.get("files", []))
         )
         for f in replay:
-            yield from _iter_wire_rows(os.path.join(self.path, f))
+            yield from _iter_wire_rows(self._resolve(f))
 
 
 class _WireCommit(WriterCommitMessage):

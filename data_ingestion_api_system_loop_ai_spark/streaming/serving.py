@@ -348,8 +348,30 @@ class ServingTable:
         feed rows. Returns None when neither version has data."""
         if v_to is None:
             v_to = self.latest_version()
-        m_from = (self._manifest(v_from) or {}) if v_from >= 0 else {}
-        m_to = (self._manifest(v_to) or {}) if v_to >= 0 else {}
+        # v_from == -1 means "before the table existed" (everything in
+        # v_to is an insert). A NON-negative v_from whose manifest is
+        # gone is a different situation entirely — the version existed
+        # but was vacuumed past keep_versions — and defaulting it to {}
+        # would silently report the whole v_to state as inserts: wrong
+        # CDC output with no error (ADVICE r03). Raise instead.
+        if v_from >= 0:
+            m_from = self._manifest(v_from)
+            if m_from is None:
+                raise ValueError(
+                    f"change_feed: version {v_from} is outside retention "
+                    f"(manifest vacuumed); cannot compute changes from it"
+                )
+        else:
+            m_from = {}
+        if v_to >= 0:
+            m_to = self._manifest(v_to)
+            if m_to is None:
+                raise ValueError(
+                    f"change_feed: version {v_to} has no manifest "
+                    f"(outside retention or never committed)"
+                )
+        else:
+            m_to = {}
         changed = sorted(
             b for b in set(m_from) | set(m_to) if m_from.get(b) != m_to.get(b)
         )

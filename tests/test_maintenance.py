@@ -149,6 +149,45 @@ def test_footer_stats_prune_and_read(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_read_pruned_keeps_partition_columns(spark, sf_dir, tmp_path):
+    """ADVICE r03: on a hive-partitioned dataset the pruned read must
+    keep the partition columns (basePath), so results stay identical to
+    full scan + filter — including the partition column itself."""
+    from data_ingestion_api_system_loop_ai_spark.sources.maintenance import (
+        read_pruned,
+        read_pruned_stats,
+        update_stats_table,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    dst = str(tmp_path / "part_ev")
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .repartition(4)
+        .write.partitionBy("day")
+        .parquet(dst)
+    )
+    full = spark.read.parquet(dst)
+    lo = int(full.agg(F.expr("percentile(event_id, 0.45)")).first()[0])
+    hi = int(full.agg(F.expr("percentile(event_id, 0.55)")).first()[0])
+    want = Counter(
+        map(
+            str,
+            full.filter((F.col("event_id") >= lo) & (F.col("event_id") <= hi))
+            .select("event_id", "day")
+            .collect(),
+        )
+    )
+    got = read_pruned(spark, dst, "event_id", lo, hi)
+    assert "day" in got.columns
+    assert Counter(map(str, got.select("event_id", "day").collect())) == want
+    update_stats_table(dst, ["event_id"])
+    got2 = read_pruned_stats(spark, dst, "event_id", lo, hi)
+    assert "day" in got2.columns
+    assert Counter(map(str, got2.select("event_id", "day").collect())) == want
+
+
 def test_stats_table_prunes_like_footers(spark, sf_dir, tmp_path):
     """The persisted stats table must select exactly the same file set
     as a fresh footer sweep, and the pruned read must equal the full

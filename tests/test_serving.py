@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_ingestion_api_system_loop_ai_spark.streaming.live import (
@@ -308,6 +309,31 @@ def test_change_feed_between_versions(spark, tmp_path):
     # feed from "before the table existed" is the full state as inserts
     full = {r["k"]: r["change_type"] for r in t.change_feed(spark, -1, v3).collect()}
     assert full == {"a": "insert", "b": "insert", "c": "insert"}
+
+
+def test_change_feed_raises_on_vacuumed_version(spark, tmp_path):
+    """ADVICE r03: a NON-negative v_from whose manifest was vacuumed
+    past retention must raise, not silently degrade to 'before the
+    table existed' (which would report the entire v_to state as
+    inserts — wrong CDC output with no error)."""
+    schema = "k string, seq long, val string"
+    t = ServingTable(
+        str(tmp_path / "cfv"),
+        key_cols=["k"],
+        seq_col="seq",
+        num_buckets=2,
+        keep_versions=1,
+    )
+    v1 = t.upsert(spark.createDataFrame([("a", 1, "x")], schema))
+    # upserts vacuum as they commit; enough of them push v1 (whose only
+    # bucket is rewritten every version, so nothing keeps it referenced)
+    # past the retention floor
+    for i in range(2, 6):
+        t.upsert(spark.createDataFrame([("a", i, f"x{i}")], schema))
+    with pytest.raises(ValueError, match="outside retention"):
+        t.change_feed(spark, v1)
+    # the sentinel "before the table existed" still works
+    assert t.change_feed(spark, -1).count() == 1
 
 
 def test_rebucket_scales_layout_and_keeps_serving(spark, tmp_path):
