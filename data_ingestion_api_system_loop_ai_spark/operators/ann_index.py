@@ -1,0 +1,238 @@
+"""Persisted ANN index: build/probe split (VERDICT r03 #5).
+
+``q_similarity_ivf`` / ``q_similarity_pq`` retrain their quantizer and
+codebooks INSIDE every query execution — the right shape for an
+oracle-checked correctness query, and exactly the wrong shape at
+100 TB, where centroids, cell assignments, PQ codebooks, and codes are
+build-once artifacts (the FAISS index file, in lakehouse form). This
+module materializes them once and gives queries a probe-from-index
+path whose results are pinned identical to the inline forms:
+
+    <index_path>/
+      seeds/         (seed_id, seed_emb, seed_norm)     ~sqrt(n) rows
+      centroids/     (cell, centroid)                   ~sqrt(n) rows
+      assignments/   (vec_id, embedding, v_norm, cell)  n rows, clustered by cell
+      pq_codebooks/  (m, c, cw)                         M*K rows
+      pq_codes/      (vec_id, code array<long>[M])      n rows, ~4 B/vec payload
+      _COMMITTED     marker (temp + atomic rename, written last)
+
+- ``build_ann_index``: one pass deriving all five relations with the
+  exact expressions of the inline queries (``ivf_seeds``/``ivf_assign``/
+  ``ivf_centroids``; ``pq_codebooks``/``pq_codes_array``), so the
+  from-index probe reproduces the inline results bit-for-bit.
+- ``q_similarity_ivf_from_index`` / ``q_similarity_pq_from_index``:
+  query-only paths — broadcast the tiny trained relations, scan the
+  stored assignments/codes; zero training cost per query.
+- ``append_ann_index``: new vectors assign to the FROZEN quantizer
+  (nearest existing seed — the FAISS ``add``-to-trained-index
+  contract; centroids/codebooks are deliberately NOT retrained, and
+  cell geometry drifts only as far as the quantizer's training sample
+  allows, the standard IVF staleness trade) and their rows append to
+  ``assignments``/``pq_codes``. Periodic re-train is a rebuild.
+
+The ``_COMMITTED`` marker makes the build atomic to readers: probe
+functions refuse a directory without it, so a crashed half-written
+build is an error, not silently-wrong neighbors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_probe,
+    ivf_seeds,
+    norm_expr,
+    pq_codebooks,
+    pq_encode,
+    pq_subvectors,
+)
+
+_MARKER = "_COMMITTED"
+
+
+def _commit(index_path: str) -> None:
+    tmp = os.path.join(index_path, f".{_MARKER}.tmp")
+    with open(tmp, "w") as f:
+        f.write("ok")
+    os.replace(tmp, os.path.join(index_path, _MARKER))
+
+
+def _require(index_path: str) -> None:
+    if not os.path.exists(os.path.join(index_path, _MARKER)):
+        raise FileNotFoundError(
+            f"ANN index at {index_path} has no {_MARKER} marker "
+            f"(never built, or a build crashed mid-write); run build_ann_index"
+        )
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Train and persist the full ANN index for the ``embeddings``
+    table: IVF (seeds, exact centroids, cell assignments clustered by
+    cell — the inverted lists) and PQ (codebooks, 4-bit code arrays).
+    Storage trade, documented: ``assignments`` carries the raw vectors
+    (FAISS inverted lists do the same) so probes never join back to the
+    source table; ``pq_codes`` is the 128x-compressed scan relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = ivf_seeds(e)
+    seeds.write.mode("overwrite").parquet(os.path.join(index_path, "seeds"))
+    seeds_back = spark.read.parquet(os.path.join(index_path, "seeds"))
+    asg = ivf_assign(e, seeds=seeds_back)
+    # repartition(cell) inside ivf_assign clusters the write by cell,
+    # so a probed cell touches few files (the inverted-list layout)
+    asg.write.mode("overwrite").parquet(os.path.join(index_path, "assignments"))
+    asg_back = spark.read.parquet(os.path.join(index_path, "assignments"))
+    ivf_centroids(asg_back).write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids")
+    )
+    subs = pq_subvectors(e)
+    cb = pq_codebooks(e, subs)
+    cb.write.mode("overwrite").parquet(os.path.join(index_path, "pq_codebooks"))
+    cb_back = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
+    (
+        pq_encode(e, subs, cb_back)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("code")
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_path, "pq_codes"))
+    )
+    _commit(index_path)
+
+
+def q_similarity_ivf_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """``q_similarity_ivf`` with the training removed from the query
+    path: centroids and assignments come from the persisted index, the
+    probe logic is the SAME code (``ivf_probe``), so results are
+    pinned identical while per-query cost drops to the probe itself."""
+    _require(index_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    asg = spark.read.parquet(os.path.join(index_path, "assignments"))
+    return ivf_probe(e, cent, asg)
+
+
+def q_similarity_pq_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """``q_similarity_pq`` probing the persisted codebooks/codes: each
+    query builds its exact M x K ADC distance table against the STORED
+    codebooks (broadcast), scans the STORED code arrays (exploded back
+    to (vec_id, m, code) rows — a pure projection), shortlists by the
+    decimal-exact ADC sum, and re-ranks the shortlist with exact
+    cosines against the source vectors (the refine step reads raw
+    embeddings only for R*nq candidate ids)."""
+    from pyspark.sql import Window as W
+
+    from .similarity import (
+        PQ_SHORTLIST,
+        PQ_TOPK,
+        _l2_expr,
+        dot_expr,
+    )
+
+    _require(index_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
+    codes = (
+        spark.read.parquet(os.path.join(index_path, "pq_codes"))
+        .select("vec_id", F.posexplode("code").alias("m", "code"))
+        .select("vec_id", F.col("m").cast("long").alias("m"), "code")
+    )
+    dtable = (
+        pq_subvectors(e.filter(F.col("vec_id") % 100 == 0))
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "c",
+            _l2_expr("sv", "cw").alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes.m == dtable.m) & (codes.code == dtable.c),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(25,12)")).cast("double"), 6
+            ).alias("approx_d")
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy("approx_d", "neighbor_id")
+    short = (
+        adc.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_expr("embedding").alias("q_norm"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_expr("embedding").alias("c_norm"),
+    )
+    refined = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+    )
+
+
+def append_ann_index(
+    spark: SparkSession, new_vecs: DataFrame, index_path: str
+) -> None:
+    """Add vectors to a built index WITHOUT retraining: assign each to
+    its nearest existing seed (the same max-cosine rule as the build,
+    via ``ivf_assign(new, seeds=stored)``) and encode with the stored
+    codebooks; append both row sets. Centroids/codebooks stay frozen —
+    the FAISS add contract; drift is bounded by the quantizer's
+    training sample and a periodic rebuild re-trains."""
+    _require(index_path)
+    seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
+    ivf_assign(new_vecs, seeds=seeds).write.mode("append").parquet(
+        os.path.join(index_path, "assignments")
+    )
+    cb = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
+    subs = pq_subvectors(new_vecs)
+    (
+        pq_encode(new_vecs, subs, cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("code")
+        )
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "pq_codes"))
+    )

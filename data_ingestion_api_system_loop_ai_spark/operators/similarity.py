@@ -94,7 +94,36 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_assign(e: DataFrame) -> DataFrame:
+def ivf_seeds(e: DataFrame) -> DataFrame:
+    """(seed_id, seed_emb, seed_norm): the quantizer's seed vectors —
+    a systematic sample of ~ceil(sqrt(n)) ids in vec_id rank order
+    (see ``ivf_assign``). Exposed separately so a persisted index can
+    store the TRAINED quantizer and assign future appends against it
+    without retraining (the FAISS add-to-trained-index contract)."""
+    from ..plans.ranking import global_row_number
+
+    stats = e.agg(F.count("*").alias("n")).select(
+        F.greatest(
+            (F.col("n") / F.ceil(F.sqrt(F.col("n")))).cast("long"), F.lit(1)
+        ).alias("step")
+    )
+    ids = e.select("vec_id").withColumn(
+        "_bkt", (F.col("vec_id") / 4096).cast("long")
+    )
+    seed_ids = (
+        global_row_number(ids, ["_bkt"], ["vec_id"], rn_col="_rn")
+        .crossJoin(F.broadcast(stats))
+        .filter((F.col("_rn") - 1) % F.col("step") == 0)
+        .select("vec_id")
+    )
+    return e.join(F.broadcast(seed_ids), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_emb"),
+        norm_expr("embedding").alias("seed_norm"),
+    )
+
+
+def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     """Data-derived IVF quantizer: returns ``(vec_id, embedding, v_norm,
     cell)`` where ``cell`` is the seed vector the row is nearest to
     (max cosine, ties to the smallest seed id).
@@ -114,28 +143,11 @@ def ivf_assign(e: DataFrame) -> DataFrame:
     shuffle, partial aggregation reduces to one row per vector before
     the exchange. Embedding and norm ride inside the max struct (never
     reached by the comparison: cosine ties between distinct seeds are
-    broken by -seed_id first)."""
-    from ..plans.ranking import global_row_number
-
-    stats = e.agg(F.count("*").alias("n")).select(
-        F.greatest(
-            (F.col("n") / F.ceil(F.sqrt(F.col("n")))).cast("long"), F.lit(1)
-        ).alias("step")
-    )
-    ids = e.select("vec_id").withColumn(
-        "_bkt", (F.col("vec_id") / 4096).cast("long")
-    )
-    seed_ids = (
-        global_row_number(ids, ["_bkt"], ["vec_id"], rn_col="_rn")
-        .crossJoin(F.broadcast(stats))
-        .filter((F.col("_rn") - 1) % F.col("step") == 0)
-        .select("vec_id")
-    )
-    seeds = e.join(F.broadcast(seed_ids), "vec_id", "left_semi").select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("seed_emb"),
-        norm_expr("embedding").alias("seed_norm"),
-    )
+    broken by -seed_id first). Passing ``seeds`` assigns against a
+    FROZEN quantizer (the persisted-index append path, ``ann_index``)
+    instead of deriving one from ``e``."""
+    if seeds is None:
+        seeds = ivf_seeds(e)
     v = e.select("vec_id", "embedding", norm_expr("embedding").alias("v_norm"))
     best = F.max(
         F.struct(
@@ -173,21 +185,11 @@ def ivf_assign(e: DataFrame) -> DataFrame:
     )
 
 
-def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF multi-probe cosine top-5 over the data-derived quantizer
-    (``ivf_assign``): per-cell centroids refined exactly (decimal
-    element sums -> bit-identical doubles on both engines), each query
-    probes its NPROBE nearest cells by centroid cosine, candidates are
-    an equi-join on the probed cell ids. The centroid relation is tiny
-    (~sqrt(n) cells x dims) and broadcast; the big candidate side
-    shuffles once on the cell id. A query near a cell boundary still
-    finds neighbors in the adjacent cell — the recall fix that makes
-    IVF usable."""
-    e = load_table(spark, sf_dir, "embeddings")
-    asg = ivf_assign(e)
-    # exact centroids: decimal element sums (order-independent), double
-    # division by the count — both engines produce identical doubles
-    cent = (
+def ivf_centroids(asg: DataFrame) -> DataFrame:
+    """(cell, centroid): exact per-cell centroids — decimal element
+    sums (order-independent), double division by the count — both
+    engines produce identical doubles."""
+    return (
         asg.select("cell", F.posexplode("embedding").alias("i", "v"))
         .groupBy("cell", "i")
         .agg(
@@ -203,6 +205,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+def ivf_probe(e: DataFrame, cent: DataFrame, asg: DataFrame) -> DataFrame:
+    """The IVF query side, independent of where the quantizer came
+    from (trained inline or read from a persisted index): each query
+    (every 100th vector) probes its NPROBE nearest cells by centroid
+    cosine, candidates are an equi-join on the probed cell ids."""
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -239,6 +248,30 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= IVF_TOPK)
     )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe cosine top-5 over the data-derived quantizer
+    (``ivf_assign``): per-cell centroids refined exactly (decimal
+    element sums -> bit-identical doubles on both engines), each query
+    probes its NPROBE nearest cells by centroid cosine, candidates are
+    an equi-join on the probed cell ids. The centroid relation is tiny
+    (~sqrt(n) cells x dims) and broadcast; the big candidate side
+    shuffles once on the cell id. A query near a cell boundary still
+    finds neighbors in the adjacent cell — the recall fix that makes
+    IVF usable.
+
+    This INLINE form retrains the quantizer inside the query — the
+    oracle-checkable correctness shape. The production shape
+    (VERDICT r03 #5) is ``operators/ann_index.py``: centroids,
+    assignments, and PQ codebooks/codes are build-once artifacts
+    persisted under an ``_index`` directory, queries probe from the
+    stored relations (``q_similarity_ivf_from_index`` — pinned
+    result-identical to this query), and appends assign new vectors
+    against the frozen quantizer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    return ivf_probe(e, ivf_centroids(asg), asg)
 
 
 SIMILARITY_QUERIES = {
