@@ -632,6 +632,10 @@ DEDUP_QUERIES = {
     # The function stays API surface with a direct recall test.
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_dedup_embedding": q_dedup_embedding,
+    # Registered in the round-4 rotation (slot funded by
+    # q_process_batch, whose projection stays hash-checked inside
+    # q_pipeline_e2e).
+    "q_dedup_spans": q_dedup_spans,
 }
 
 _MINHASH_MINS = ",\n         ".join(
@@ -660,9 +664,9 @@ sh AS (
 )
 """
 
-# Direct-test oracle for q_dedup_spans (unregistered — the driver caps
-# CORRECTNESS at 50 slots; tests/test_unregistered_ops.py runs this
-# comparison at driver grade).
+# Oracle for q_dedup_spans (registered in the round-4 rotation; also
+# exercised directly by tests/test_unregistered_ops.py's semantics
+# tests).
 SPAN_DEDUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents
@@ -781,4 +785,5 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
   FROM pairs
 ) WHERE rnk <= {EMBED_PAIRS_PER_CELL}
 """,
+    "q_dedup_spans": SPAN_DEDUP_ORACLE,
 }

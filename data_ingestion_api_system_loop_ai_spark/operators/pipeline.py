@@ -630,12 +630,6 @@ FROM batches
     + """
 SELECT rn, batch_id, priority, priority_rank, created_at, scheduled_start FROM timed
 """,
-    "q_process_batch": PIPELINE_CTE
-    + """
-SELECT batch_id, unnest(batch_ids) AS id, 'processed' AS data,
-       100 + unnest(batch_ids) % 401 AS latency_ms
-FROM batches
-""",
     "q_status_transitions": PIPELINE_CTE
     + """
 SELECT batch_id, scheduled_start, completed_at, as_of, status FROM statused
@@ -685,12 +679,24 @@ FROM statused GROUP BY request_id, priority, created_at
 """,
 }
 
+# Direct-test oracle for q_process_batch (evicted from the registry in
+# the round-4 rotation; tests/test_unregistered_ops.py runs this
+# comparison at driver grade).
+PROCESS_BATCH_ORACLE = PIPELINE_CTE + """
+SELECT batch_id, unnest(batch_ids) AS id, 'processed' AS data,
+       100 + unnest(batch_ids) % 401 AS latency_ms
+FROM batches
+"""
+
 PIPELINE_QUERIES = {
     "q_validate_requests": q_validate_requests,
     "q_assign_ids": q_assign_ids,  # rows-only: uuid()/current_timestamp()
     "q_batch_chunking": q_batch_chunking,
     "q_priority_order": q_priority_order,
-    "q_process_batch": q_process_batch,
+    # q_process_batch gave up its registry slot in the round-4 rotation
+    # (its constant projection is hash-checked inside q_pipeline_e2e's
+    # CTE every round); the slot funds q_dedup_spans. The function stays
+    # API surface with the driver-grade parity test below.
     "q_status_transitions": q_status_transitions,
     "q_overall_status": q_overall_status,
     "q_status_lookup": q_status_lookup,

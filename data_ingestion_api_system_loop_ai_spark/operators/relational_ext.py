@@ -432,9 +432,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a LEFT SEMI and a LEFT ANTI join on (orderkey) with the
     suppkey inequality as join condition — set-at-a-time, never a
     per-row re-scan. (The synthetic lineitem has no receipt/commit
-    dates; ship-lag over 90 days plays the "late" role. Unregistered:
-    the registry is at its 50-slot cap; driver-grade DuckDB parity in
-    tests/test_unregistered_ops.py.)"""
+    dates; ship-lag over 90 days plays the "late" role. Registered in
+    the round-4 rotation — hash-checked by the driver every round; the
+    plan-shape assertion stays in tests/test_unregistered_ops.py.)"""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
     load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
@@ -783,3 +783,10 @@ WHERE s_suppkey IN (
                  WHERE l2.l_partkey = pair.l_partkey))
 ORDER BY s_suppkey
 """
+
+# Round-4 rotation: q_tpch_q21 enters the registry (slot funded by
+# q_multimodal_meta, which keeps a driver-grade parity test in
+# tests/test_unregistered_ops.py). Appended here because the function
+# and its oracle are defined after the module's main dicts.
+RELATIONAL_EXT_QUERIES["q_tpch_q21"] = q_tpch_q21
+RELATIONAL_EXT_ORACLES["q_tpch_q21"] = TPCH_Q21_ORACLE

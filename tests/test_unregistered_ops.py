@@ -1425,3 +1425,31 @@ def test_incremental_dedup_append_closes_the_loop(spark, sf_dir, tmp_path):
     build_dedup_index(batch, ix, mode="append")
     second = {r["doc_id"]: r for r in incremental_dedup(spark, batch, ix).collect()}
     assert second[3000]["status"] == "exact_dup" and second[3000]["matched_id"] == 3000
+
+
+@pytest.mark.parametrize("which", ["q_process_batch", "q_multimodal_meta"])
+def test_round4_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
+    """Round-4 slot swap: q_process_batch and q_multimodal_meta funded
+    q_dedup_spans and q_tpch_q21 but keep the driver-grade DuckDB
+    comparison (q_process_batch's constant projection is additionally
+    hash-checked inside q_pipeline_e2e's CTE every round)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        MULTIMODAL_META_ORACLE,
+        q_multimodal_meta,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.pipeline import (
+        PROCESS_BATCH_ORACLE,
+        q_process_batch,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    fn, sql = {
+        "q_process_batch": (q_process_batch, PROCESS_BATCH_ORACLE),
+        "q_multimodal_meta": (q_multimodal_meta, MULTIMODAL_META_ORACLE),
+    }[which]
+    con = duckdb_con(sf_dir)
+    try:
+        compare(fn(spark, sf_dir), con, sql)
+    finally:
+        con.close()
