@@ -101,6 +101,21 @@ def cmd_compact(args) -> int:
 
     spark = _spark("cli-compact")
     target = args.target_mb * 1024 * 1024
+    if args.index:
+        # `compact SRC --index [--out OUT]`: SRC is a dedup fingerprint
+        # index; consolidate its per-trigger units (and the kept-corpus
+        # units alongside, when --out names them) into one unit under
+        # the marker-supersession commit.
+        from .operators.incremental_dedup import compact_dedup_index
+
+        summary = compact_dedup_index(
+            spark, args.src, out_path=args.dst, target_file_bytes=target
+        )
+        print(json.dumps(summary))
+        return 0
+    if args.dst is None:
+        print("error: DST is required unless --index is given", file=sys.stderr)
+        return 2
     if args.zorder:
         n = rewrite_zorder(
             spark, args.src, args.dst, args.zorder.split(","), target_file_bytes=target
@@ -288,7 +303,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     pc = sub.add_parser("compact")
     pc.add_argument("src")
-    pc.add_argument("dst")
+    pc.add_argument("dst", nargs="?", default=None)
+    pc.add_argument(
+        "--index",
+        action="store_true",
+        help="SRC is a dedup fingerprint index: consolidate its "
+        "committed units (DST, if given, is the kept-corpus out_path "
+        "compacted alongside)",
+    )
     pc.add_argument("--target-mb", type=int, default=128)
     pc.add_argument("--partition-by", default=None)
     pc.add_argument("--zorder", default=None, help="comma-separated cluster columns")

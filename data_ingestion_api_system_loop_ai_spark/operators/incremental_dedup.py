@@ -151,26 +151,50 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def committed_units(index_path: str) -> list[str]:
-    """Unit labels whose marker file committed — the ONLY units any
-    reader resolves. Sorted for deterministic read order."""
+def _marker_state(index_path: str) -> tuple[set[str], set[str]]:
+    """(all committed marker names, union of every marker's supersedes
+    set). A plain unit's marker contains its own label; a compaction
+    unit's marker contains ``supersedes=u1,u2,...`` — the units whose
+    content it consolidated. Supersession applies from ALL markers
+    (even ones that were themselves later superseded): a crashed
+    cleanup can leave an old marker behind, and its supersedes set must
+    keep shadowing units whose content now lives two compactions deep."""
     d = os.path.join(index_path, _COMMITS_DIR)
     if not os.path.isdir(d):
-        return []
-    return sorted(f for f in os.listdir(d) if not f.startswith((".", "_")))
+        return set(), set()
+    names = {f for f in os.listdir(d) if not f.startswith((".", "_"))}
+    superseded: set[str] = set()
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            content = f.read().strip()
+        if content.startswith("supersedes="):
+            superseded.update(
+                u for u in content[len("supersedes=") :].split(",") if u
+            )
+    return names, superseded
 
 
-def _commit_unit(index_path: str, unit: str) -> None:
+def committed_units(index_path: str) -> list[str]:
+    """Unit labels whose marker file committed and that no compaction
+    marker supersedes — the ONLY units any reader resolves. Sorted for
+    deterministic read order."""
+    names, superseded = _marker_state(index_path)
+    return sorted(names - superseded)
+
+
+def _commit_unit(index_path: str, unit: str, content: str | None = None) -> None:
     """Atomically publish a unit: temp file + rename, the same
     publish-by-rename contract the wire source requires of its capture
     files. The rename is the commit point — before it, nothing
     references the unit's directories; after it, both tables observe
-    the unit together."""
+    the unit together. A compaction passes ``content`` as its
+    ``supersedes=...`` list, making the same rename simultaneously
+    publish the consolidated unit and retire the units it replaced."""
     d = os.path.join(index_path, _COMMITS_DIR)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".{unit}.tmp")
     with open(tmp, "w") as f:
-        f.write(unit)
+        f.write(content if content is not None else unit)
     os.replace(tmp, os.path.join(d, unit))
 
 
@@ -193,8 +217,18 @@ def build_dedup_index(
         for sub in ("exact", "bands", _COMMITS_DIR):
             shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
         label = unit or "u000000"
+    elif unit is not None:
+        label = unit
     else:
-        label = unit or f"u{len(committed_units(path)):06d}"
+        # skip names any marker has ever used OR superseded: reusing a
+        # superseded label would commit a unit that compaction markers
+        # already shadow (silently invisible history)
+        names, superseded = _marker_state(path)
+        taken = names | superseded
+        i = 0
+        while f"u{i:06d}" in taken:
+            i += 1
+        label = f"u{i:06d}"
     s = _sigs(docs)
     s.select("sha", "doc_id").groupBy("sha").agg(
         F.min("doc_id").alias("canonical_id")
@@ -289,6 +323,12 @@ def incremental_dedup(
     wk = W.partitionBy("band", "key").orderBy("doc_id")
     ix_slice = (
         bands_ix.join(F.broadcast(keys), ["band", "key"], "left_semi")
+        # a doc re-ingested across units contributes identical
+        # (band,key,doc_id) rows from each unit; dedup before capping so
+        # duplicates never consume BAND_KEY_CAP slots that belong to
+        # distinct docs (sig is a function of the text, so any row of
+        # the group is the right one)
+        .dropDuplicates(["band", "key", "doc_id"])
         .withColumn("_rn", F.row_number().over(wk))
         .filter(F.col("_rn") <= BAND_KEY_CAP)
         .drop("_rn")
@@ -368,6 +408,115 @@ def read_deduped(spark: SparkSession, out_path: str, index_path: str) -> DataFra
             f"no committed output units under {out_path} (index {index_path})"
         )
     return spark.read.parquet(*paths)
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_path: str,
+    out_path: str | None = None,
+    target_file_bytes: int = 64 * 1024 * 1024,
+) -> dict:
+    """Consolidate every committed unit into ONE — the small-file
+    maintenance pass for a streamed index (VERDICT r03 #6): each
+    trigger appends a unit holding a handful of tiny parquet files, and
+    after N triggers the probe pays O(N) file opens per query.
+
+    What it writes: ``exact`` re-aggregated to one row per sha (the
+    min-canonical invariant the probe re-derives on every read, now
+    materialized), ``bands`` deduped on (band, key, doc_id) and
+    re-written PARTITIONED BY band (preserving the cluster-by-band
+    layout the probe's slice join relies on), and — when ``out_path``
+    is given — the kept corpus units rewritten as one unit, all files
+    sized by ``target_file_bytes``.
+
+    Crash safety rides the marker protocol: the consolidated unit's
+    directories are invisible until its marker commits, and the marker
+    body ``supersedes=u1,...`` retires the source units IN THE SAME
+    atomic rename — there is no instant at which a reader sees both the
+    consolidation and its sources (no duplicate rows, no lost history).
+    Cleanup of superseded directories afterwards is lazy and restartable:
+    if it crashes, the leftover markers' supersedes sets keep shadowing
+    them (``_marker_state``), and the next compaction retries the
+    deletes. Single-maintainer assumption: do not run concurrently with
+    an active ``dedup_stream_writer`` trigger (units committed after
+    the snapshot below survive untouched, but a replay of a superseded
+    in-flight batch would classify against its own consolidated rows).
+
+    Returns {"unit", "compacted_units", "files_before", "files_after"}.
+    """
+    from ..sources.maintenance import parquet_files
+
+    units = committed_units(index_path)
+    exact_root = os.path.join(index_path, "exact")
+    bands_root = os.path.join(index_path, "bands")
+    roots = [exact_root, bands_root] + ([out_path] if out_path else [])
+    files_before = sum(len(parquet_files(r)) for r in roots)
+    if len(units) <= 1:
+        return {
+            "unit": units[0] if units else None,
+            "compacted_units": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+
+    names, superseded = _marker_state(index_path)
+    taken = names | superseded
+    i = 0
+    while f"c{i:06d}" in taken:
+        i += 1
+    label = f"c{i:06d}"
+
+    from ..sources.maintenance import _dataset_bytes
+
+    def _n_files(*dirs: str) -> int:
+        total = sum(_dataset_bytes(d) for d in dirs if os.path.isdir(d))
+        return max(1, -(-total // target_file_bytes))
+
+    exact_ix, bands_ix = _read_index(spark, index_path)
+    exact_ix.groupBy("sha").agg(
+        F.min("canonical_id").alias("canonical_id")
+    ).coalesce(
+        _n_files(*[os.path.join(exact_root, f"unit={u}") for u in units])
+    ).write.mode("overwrite").parquet(
+        os.path.join(exact_root, f"unit={label}")
+    )
+    # one file per band partition: the probe's slice join reads whole
+    # band directories, so per-band consolidation is the layout win
+    bands_ix.dropDuplicates(["band", "key", "doc_id"]).repartition(
+        "band"
+    ).write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(bands_root, f"unit={label}")
+    )
+    if out_path is not None:
+        read_deduped(spark, out_path, index_path).coalesce(
+            _n_files(*[os.path.join(out_path, f"unit={u}") for u in units])
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"unit={label}")
+        )
+    _commit_unit(index_path, label, content="supersedes=" + ",".join(units))
+
+    # lazy, restartable cleanup — also sweeps leftovers from any prior
+    # crashed cleanup (every currently-superseded unit, not just ours)
+    _names, all_superseded = _marker_state(index_path)
+    for u in sorted(all_superseded):
+        shutil.rmtree(os.path.join(exact_root, f"unit={u}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(bands_root, f"unit={u}"), ignore_errors=True)
+        if out_path is not None:
+            shutil.rmtree(
+                os.path.join(out_path, f"unit={u}"), ignore_errors=True
+            )
+        try:
+            os.remove(os.path.join(index_path, _COMMITS_DIR, u))
+        except FileNotFoundError:
+            pass
+
+    files_after = sum(len(parquet_files(r)) for r in roots)
+    return {
+        "unit": label,
+        "compacted_units": len(units),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def dedup_stream_writer(

@@ -888,3 +888,134 @@ def test_streaming_dedup_crash_between_writes_replays_cleanly(spark, tmp_path):
     assert inc.committed_units(ix) == ["b000000"]
     got = sorted(r["doc_id"] for r in inc.read_deduped(spark, out, ix).collect())
     assert got == [1, 3]  # no duplicates, no torn rows, dup doc 2 dropped
+
+
+def test_compact_dedup_index_preserves_classifications(spark, sf_dir, tmp_path):
+    """Index small-file maintenance (VERDICT r03 #6): several appended
+    units consolidate into one, the file count drops, and both the
+    probe's classifications and the committed corpus view are
+    bit-identical before and after — the marker's supersedes list
+    retires the source units in the same atomic rename that publishes
+    the consolidated unit, so no reader can ever see both."""
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        incremental_dedup as inc,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix, out = str(tmp_path / "ix"), str(tmp_path / "kept")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # four units, mimicking the stream writer: out rows + index append
+    # per unit, duplicate texts ACROSS units (docs 0-49 re-ingested as
+    # 10000-10049 in unit 3, so exact rows repeat across units)
+    slices = [
+        docs.filter(F.col("doc_id") < 50),
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)),
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)),
+        docs.filter(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        ),
+    ]
+    for i, sl in enumerate(slices):
+        unit = f"b{i:06d}"
+        sl.write.mode("overwrite").parquet(os.path.join(out, f"unit={unit}"))
+        inc.build_dedup_index(
+            sl, ix, mode="append" if i else "overwrite", unit=unit
+        )
+    # build_dedup_index overwrite mode ignores the unit kwarg's default
+    # only for label u000000; re-commit unit names consistently
+    units_before = inc.committed_units(ix)
+    assert len(units_before) == 4
+
+    seed_text = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    probe = spark.createDataFrame(
+        [
+            (90_001, seed_text),                      # exact dup of history
+            (90_002, seed_text + " extra tail token"),  # near dup of history
+            (90_003, "genuinely novel probe text " * 9),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    before = {
+        r["doc_id"]: (r["status"], r["matched_id"], r["est_jaccard"])
+        for r in inc.incremental_dedup(spark, probe, ix).collect()
+    }
+    assert before[90_001][0] == "exact_dup"
+    corpus_before = sorted(
+        r["doc_id"] for r in inc.read_deduped(spark, out, ix).collect()
+    )
+
+    summary = inc.compact_dedup_index(spark, ix, out_path=out)
+    assert summary["compacted_units"] == 4
+    assert summary["files_after"] < summary["files_before"]
+    assert inc.committed_units(ix) == [summary["unit"]]
+    # superseded directories are physically gone
+    assert not os.path.isdir(os.path.join(ix, "exact", "unit=b000000"))
+    assert not os.path.isdir(os.path.join(out, "unit=b000000"))
+
+    after = {
+        r["doc_id"]: (r["status"], r["matched_id"], r["est_jaccard"])
+        for r in inc.incremental_dedup(spark, probe, ix).collect()
+    }
+    assert after == before
+    corpus_after = sorted(
+        r["doc_id"] for r in inc.read_deduped(spark, out, ix).collect()
+    )
+    assert corpus_after == corpus_before
+
+    # growth continues after compaction: a fresh append coexists with
+    # the consolidated unit and is visible to the probe
+    extra = spark.createDataFrame(
+        [(90_010, "post compaction appended doc " * 9)],
+        "doc_id long, text string",
+    )
+    inc.build_dedup_index(extra, ix, mode="append")
+    assert len(inc.committed_units(ix)) == 2
+    r = inc.incremental_dedup(spark, extra, ix).collect()[0]
+    assert r["status"] == "exact_dup"  # its own fingerprint is history now
+
+
+def test_compaction_marker_supersession_is_transitive(tmp_path):
+    """A crashed cleanup leaves superseded markers on disk; their
+    supersedes sets must keep shadowing their sources even when the
+    compaction marker is itself later superseded (two generations
+    deep), and auto-labels must never reuse a shadowed name."""
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        incremental_dedup as inc,
+    )
+
+    ix = str(tmp_path / "ix")
+    inc._commit_unit(ix, "u000000")
+    inc._commit_unit(ix, "u000001")
+    inc._commit_unit(ix, "c000000", content="supersedes=u000000,u000001")
+    assert inc.committed_units(ix) == ["c000000"]
+    inc._commit_unit(ix, "u000002")
+    # second-generation compaction; first one's cleanup "crashed" (its
+    # marker and its sources' markers all still present)
+    inc._commit_unit(ix, "c000001", content="supersedes=c000000,u000002")
+    assert inc.committed_units(ix) == ["c000001"]
+
+
+def test_cli_compact_index(spark, sf_dir, tmp_path, capsys):
+    """`compact IX --index` consolidates a multi-unit fingerprint index
+    from the command line and reports the file counts."""
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.cli import main
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        incremental_dedup as inc,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "ix")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inc.build_dedup_index(docs.filter(F.col("doc_id") < 40), ix)
+    inc.build_dedup_index(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)),
+        ix,
+        mode="append",
+    )
+    assert main(["compact", ix, "--index"]) == 0
+    summary = _json.loads(capsys.readouterr().out)
+    assert summary["compacted_units"] == 2
+    assert summary["files_after"] < summary["files_before"]
+    assert inc.committed_units(ix) == [summary["unit"]]
