@@ -133,6 +133,72 @@ def _extra_queries():
     }
 
 
+def _drain_throughput(spark) -> dict:
+    """Measured engine counterpart to the reference's hard ceiling of
+    0.6 ids/s (BASELINE.md (a): one ≤3-id batch per 5 s on one heap):
+    64 tenant queues × 25 triggers of one 3-id request each, drained by
+    ``live_priority_drain(queue_col=...)`` under availableNow with
+    maxFilesPerTrigger=1 — per-queue serialism (one dequeue per queue
+    per trigger, the reference's semantics) but tenants in parallel,
+    which is exactly the scale-out argument made in SURVEY §2.1 A6."""
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.streaming.live import (
+        live_priority_drain,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_drain_")
+    src = os.path.join(root, "requests")
+    os.makedirs(src)
+    n_queues, n_triggers, ids_per_req = 64, 25, 3
+    base = 1_700_000_000
+    for t in range(n_triggers):
+        p = os.path.join(src, f"f{t:03d}.json")
+        with open(p, "w") as fh:
+            for q in range(n_queues):
+                fh.write(
+                    json.dumps(
+                        {
+                            "request_id": f"r{t}-{q}",
+                            "priority": ("HIGH", "MEDIUM", "LOW")[q % 3],
+                            "created_at_ms": t * 1000 + q,
+                            "ids": [t * 1000 + q * 10 + j for j in range(ids_per_req)],
+                            "tenant": f"t{q:03d}",
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (base + t, base + t))
+    stream = (
+        spark.readStream.schema(
+            "request_id string, priority string, created_at_ms long, "
+            "ids array<long>, tenant string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    t0 = time.monotonic()
+    q = (
+        live_priority_drain(stream, queue_col="tenant")
+        .writeStream.format("memory")
+        .queryName("bench_drain")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    drained = spark.table("bench_drain").count()
+    return {
+        "drained_batches": drained,
+        "wall_s": round(wall, 3),
+        "batches_per_s": round(drained / wall, 2),
+        "ids_per_s": round(drained * ids_per_req / wall, 2),
+        "reference_ceiling_ids_per_s": 0.6,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -209,9 +275,14 @@ def main() -> None:
     # (BENCH_r03.json "parsed": null). The spread therefore goes to a
     # side file; stdout gets only the compact headline line, printed
     # LAST.
+    # drain throughput extra (VERDICT r03 #9): measured once, full
+    # detail in the side file, one compact number on the headline line
+    drain = _drain_throughput(spark)
     spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
     with open(spread_path, "w") as f:
-        json.dump({"sf": sf, "n_runs": n_runs, "spread": spread}, f, indent=1)
+        json.dump(
+            {"sf": sf, "n_runs": n_runs, "drain": drain, "spread": spread}, f, indent=1
+        )
     print(
         json.dumps(
             {
@@ -220,6 +291,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extras": {"drain_batches_per_s": drain["batches_per_s"]},
             }
         )
     )
