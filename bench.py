@@ -79,6 +79,7 @@ HEADLINE = [
     "q_bm25_rank",
     "q_gap_fill",
     "q_sketch_rollup",
+    "q_lm_score",
     # probe-from-persisted-index ANN (VERDICT r03 #5): the index is
     # built ONCE before the timed runs (build-once artifact at 100 TB),
     # so this number is query-only latency — compare with
@@ -101,6 +102,9 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
         q_bm25_rank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+        q_lm_score,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
         q_sketch_rollup,
@@ -129,6 +133,7 @@ def _extra_queries():
         "q_bm25_rank": q_bm25_rank,
         "q_gap_fill": q_gap_fill,
         "q_sketch_rollup": q_sketch_rollup,
+        "q_lm_score": q_lm_score,
         "q_similarity_ivf_index": _ivf_from_index,
     }
 

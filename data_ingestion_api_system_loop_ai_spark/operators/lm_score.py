@@ -1,0 +1,172 @@
+"""Unigram language-model surprisal scoring over ``documents`` — the
+CCNet / Gopher "perplexity filter" stage of a training-data pipeline,
+with the LM trained on the corpus itself in the same job.
+
+A pretraining pipeline scores every candidate document by how probable
+a reference language model finds it; documents with extreme mean
+surprisal (gibberish at the high end, degenerate repetition at the low
+end) are dropped or re-bucketed (CCNet trains a 5-gram KenLM per
+language; the unigram form here keeps the statistics exactly
+SQL-expressible while exercising the identical distributed shape:
+train = corpus aggregation, score = per-token probability lookup).
+
+Model: add-one-smoothed unigram LM over the corpus token counts —
+``p(t) = (count(t) + 1) / (T + V)`` with T total tokens, V vocabulary
+size. Per document: ``mean_surprisal = Σ tf(t)·(−ln p(t)) / n_tokens``
+(nats/token; the unigram cross-entropy of the doc against the corpus).
+
+Plan shape at 100 TB:
+
+- TRAIN is one map-side-combinable aggregation: explode → count by
+  token. Vocabulary is Zipf-bounded (a few million rows even at
+  web-corpus scale — OSCAR's is ~10 M) so the trained model is a
+  BROADCAST relation, exactly the FastText/KenLM "model file shipped
+  to every worker" deployment, expressed relationally.
+- SCORE is shuffle-free on the corpus side: per-doc term frequencies
+  are computed IN-ROW (``transform`` over the distinct-token array —
+  no (doc, token) explode-shuffle), the broadcast join attaches
+  counts, and the per-doc sum folds over the token-SORTED contribution
+  array so the floating-point order is pinned — the same in-order
+  ``list_sum`` contract the similarity family relies on. The only
+  corpus shuffle is the final groupBy(doc_id) re-assembly of the
+  exploded distinct tokens, whose width is n_distinct ≤ n_tokens.
+- The 1-row (T, V) total is a broadcast nested-loop of one row — the
+  stats-broadcast idiom shared with q_bm25_rank.
+
+Determinism: ``(count+1)/(T+V)`` is the same long→double division on
+both engines, ``-ln`` agrees to the last ulp (absorbed by the 9-digit
+compare), the fold order is pinned by ``array_sort``/``ORDER BY tok``,
+and the final value rounds to 6 places (house convention).
+
+Reference parity note: the reference (412 LoC Express pipeline) has no
+text analytics; this operator belongs to the BASELINE.json north-star
+tier (text analysis / quality scoring at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokenize
+from ..sources.loader import load_table
+
+# Keep verdict band in nats/token: sub-1.5 means near-degenerate
+# repetition of the most common tokens; the high side is gibberish
+# (vs this corpus's LM). Both bounds are literals so the oracle
+# reproduces the verdict exactly.
+LM_LOW = 1.5
+LM_HIGH = 6.0
+
+
+def unigram_counts(docs: DataFrame) -> DataFrame:
+    """(token, cnt) corpus counts — the trained model relation."""
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def lm_scores(docs: DataFrame) -> DataFrame:
+    """Score ``docs(doc_id, text)``: (doc_id, n_tokens, n_distinct,
+    mean_surprisal, keep)."""
+    freq = unigram_counts(docs)
+    totals = freq.agg(
+        F.sum("cnt").alias("T"), F.count("*").alias("V")
+    )
+
+    # in-row distinct-token tfs: (doc_id, token, tf, n_tokens) with NO
+    # (doc, token) shuffle — the explode below feeds a broadcast join
+    toks = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("_toks")
+    ).withColumn(
+        "_tfs",
+        F.transform(
+            F.array_sort(F.array_distinct("_toks")),
+            lambda t: F.struct(
+                t.alias("token"),
+                F.size(F.filter("_toks", lambda x: x == t)).alias("tf"),
+            ),
+        ),
+    )
+    per_tok = toks.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.explode("_tfs").alias("e"),
+    ).select("doc_id", "n_tokens", "e.token", "e.tf")
+
+    contrib = (
+        per_tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token",
+            (
+                F.col("tf")
+                * -F.log((F.col("cnt") + F.lit(1)) / (F.col("T") + F.col("V")))
+            ).alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_distinct"),
+        # token-sorted fold: identical summation order on both engines
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    mean = F.round(F.col("s") / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        mean.alias("mean_surprisal"),
+        ((mean >= F.lit(LM_LOW)) & (mean <= F.lit(LM_HIGH))).alias("keep"),
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score unigram LM pass over ``documents``.
+    (Unregistered — the registry is at the driver's 50-slot cap;
+    driver-grade DuckDB parity + plan test in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_scores(docs)
+
+
+_TOKS = sql_tokens("text")
+
+LM_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+freq AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token),
+tot AS (SELECT sum(cnt) AS T, count(*) AS V FROM freq),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+contrib AS (
+  SELECT doc_id, token,
+         tf * -ln((cnt + 1) / (T + V)) AS c
+  FROM dt JOIN freq USING (token) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT c.doc_id,
+         len(t.ts) AS n_tokens,
+         count(*) AS n_distinct,
+         list_sum(list(c.c ORDER BY c.token)) AS s
+  FROM contrib c JOIN toks t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id, len(t.ts)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(s / n_tokens, 6) AS mean_surprisal,
+       round(s / n_tokens, 6) BETWEEN {LM_LOW} AND {LM_HIGH} AS keep
+FROM per_doc
+"""

@@ -790,3 +790,252 @@ ORDER BY s_suppkey
 # and its oracle are defined after the module's main dicts.
 RELATIONAL_EXT_QUERIES["q_tpch_q21"] = q_tpch_q21
 RELATIONAL_EXT_ORACLES["q_tpch_q21"] = TPCH_Q21_ORACLE
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping, adapted): revenue flowing between two
+    specific nations in either direction, by supplier nation / customer
+    nation / ship year. The shape: a five-way join where BOTH fact-side
+    joins shuffle (lineitem⋈orders on orderkey) while every dim
+    broadcasts, plus the symmetric nation-pair DISJUNCTION — Catalyst
+    keeps the equi-keys (suppkey/custkey/nationkey) and evaluates the
+    OR as a residual, never a nested-loop. Revenue is the exact decimal
+    sum (Q1/Q3 idiom). (Unregistered — 50-slot cap; driver-grade
+    DuckDB parity in tests/test_unregistered_ops.py.)"""
+    n1, n2 = "NATION_1", "NATION_2"
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    ns = F.broadcast(na.select(F.col("n_nationkey").alias("_snk"),
+                               F.col("n_name").alias("supp_nation")))
+    nc = F.broadcast(na.select(F.col("n_nationkey").alias("_cnk"),
+                               F.col("n_name").alias("cust_nation")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(ns, F.col("s_nationkey") == F.col("_snk"))
+        .join(nc, F.col("c_nationkey") == F.col("_cnk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting, adapted): top-20 customers
+    by revenue lost to returns (l_returnflag='R') in one quarter, with
+    full customer detail. Wide GROUP BY over the fact join (customer
+    and nation broadcast), top-k by TakeOrderedAndProject.
+    (Unregistered — 50-slot cap; direct DuckDB parity.)"""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "_rev"
+            )
+        )
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+    )
+
+
+TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS rev
+  FROM customer, orders, lineitem, nation
+  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+    AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+ORDER BY rev DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted): the disjunction-of-
+    conjunctions join — three (brand, size-range, quantity-range)
+    alternatives OR-ed together across the lineitem⋈part equi-join.
+    The planner test: Catalyst must still extract p_partkey=l_partkey
+    as the hash-join key (part broadcasts) and evaluate the OR as a
+    residual condition — plan-asserted: no nested-loop join appears.
+    (Unregistered — 50-slot cap; direct DuckDB parity.)"""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    alt = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & alt)
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship, adapted): distinct
+    supplier count per (brand, type, size) for a part subset, EXCLUDING
+    a supplier denylist — the NOT IN subquery that
+    RewritePredicateSubquery turns into a LEFT ANTI join, feeding a
+    count(DISTINCT) aggregate (two-phase distinct expansion). The
+    synthetic schema has no partsupp: the part↔supplier association is
+    derived from lineitem, and the "complaints" denylist is suppliers
+    whose name ends in '7'. (Unregistered — 50-slot cap; direct DuckDB
+    parity + anti-join plan assert.)"""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    return spark.sql(
+        """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM q16_part, q16_lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM q16_supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    )
+
+
+TPCH_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier, adapted): for each small part,
+    the supplier(s) selling it at the part's MINIMUM unit price — a
+    correlated scalar MIN subquery whose equality predicate selects the
+    argmin rows, the fourth decorrelation shape in the battery (Q17:
+    correlated scalar avg; Q21: EXISTS pair; Q22: uncorrelated scalar).
+    Catalyst rewrites it into a per-partkey min aggregate joined back
+    on (partkey, unit_price). The synthetic schema has no partsupp /
+    ps_supplycost: unit price l_extendedprice/l_quantity over lineitem
+    plays the cost column; the division is the identical double
+    expression on both engines, so the equality cannot diverge.
+    (Unregistered — 50-slot cap; direct DuckDB parity.)"""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q2_part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q2_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+    return spark.sql(
+        """
+SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+       l_extendedprice / l_quantity AS unit_price
+FROM q2_part, q2_lineitem l1, q2_supplier
+WHERE p_partkey = l1.l_partkey AND s_suppkey = l1.l_suppkey
+  AND p_size <= 3
+  AND l_extendedprice / l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM q2_lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+    )
+
+
+TPCH_Q2_ORACLE = """
+SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+       l_extendedprice / l_quantity AS unit_price
+FROM part, lineitem l1, supplier
+WHERE p_partkey = l1.l_partkey AND s_suppkey = l1.l_suppkey
+  AND p_size <= 3
+  AND l_extendedprice / l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+ORDER BY p_partkey, s_suppkey
+"""

@@ -1532,3 +1532,73 @@ def test_media_decode_pipeline_goldens(spark, sf_dir):
             assert abs(r["duration_s"] - spec["n_frames"] / 10) < 1e-12
         checked += 1
     assert checked_torn >= 1 and checked >= 400
+
+
+def test_lm_score_oracle_parity_and_plan(spark, sf_dir):
+    """Unigram-LM surprisal scoring matches DuckDB at driver grade;
+    the trained model joins as a BROADCAST (no corpus-side shuffle for
+    the lookup) and a degenerate all-same-token doc scores lower
+    surprisal than a diverse one."""
+    from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+        LM_SCORE_ORACLE,
+        lm_scores,
+        q_lm_score,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_lm_score(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # model lookup never shuffles the corpus
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, LM_SCORE_ORACLE)
+    finally:
+        con.close()
+
+    # semantics: repeating the corpus's own most common pattern scores
+    # LOWER mean surprisal than mixing rare tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "zephyr quixotic ontology manifold"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["mean_surprisal"] for r in lm_scores(docs).collect()}
+    assert got[1] < got[2]
+
+
+@pytest.mark.parametrize("which", ["q2", "q7", "q10", "q16", "q19"])
+def test_tpch_round4_battery_oracle_exact(which, spark, sf_dir):
+    """Round-4 TPC-H widening, each a distinct planner shape: Q2
+    correlated scalar MIN argmin-join, Q7 symmetric nation-pair
+    disjunction over a 5-way join, Q10 wide-group top-k, Q16 NOT IN →
+    anti join under count(DISTINCT), Q19 OR-of-conjunctions residual on
+    a hash join (plan-asserted: the equi-key is still extracted — no
+    nested-loop join)."""
+    from data_ingestion_api_system_loop_ai_spark.operators import relational_ext as rx
+
+    from .oracle_utils import compare, duckdb_con
+
+    fn, osql = {
+        "q2": (rx.q_tpch_q2, rx.TPCH_Q2_ORACLE),
+        "q7": (rx.q_tpch_q7, rx.TPCH_Q7_ORACLE),
+        "q10": (rx.q_tpch_q10, rx.TPCH_Q10_ORACLE),
+        "q16": (rx.q_tpch_q16, rx.TPCH_Q16_ORACLE),
+        "q19": (rx.q_tpch_q19, rx.TPCH_Q19_ORACLE),
+    }[which]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if which == "q19":
+        assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+    if which == "q16":
+        assert "LeftAnti" in plan  # NOT IN decorrelated, never re-scanned
+    if which == "q2":
+        # correlated scalar MIN rewritten to an aggregate+join
+        assert "HashAggregate" in plan and "NestedLoop" not in plan
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, osql)
+    finally:
+        con.close()
