@@ -80,6 +80,8 @@ HEADLINE = [
     "q_gap_fill",
     "q_sketch_rollup",
     "q_lm_score",
+    "q_embedding_outliers",
+    "q_tfidf_source",
     # probe-from-persisted-index ANN (VERDICT r03 #5): the index is
     # built ONCE before the timed runs (build-once artifact at 100 TB),
     # so this number is query-only latency — compare with
@@ -102,6 +104,10 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
         q_bm25_rank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        q_embedding_outliers,
+        q_tfidf_source,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
         q_lm_score,
@@ -134,6 +140,8 @@ def _extra_queries():
         "q_gap_fill": q_gap_fill,
         "q_sketch_rollup": q_sketch_rollup,
         "q_lm_score": q_lm_score,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_tfidf_source": q_tfidf_source,
         "q_similarity_ivf_index": _ivf_from_index,
     }
 

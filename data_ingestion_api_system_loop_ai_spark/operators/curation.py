@@ -1,0 +1,190 @@
+"""Corpus-curation scoring: embedding-centroid outliers and per-source
+TF-IDF characteristic terms — two standard "look at your data" passes a
+training-data pipeline runs before mixing/pruning decisions.
+
+- ``q_embedding_outliers`` — the SemDeDup / SSL-prototypes pruning
+  signal (Sorscher et al. 2022; Abbas et al. 2023): score every vector
+  by cosine to its group's centroid and surface the k least-typical
+  members per group (candidates for pruning as noise, or for UP-weighting
+  as rare coverage — the decision layer is downstream; the signal is
+  this query). Groups here are the ``label`` column of the synthetic
+  ``embeddings`` table; in production they are k-means cells
+  (``ivf_assign`` produces exactly that relation).
+- ``q_tfidf_source`` — per-source characteristic vocabulary (the
+  "what is IN this domain" audit behind mixture decisions): classic
+  tf-idf with idf over sources, top-10 terms per source.
+
+Plan shapes at 100 TB:
+
+- Outliers: centroids are one posexplode + (label, dim) hash aggregate
+  — map-side combinable down to |labels|·dim rows (the
+  ``ivf_centroids`` idiom, decimal(25,12) element sums so both engines
+  produce identical doubles) — then a BROADCAST of the tiny centroid
+  relation back over the corpus; cosines are in-row folds; the only
+  corpus-width shuffle is the per-label top-k window, whose input is
+  (label, cos, vec_id) triples, never the vectors.
+- TF-IDF: one explode → (source, token) map-side-combinable count;
+  everything after is vocabulary-bounded (Zipf), so df, idf, and the
+  per-source top-10 window all run on relations of at most |V|·|S|
+  rows — the corpus is scanned once.
+
+Determinism: decimal element sums (order-independent), double
+divisions and ``ln`` identical per-row on both engines, fold order
+pinned by element order, ranks tiebroken on (vec_id | token), final
+scores rounded to 6 (house convention).
+
+Reference parity: the reference has no analytics surface (SURVEY.md
+§2.2); both operators belong to the BASELINE.json north-star tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, tokenize
+from ..sources.loader import load_table
+from .similarity import RP_DIM, dot_expr, norm_expr
+
+OUTLIER_K = 10
+TFIDF_K = 10
+
+
+def label_centroids(e: DataFrame) -> DataFrame:
+    """(label, centroid) — exact decimal element sums / double division
+    (the ivf_centroids idiom, keyed by label)."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label least-typical vectors: cosine to the label centroid,
+    ascending rank, k=10 surfaced per label. (Unregistered — 50-slot
+    cap; driver-grade DuckDB parity + broadcast-plan assert in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
+    cos = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            "vec_id",
+            (
+                dot_expr("embedding", "centroid")
+                / (norm_expr("embedding") * norm_expr("centroid"))
+            ).alias("_c"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.col("_c").asc(), F.col("vec_id"))
+    return (
+        cos.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= OUTLIER_K)
+        .select(
+            "label",
+            "vec_id",
+            F.round("_c", 6).alias("cos_centroid"),
+            "outlier_rank",
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH dims AS (
+  SELECT label, i,
+         CAST(SUM(CAST(embedding[i] AS DECIMAL(25,12))) AS DOUBLE)
+           / count(*) AS cv
+  FROM embeddings, UNNEST(range(1, {RP_DIM} + 1)) AS g(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM dims GROUP BY label),
+cos AS (
+  SELECT e.label, e.vec_id,
+         list_sum(list_transform(range(1, {RP_DIM} + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+         / (sqrt(list_sum(list_transform(range(1, {RP_DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, {RP_DIM} + 1),
+               i -> c.centroid[i] * c.centroid[i])))) AS c
+  FROM embeddings e JOIN cent c USING (label)
+)
+SELECT label, vec_id, round(c, 6) AS cos_centroid,
+       CAST(rnk AS INTEGER) AS outlier_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY c ASC, vec_id) AS rnk
+  FROM cos
+) WHERE rnk <= {OUTLIER_K}
+"""
+
+
+def q_tfidf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 characteristic terms per source by tf-idf
+    (idf = ln(S / df) over sources; smooth-free Salton form — every
+    term here occurs in ≥1 source so the log argument is ≥ 1).
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity test.)"""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_sources = d.select("source").distinct().agg(
+        F.count("*").alias("S")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("S") / F.col("df"))).alias("_s"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("_s").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_K)
+        .select(
+            "source",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("_s", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_TOKS = sql_tokens("text")
+
+TFIDF_SOURCE_ORACLE = f"""
+WITH ex AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (SELECT source, token, count(*) AS tf FROM ex GROUP BY source, token),
+dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tot AS (SELECT count(DISTINCT source) AS S FROM documents)
+SELECT source, token, tf, df, round(s, 6) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT source, token, tf, df, tf * ln(CAST(S AS DOUBLE) / df) AS s,
+         row_number() OVER (PARTITION BY source ORDER BY tf * ln(CAST(S AS DOUBLE) / df) DESC, token) AS rnk
+  FROM tf JOIN dfr USING (token) CROSS JOIN tot
+) WHERE rnk <= {TFIDF_K}
+"""

@@ -1602,3 +1602,49 @@ def test_tpch_round4_battery_oracle_exact(which, spark, sf_dir):
         compare(df, con, osql)
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("which", ["outliers", "tfidf"])
+def test_curation_scores_oracle_exact(which, spark, sf_dir):
+    """Corpus-curation signals at driver grade: embedding-centroid
+    outliers (SemDeDup/SSL-prototypes pruning signal — centroid via
+    decimal element sums, cosine in-row, per-label bottom-k) and
+    per-source tf-idf characteristic terms. The centroid relation must
+    BROADCAST (corpus never shuffles for the lookup)."""
+    from data_ingestion_api_system_loop_ai_spark.operators import curation as cu
+
+    from .oracle_utils import compare, duckdb_con
+
+    fn, osql = {
+        "outliers": (cu.q_embedding_outliers, cu.EMBEDDING_OUTLIERS_ORACLE),
+        "tfidf": (cu.q_tfidf_source, cu.TFIDF_SOURCE_ORACLE),
+    }[which]
+    df = fn(spark, sf_dir)
+    if which == "outliers":
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, osql)
+    finally:
+        con.close()
+
+
+def test_embedding_outliers_rank_semantics(spark, sf_dir):
+    """Rank 1 is the least-typical member of its label: its cosine is
+    the label's minimum, and every label emits exactly OUTLIER_K rows
+    (labels are larger than K in this corpus)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        OUTLIER_K,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r["outlier_rank"])
+        assert len(rs) == OUTLIER_K
+        cosines = [r["cos_centroid"] for r in rs]
+        assert cosines == sorted(cosines)
