@@ -82,6 +82,7 @@ HEADLINE = [
     "q_lm_score",
     "q_embedding_outliers",
     "q_tfidf_source",
+    "q_kmeans",
     # probe-from-persisted-index ANN (VERDICT r03 #5): the index is
     # built ONCE before the timed runs (build-once artifact at 100 TB),
     # so this number is query-only latency — compare with
@@ -108,6 +109,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
         q_tfidf_source,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
+        q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
         q_lm_score,
@@ -142,6 +146,7 @@ def _extra_queries():
         "q_lm_score": q_lm_score,
         "q_embedding_outliers": q_embedding_outliers,
         "q_tfidf_source": q_tfidf_source,
+        "q_kmeans": q_kmeans,
         "q_similarity_ivf_index": _ivf_from_index,
     }
 

@@ -1648,3 +1648,37 @@ def test_embedding_outliers_rank_semantics(spark, sf_dir):
         assert len(rs) == OUTLIER_K
         cosines = [r["cos_centroid"] for r in rs]
         assert cosines == sorted(cosines)
+
+
+def test_kmeans_step_parity_objective_monotone_deterministic(spark, sf_dir):
+    """Spherical k-means: the first Lloyd round (systematic seeds →
+    cosine argmax with smallest-cell tiebreak) matches the DuckDB
+    oracle exactly; the full fit's objective is non-decreasing across
+    rounds (the Lloyd alternation guarantee); re-running produces
+    byte-identical assignments (no RNG anywhere); and every cell stays
+    populated on this corpus."""
+    from data_ingestion_api_system_loop_ai_spark.operators import kmeans as km
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import RP_DIM
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    e = load_table(spark, sf_dir, "embeddings")
+    step = km.kmeans_assign(e, km.kmeans_seeds(e)).select(
+        "vec_id", "cell", F.round("cos", 6).alias("cos")
+    )
+    con = duckdb_con(sf_dir)
+    try:
+        compare(step, con, km.kmeans_step_oracle(RP_DIM))
+    finally:
+        con.close()
+
+    asg, _cent, obj = km.kmeans_fit(e)
+    assert len(obj) == km.KMEANS_ITERS
+    assert all(obj[i + 1] >= obj[i] - 1e-9 for i in range(len(obj) - 1))
+    assert obj[-1] > obj[0]  # it actually optimized something
+    assert asg.select("cell").distinct().count() == km.KMEANS_K
+
+    a = sorted((r["vec_id"], r["cell"]) for r in km.q_kmeans(spark, sf_dir).collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in km.q_kmeans(spark, sf_dir).collect())
+    assert a == b
