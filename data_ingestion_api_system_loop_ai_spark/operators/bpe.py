@@ -1,0 +1,199 @@
+"""Distributed BPE tokenizer training over the ``documents`` table —
+the vocabulary-building stage of an LLM data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+The algorithm alternates (count adjacent symbol pairs) / (merge the
+most frequent pair), so like PageRank / connected components / k-means
+it is iterative and NON-SQL-EXPRESSIBLE at fixed depth. The Spark shape
+keeps every round distributed and driver-light:
+
+- The corpus collapses ONCE to the distinct-word relation
+  ``(word_symbols array<string>, n)`` — at 100 TB the distinct-word
+  table is orders of magnitude smaller than the corpus and the collapse
+  is one map-side-combinable groupBy. Every later round touches only
+  this relation; the corpus is never rescanned.
+- Pair counting: per word, ``zip_with(symbols, tail)`` builds adjacent
+  pairs in-row (weighted by the word count), then one hash aggregate;
+  the winning pair comes back as ONE driver row per round (max count,
+  ties to the lexicographically smallest pair — deterministic).
+- Merging: a left-to-right greedy fold (``F.aggregate``) over each
+  symbol array — map-only, no shuffle, whole-stage codegen. The fold's
+  accumulator semantics give the standard BPE behaviour on overlapping
+  occurrences ("aaaa" + merge (a,a) -> "aa","aa", not "aa","a","a"):
+  a just-merged symbol never re-merges with the next raw symbol in the
+  same pass.
+- ``localCheckpoint`` each round caps plan depth at O(1), the same
+  lineage discipline as the other iterative operators.
+
+End-of-word marker: the classic ``</w>`` suffix on each word's last
+character, so learned subwords distinguish "low" from "lower"'s prefix.
+The marker uses characters the tokenizer (lowercase [a-z0-9]+) can
+never produce, so no collision with real symbols is possible.
+
+Reference parity: none — the reference (412 LoC Express ingestion API)
+has no text surface; this is BASELINE.json north-star tier. Correctness
+is a direct test against an independent pure-Python BPE implementation
+on the same corpus (tests/test_unregistered_ops.py), word-count parity
+for the collapse stage, and a greedy-fold property test on adversarial
+overlap words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from ..sources.loader import load_table
+
+BPE_MERGES = 24
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """Collapse the corpus to ``(word, n)`` — the only corpus-wide scan
+    BPE training performs. Map-side combinable; key balance is the
+    Zipf distribution itself, which is fine for a count-only shuffle
+    (one long per key, no payload)."""
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Split a word into single-character symbols, the last one
+    suffixed with the end-of-word marker."""
+    # Spark's split-by-empty-pattern may emit a trailing "" depending
+    # on version; filter keeps the char list exact on all of them
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    last = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == last - 1, F.concat(c, F.lit(EOW))).otherwise(c),
+    )
+
+
+def _merge_expr(symbols: Column, left: str, right: str) -> Column:
+    """Left-to-right greedy merge of adjacent (left, right) into
+    left+right — the fold form: the accumulator's last element is only
+    eligible if it was NOT produced by this pass's previous merge,
+    which the fold guarantees because the merged symbol ``left+right``
+    differs from ``left`` (symbols are non-empty, so left+right is
+    strictly longer)."""
+    la, lb, m = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(m)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent symbol pairs weighted by word
+    frequency. Pairs are built in-row (zip_with against the tail —
+    no explode of the corpus, only of the distinct-word relation),
+    then partially aggregated map-side."""
+    pairs = F.zip_with(
+        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    return (
+        words.filter(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from ``docs`` (needs a ``text``
+    column). Returns (merges, words) where merges is the ordered list
+    of (left, right, pair_count) and words is the final distinct-word
+    relation ``(word, symbols, n)`` after all merges.
+
+    Driver traffic: exactly one 3-field row per round. Rounds with no
+    remaining pair (tiny corpora) stop early."""
+    words = (
+        word_counts(docs)
+        .select("word", _initial_symbols(F.col("word")).alias("symbols"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append((left, right, int(cnt)))
+        words = words.withColumn(
+            "symbols", _merge_expr(F.col("symbols"), left, right)
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply a learned merge list to ``docs``: adds a ``bpe_tokens``
+    array column (per-document subword sequence, end-of-word markers
+    kept). Merges apply in rank order, each a map-only fold — the plan
+    is a single narrow projection chain, no shuffle at any width; a
+    checkpoint every 8 merges bounds expression-tree depth for long
+    merge lists."""
+    out = docs.withColumn(
+        "bpe_tokens",
+        F.flatten(
+            F.transform(
+                tokenize(F.col("text")), lambda w: _initial_symbols(w)
+            )
+        ),
+    )
+    for i, (left, right, _cnt) in enumerate(merges):
+        out = out.withColumn(
+            "bpe_tokens", _merge_expr(F.col("bpe_tokens"), left, right)
+        )
+        if (i + 1) % 8 == 0:
+            out = out.localCheckpoint()
+    return out
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table learned from ``documents``: (rank, left, right,
+    pair_count). (Unregistered, NON-SQL-EXPRESSIBLE — the merge loop
+    cannot be written at fixed SQL depth; direct tests pin the merge
+    sequence against an independent pure-Python BPE on the identical
+    word counts, plus vocabulary/compression invariants.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = bpe_train(docs)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final subword vocabulary after training: (symbol, n_words,
+    total_occurrences), descending by total occurrences. The symbol
+    inventory every downstream token-budget estimate consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, words = bpe_train(docs)
+    return (
+        words.select(F.explode("symbols").alias("symbol"), "n")
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n").alias("total_occurrences"),
+        )
+        .orderBy(F.col("total_occurrences").desc(), F.col("symbol"))
+    )

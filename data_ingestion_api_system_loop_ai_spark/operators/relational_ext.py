@@ -1039,3 +1039,230 @@ WHERE p_partkey = l1.l_partkey AND s_suppkey = l1.l_suppkey
         WHERE l2.l_partkey = l1.l_partkey)
 ORDER BY p_partkey, s_suppkey
 """
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share, adapted): of all STANDARD-type
+    part volume sold into ASIA-region customers over two years, the
+    per-year share supplied from NATION_5 — the conditional-aggregate-
+    over-a-six-way-join shape. Both fact joins (lineitem⋈orders on
+    orderkey) shuffle; part, customer, supplier, nation, region all
+    broadcast; the share is a ratio of two exact decimal sums, each
+    cast to double BEFORE the divide so both engines run the identical
+    double division. (Unregistered — 50-slot cap; direct DuckDB parity
+    in tests/test_unregistered_ops.py.)"""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    ns = F.broadcast(
+        na.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    )
+    # customer-side nation restricted to the ASIA region up front, so
+    # the region join never touches the fact side
+    nc = F.broadcast(
+        na.join(F.broadcast(r), na.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("_cnk")
+        )
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast("decimal(25,6)")))
+            .cast("double")
+            .alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num") / F.col("_den")).alias("mkt_share"),
+            F.col("_den").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_ORACLE = """
+SELECT o_year,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mkt_share,
+       CAST(den AS DOUBLE) AS total_volume
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         sum(CASE WHEN n1.n_name = 'NATION_5'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                  ELSE CAST(0 AS DECIMAL(25,6)) END) AS num,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS den
+  FROM part, lineitem, orders, customer, supplier,
+       nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY year(o_orderdate)
+)
+ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit, adapted): profit by supplier
+    nation and order year over parts whose name contains 'widget'.
+    The synthetic schema has no partsupp/ps_supplycost, so supply cost
+    is the deterministic column expression 0.6 * p_retailprice — the
+    join/aggregate shape (two fact shuffles, every dim broadcast, an
+    arithmetic profit measure spanning columns of THREE tables) is what
+    Q9 exercises, and that is preserved. Profit is summed as exact
+    decimal, cast to double at the end. (Unregistered — 50-slot cap;
+    direct DuckDB parity.)"""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(na.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_ORACLE = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount)
+              - 0.6 * p_retailprice * l_quantity AS DECIMAL(25,6)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification, adapted): per-part
+    sold value restricted to suppliers of one nation, keeping only
+    parts whose value exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    uncorrelated scalar subquery in HAVING. Catalyst plans the inner
+    total as an independent subquery whose 1-row result broadcasts
+    into the outer aggregate's filter; the big side is scanned twice
+    (classic Q11 — the reuse is the exchange, not the scan). The
+    synthetic schema has no partsupp: lineitem value
+    l_extendedprice * l_quantity plays ps_supplycost * ps_availqty.
+    (Unregistered — 50-slot cap; direct DuckDB parity + scalar-
+    subquery plan assert.)"""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q11_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q11_nation")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+    return spark.sql(
+        """
+SELECT l_partkey, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS value
+FROM q11_lineitem, q11_supplier, q11_nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) > (
+    SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) * 0.001
+    FROM q11_lineitem, q11_supplier, q11_nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3')
+ORDER BY value DESC, l_partkey
+"""
+    )
+
+
+TPCH_Q11_ORACLE = """
+SELECT l_partkey, CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) > (
+    SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) * 0.001
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3')
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority, adapted): per ship
+    mode, how many LATE lines belong to high- vs low-priority orders —
+    the fact-fact shuffle join feeding two conditional counts. The
+    synthetic lineitem has no l_shipmode/l_commitdate/l_receiptdate,
+    so the mode is derived deterministically from l_linenumber
+    (MAIL/SHIP/TRUCK by mod 3) and "late" is shipped more than 90 days
+    after the order date — identical expressions on both engines. Only
+    MAIL and SHIP qualify, and the mode filter applies BEFORE the join
+    (pushed to the lineitem scan). (Unregistered — 50-slot cap; direct
+    DuckDB parity.)"""
+    o = load_table(spark, sf_dir, "orders")
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("TRUCK")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("l_shipmode", mode)
+        .filter(F.col("l_shipmode").isin("MAIL", "SHIP"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_shipmode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM (
+  SELECT l_orderkey, l_shipdate,
+         CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+              ELSE 'TRUCK' END AS l_shipmode
+  FROM lineitem
+) l, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipmode IN ('MAIL', 'SHIP')
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""

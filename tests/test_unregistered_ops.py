@@ -1569,14 +1569,20 @@ def test_lm_score_oracle_parity_and_plan(spark, sf_dir):
     assert got[1] < got[2]
 
 
-@pytest.mark.parametrize("which", ["q2", "q7", "q10", "q16", "q19"])
+@pytest.mark.parametrize(
+    "which", ["q2", "q7", "q8", "q9", "q10", "q11", "q12", "q16", "q19"]
+)
 def test_tpch_round4_battery_oracle_exact(which, spark, sf_dir):
     """Round-4 TPC-H widening, each a distinct planner shape: Q2
     correlated scalar MIN argmin-join, Q7 symmetric nation-pair
-    disjunction over a 5-way join, Q10 wide-group top-k, Q16 NOT IN →
-    anti join under count(DISTINCT), Q19 OR-of-conjunctions residual on
-    a hash join (plan-asserted: the equi-key is still extracted — no
-    nested-loop join)."""
+    disjunction over a 5-way join, Q8 conditional-share over a six-way
+    join, Q9 three-table arithmetic measure, Q10 wide-group top-k,
+    Q11 uncorrelated scalar subquery in HAVING, Q12 fact-fact join
+    with conditional counts, Q16 NOT IN → anti join under
+    count(DISTINCT), Q19 OR-of-conjunctions residual on a hash join
+    (plan-asserted: the equi-key is still extracted — no nested-loop
+    join). With Q13/Q15/Q18/Q4/Q20/Q17/Q21/Q22/Q3/Q5/Q6/Q14 and Q1
+    (q_hash_agg) elsewhere, this completes all 22 TPC-H shapes."""
     from data_ingestion_api_system_loop_ai_spark.operators import relational_ext as rx
 
     from .oracle_utils import compare, duckdb_con
@@ -1584,7 +1590,11 @@ def test_tpch_round4_battery_oracle_exact(which, spark, sf_dir):
     fn, osql = {
         "q2": (rx.q_tpch_q2, rx.TPCH_Q2_ORACLE),
         "q7": (rx.q_tpch_q7, rx.TPCH_Q7_ORACLE),
+        "q8": (rx.q_tpch_q8, rx.TPCH_Q8_ORACLE),
+        "q9": (rx.q_tpch_q9, rx.TPCH_Q9_ORACLE),
         "q10": (rx.q_tpch_q10, rx.TPCH_Q10_ORACLE),
+        "q11": (rx.q_tpch_q11, rx.TPCH_Q11_ORACLE),
+        "q12": (rx.q_tpch_q12, rx.TPCH_Q12_ORACLE),
         "q16": (rx.q_tpch_q16, rx.TPCH_Q16_ORACLE),
         "q19": (rx.q_tpch_q19, rx.TPCH_Q19_ORACLE),
     }[which]
@@ -1597,6 +1607,15 @@ def test_tpch_round4_battery_oracle_exact(which, spark, sf_dir):
     if which == "q2":
         # correlated scalar MIN rewritten to an aggregate+join
         assert "HashAggregate" in plan and "NestedLoop" not in plan
+    if which == "q8":
+        # every dim broadcasts; only the fact-fact join shuffles
+        assert "BroadcastHashJoin" in plan
+    if which == "q11":
+        # the HAVING total is an independent 1-row scalar subquery
+        assert "Subquery" in plan
+    if which == "q12":
+        # the derived-mode filter is applied scan-side, before the join
+        assert df.filter(~F.col("l_shipmode").isin("MAIL", "SHIP")).count() == 0
     con = duckdb_con(sf_dir)
     try:
         compare(df, con, osql)
@@ -1682,3 +1701,100 @@ def test_kmeans_step_parity_objective_monotone_deterministic(spark, sf_dir):
     a = sorted((r["vec_id"], r["cell"]) for r in km.q_kmeans(spark, sf_dir).collect())
     b = sorted((r["vec_id"], r["cell"]) for r in km.q_kmeans(spark, sf_dir).collect())
     assert a == b
+
+
+def _py_bpe_reference(wc: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE (Sennrich 2016) with the engine's
+    determinism contract: winner = max count, ties to lexicographically
+    smallest (left, right); greedy left-to-right merging."""
+    words = {
+        w: (list(w[:-1]) + [w[-1] + "</w>"], n) for w, n in wc.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        for w, (syms, n) in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            words[w] = (out, n)
+    return merges, words
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed merge loop reproduces, rank for rank, the merge
+    sequence an independent single-process BPE learns from the same
+    word counts — pinning the collapse stage, the pair weighting, the
+    deterministic tie-break, and the greedy fold all at once."""
+    from data_ingestion_api_system_loop_ai_spark.operators import bpe
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {r["word"]: r["n"] for r in bpe.word_counts(docs).collect()}
+    assert len(wc) > 20  # the synthetic corpus has a small closed vocabulary
+    want_merges, want_words = _py_bpe_reference(wc, bpe.BPE_MERGES)
+
+    merges, words = bpe.bpe_train(docs, bpe.BPE_MERGES)
+    assert merges == want_merges
+    got_words = {r["word"]: r["symbols"] for r in words.collect()}
+    assert got_words == {w: syms for w, (syms, _n) in want_words.items()}
+
+
+def test_bpe_greedy_fold_on_adversarial_overlaps(spark):
+    """Overlapping-occurrence semantics: merging (a,a) over 'aaaa'
+    yields aa|aa, over 'aaa' yields aa|a — a just-merged symbol never
+    re-merges with the next raw symbol in the same pass."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.bpe import _merge_expr
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "symbols array<string>",
+    ).select(_merge_expr(F.col("symbols"), "a", "a").alias("m"))
+    got = [r["m"] for r in df.collect()]
+    assert got == [["aa", "aa"], ["aa", "a"], ["b", "aa", "b"]]
+
+
+def test_bpe_encode_compresses_and_roundtrips(spark, sf_dir):
+    """Encoding with the learned merges (1) reproduces each document's
+    character stream when subwords are re-split (lossless), and (2)
+    strictly shortens the mean token sequence vs the unmerged
+    character form."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import bpe
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges, _words = bpe.bpe_train(docs, 12)
+    enc = bpe.bpe_encode(docs, merges)
+    chars = F.aggregate(
+        F.col("bpe_tokens"),
+        F.lit(0),
+        lambda acc, t: acc + F.length(F.replace(t, F.lit("</w>"), F.lit(""))),
+    )
+    base = F.aggregate(
+        bpe.tokenize(F.col("text")),
+        F.lit(0),
+        lambda acc, w: acc + F.length(w),
+    )
+    row = enc.agg(
+        F.sum(F.when(chars != base, 1).otherwise(0)).alias("lossy"),
+        F.avg(F.size("bpe_tokens")).alias("mean_tokens"),
+        F.avg(base).alias("mean_chars"),
+    ).collect()[0]
+    assert row["lossy"] == 0
+    assert row["mean_tokens"] < row["mean_chars"]
