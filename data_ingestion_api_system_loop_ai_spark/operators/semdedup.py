@@ -1,0 +1,129 @@
+"""SemDeDup — semantic deduplication over the ``embeddings`` table
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+The published algorithm: (1) k-means the embedding space, (2) within
+each cluster compute pairwise cosines, (3) order each cluster's members
+by similarity to their centroid — the paper's ablation keeps LOW-
+similarity (least prototypical) examples, so the keep-preference order
+is cos-to-centroid ASCENDING — and (4) drop a member iff its cosine to
+ANY member earlier in that order exceeds the threshold tau. Step 4 is
+the released implementation's upper-triangular-matrix max, NOT a
+sequential greedy: a member compares against all earlier members
+whether or not those were themselves dropped, which makes the rule
+per-pair expressible — no iteration beyond the k-means fit itself.
+
+Spark shape, and why it holds at 100 TB:
+
+- Clustering is the engine's own deterministic spherical k-means
+  (`operators/kmeans.py`) — driver sees one scalar per round.
+- The pair stage is an equi-join ON THE CELL KEY with the keep-order
+  inequality as a residual — exactly SemDeDup's design (the paper
+  clusters precisely so that pairwise work is confined to clusters,
+  ~ (n/k)^2 · k pairs instead of n^2). At 100 TB you raise k so cells
+  stay bounded (the paper uses k≈√n-scale cluster counts); the
+  equi-join shuffles each side once on ``cell`` and never materializes
+  a cross-cell pair.
+- The drop rule aggregates per LATER member (max over earlier cosines
+  > tau → dropped), map-side combinable; the verdict is an anti-join
+  back to the assignment.
+- Ties in centroid-cosine break by vec_id, so the keep set is unique
+  and reproducible run to run — pinned against an independent
+  pure-Python implementation in the direct tests.
+
+Reference parity: none (no analytics in the 412-LoC reference);
+BASELINE.json north-star tier — this is the canonical published
+embedding-dedup recipe, complementing `q_dedup_embedding` (IVF-cell
+threshold pairs, pair-list output) with the paper's keep/drop
+CORPUS-PRUNING semantics and diversity-preserving keep rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .kmeans import KMEANS_ITERS, KMEANS_K, kmeans_fit
+from .similarity import dot_expr, norm_expr
+
+# The paper prunes web-scale corpora at tau ≈ 0.95+ (real embeddings of
+# near-duplicate content). The synthetic test embeddings are near-
+# orthogonal random vectors — the maximum within-cluster cosine at
+# sf0.001 is ≈ 0.48 — so the default is adapted to the corpus's own
+# cosine range (top ~1% of within-cluster pairs) to keep the drop rule
+# exercised end to end; tau stays a caller parameter.
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(
+    e: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cell, cos_centroid, kept): SemDeDup verdicts for every
+    vector in ``e`` (vec_id, embedding). ``kept=false`` means the
+    vector has cosine > tau with a cluster-mate that precedes it in
+    (cos_centroid ASC, vec_id ASC) keep-preference order."""
+    asg, _cent, _obj = kmeans_fit(e, k, iters)
+    m = (
+        e.join(asg.select("vec_id", "cell", F.col("cos").alias("cos_centroid")), "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            "cos_centroid",
+            "embedding",
+            norm_expr("embedding").alias("_n"),
+        )
+        .localCheckpoint()  # kmeans output is already checkpointed; this
+        # pins the (cell, cos_centroid) relation so the self-join's two
+        # sides cannot diverge and the fit never re-executes
+    )
+    a = m.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cos_centroid").alias("cc_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_n").alias("n_a"),
+    )
+    b = m.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("cos_centroid").alias("cc_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_n").alias("n_b"),
+    )
+    # equi-join on the cluster key; "a precedes b" keeps the pair space
+    # upper-triangular in keep-preference order
+    precede = (F.col("cc_a") < F.col("cc_b")) | (
+        (F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos_ab = dot_expr("emb_a", "emb_b") / (F.col("n_a") * F.col("n_b"))
+    dropped = (
+        a.join(b, F.col("cell_a") == F.col("cell_b"))
+        .filter(precede)
+        .select("id_b", cos_ab.alias("_cos"))
+        .filter(F.col("_cos") > tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.select("vec_id", "cell", "cos_centroid")
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.round("cos_centroid", 6).alias("cos_centroid"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts over ``embeddings``. (Unregistered,
+    NON-SQL-EXPRESSIBLE — the k-means fit iterates; direct tests pin
+    the full keep set against an independent pure-Python SemDeDup on
+    the identical cluster assignment, plus keep-rule invariants.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e).orderBy("vec_id")

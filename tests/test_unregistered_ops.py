@@ -1798,3 +1798,75 @@ def test_bpe_encode_compresses_and_roundtrips(spark, sf_dir):
     ).collect()[0]
     assert row["lossy"] == 0
     assert row["mean_tokens"] < row["mean_chars"]
+
+
+def test_semdedup_matches_python_reference(spark, sf_dir):
+    """SemDeDup steps 2-4 (within-cluster pairwise cosine, keep-
+    preference ordering, earlier-member drop rule) reproduced by an
+    independent pure-Python implementation over the engine's own
+    k-means assignment (itself pinned by the kmeans direct tests).
+    Cosines fold left-to-right in both, so comparisons are bit-equal."""
+    from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sd
+    from data_ingestion_api_system_loop_ai_spark.operators.kmeans import kmeans_fit
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _c, _o = kmeans_fit(e)
+    rows = (
+        e.join(asg.select("vec_id", "cell", "cos"), "vec_id")
+        .select("vec_id", "cell", "cos", "embedding")
+        .collect()
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    want_dropped = set()
+    for members in by_cell.values():
+        members.sort(key=lambda r: (r["cos"], r["vec_id"]))
+        norms = [dot(r["embedding"], r["embedding"]) ** 0.5 for r in members]
+        for j in range(1, len(members)):
+            for i in range(j):
+                c = dot(members[i]["embedding"], members[j]["embedding"]) / (
+                    norms[i] * norms[j]
+                )
+                if c > sd.SEMDEDUP_TAU:
+                    want_dropped.add(members[j]["vec_id"])
+                    break
+
+    got = {r["vec_id"]: r for r in sd.q_semdedup(spark, sf_dir).collect()}
+    assert set(got) == {r["vec_id"] for r in rows}
+    got_dropped = {v for v, r in got.items() if not r["kept"]}
+    assert got_dropped == want_dropped
+    # the pruning is non-trivial on the synthetic corpus but never total
+    assert 0 < len(got_dropped) < len(rows)
+
+
+def test_semdedup_keep_rule_on_constructed_clusters(spark):
+    """Hand-checkable fixture: three near-identical vectors + one
+    distant one. The least-prototypical duplicate survives (paper's
+    low-similarity keep rule); the other duplicates drop; the distant
+    vector is untouched."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_ingestion_api_system_loop_ai_spark.operators.semdedup import semdedup
+
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.998, 0.02, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["kept"] for r in semdedup(e, tau=0.96, k=2, iters=2).collect()}
+    assert got[4] is True
+    kept_dups = [v for v in (1, 2, 3) if got[v]]
+    assert len(kept_dups) == 1  # exactly one survivor from the dup cluster
