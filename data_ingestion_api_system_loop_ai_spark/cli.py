@@ -240,9 +240,38 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """The live HTTP listener (``http_api.py``): ``curl`` against the
+    reference's routes, bodies assembled by the engine. Blocks until
+    interrupted."""
+    from .http_api import IngestApiServer
+
+    spark = _spark("cli-serve")
+    srv = IngestApiServer(
+        spark,
+        root_dir=args.root,
+        port=args.port,
+        drain=args.drain,
+        drain_interval=args.drain_interval,
+    )
+    print(f"listening on http://127.0.0.1:{srv.port} (root={args.root})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="data_ingestion_api_system_loop_ai_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("serve")
+    pv.add_argument("--root", required=True, help="wire log + store directory")
+    pv.add_argument("--port", type=int, default=5000)
+    pv.add_argument("--drain", action="store_true")
+    pv.add_argument("--drain-interval", default="5 seconds")
+    pv.set_defaults(fn=cmd_serve)
 
     sub.add_parser("list").set_defaults(fn=cmd_list)
 

@@ -427,6 +427,15 @@ def ingest_responses(spark: SparkSession, path: str) -> DataFrame:
         F.monotonically_increasing_id().alias("seq"),
         F.from_json("value", "ids array<bigint>, priority string").alias("p"),
     )
+    return _wire_responses(parsed)
+
+
+def _wire_responses(parsed: DataFrame) -> DataFrame:
+    """Shared ``POST /ingest`` response assembly over a relation of
+    ``(seq, p struct<ids array<bigint>, priority string>)`` rows — the
+    single source of truth for the validation order, the exact 400
+    bodies, and the 202 body (used by the batch file path above and the
+    live HTTP listener's per-request path, ``http_api.py``)."""
     ids_ok = F.col("p.ids").isNotNull() & (F.size("p.ids") > 0)
     prio_ok = F.upper(F.coalesce(F.col("p.priority"), F.lit(""))).isin(
         "HIGH", "MEDIUM", "LOW"
@@ -459,6 +468,19 @@ def ingest_responses(spark: SparkSession, path: str) -> DataFrame:
         F.when(ids_ok & prio_ok, F.lit(202)).otherwise(F.lit(400)).alias("http_status"),
         body.alias("body"),
     )
+
+
+def ingest_response_line(spark: SparkSession, line: str) -> tuple[int, str]:
+    """One ``POST /ingest`` body -> (http_status, exact response body),
+    through the engine's own parse/validate/uuid expressions — the
+    live-listener form of ``ingest_responses`` (same columns, one
+    row)."""
+    parsed = spark.createDataFrame([(0, line)], "seq long, value string").select(
+        "seq",
+        F.from_json("value", "ids array<bigint>, priority string").alias("p"),
+    )
+    row = _wire_responses(parsed).collect()[0]
+    return int(row["http_status"]), row["body"]
 
 
 def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -756,7 +756,16 @@ def register_requests_sink(requests: DataFrame, table, checkpoint: str):
     commit, so later readers inherit it automatically."""
     from .serving import attach_serving_sink
 
-    jobs = chunk_requests(requests).select(
+    return attach_serving_sink(registration_rows(requests), table, checkpoint)
+
+
+def registration_rows(requests: DataFrame) -> DataFrame:
+    """Chunk a request relation into ``yet_to_start`` registration rows
+    under the drain's output schema (``drain_seq`` 0 so any real drain
+    row wins the max-seq merge). Shared by the streaming registration
+    sink above and the HTTP listener's synchronous per-request
+    registration (``http_api.py``)."""
+    return chunk_requests(requests).select(
         F.lit("0").alias("queue"),
         F.lit(0).cast("long").alias("drain_seq"),
         "batch_id",
@@ -767,7 +776,6 @@ def register_requests_sink(requests: DataFrame, table, checkpoint: str):
         F.lit(None).cast("int").alias("n_pending_after"),
         F.col("batch_ids").alias("ids"),
     )
-    return attach_serving_sink(jobs, table, checkpoint)
 
 
 def status_response_from_store(spark, table, request_id: str) -> str:

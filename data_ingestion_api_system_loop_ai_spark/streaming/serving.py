@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -636,20 +637,40 @@ class ServingTable:
         return next_v
 
 
-def attach_serving_sink(drain: DataFrame, table: ServingTable, checkpoint: str):
-    """Run a (finite) drain stream into the serving table: one idempotent
-    upsert per micro-batch, checkpointed so a restart resumes from the
-    last committed batch. Empty micro-batches (triggers that drained
-    nothing) commit no new version."""
+def attach_serving_sink(
+    drain: DataFrame,
+    table: ServingTable,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
+    """Run a drain stream into the serving table: one idempotent upsert
+    per micro-batch, checkpointed so a restart resumes from the last
+    committed batch. Empty micro-batches (triggers that drained
+    nothing) commit no new version. Default trigger is ``availableNow``
+    (finite drain — the deterministic test form); pass
+    ``processing_time`` for the long-running clock-paced form (the HTTP
+    listener's live drain, where the interval IS the rate limit)."""
 
     def _sink(batch_df: DataFrame, _bid: int) -> None:
         if not batch_df.isEmpty():
-            table.upsert(batch_df)
+            # optimistic-concurrency retry: another writer (e.g. the
+            # HTTP listener's synchronous registration) may win the
+            # version race; the upsert's max-seq merge is idempotent,
+            # so re-running it against the new state is always safe
+            while True:
+                try:
+                    table.upsert(batch_df)
+                    return
+                except ConcurrentWriteConflict:
+                    time.sleep(0.05)
 
-    return (
+    w = (
         drain.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
