@@ -83,6 +83,11 @@ HEADLINE = [
     "q_embedding_outliers",
     "q_tfidf_source",
     "q_kmeans",
+    "q_semdedup",
+    "q_cms_topk",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_curriculum_order",
     # probe-from-persisted-index ANN (VERDICT r03 #5): the index is
     # built ONCE before the timed runs (build-once artifact at 100 TB),
     # so this number is query-only latency — compare with
@@ -110,13 +115,24 @@ def _extra_queries():
         q_embedding_outliers,
         q_tfidf_source,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.behavior import (
+        q_cohort_retention,
+        q_funnel,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
         q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
         q_lm_score,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_curriculum_order,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.semdedup import (
+        q_semdedup,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_cms_topk,
         q_sketch_rollup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
@@ -147,6 +163,11 @@ def _extra_queries():
         "q_embedding_outliers": q_embedding_outliers,
         "q_tfidf_source": q_tfidf_source,
         "q_kmeans": q_kmeans,
+        "q_semdedup": q_semdedup,
+        "q_cms_topk": q_cms_topk,
+        "q_funnel": q_funnel,
+        "q_cohort_retention": q_cohort_retention,
+        "q_curriculum_order": q_curriculum_order,
         "q_similarity_ivf_index": _ivf_from_index,
     }
 

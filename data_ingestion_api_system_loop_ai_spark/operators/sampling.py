@@ -232,3 +232,85 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents ranked easy->hard by
+    quality quartile (the text-analysis quality score; bucket 0 = top
+    quartile) with a SEEDED SHUFFLE inside each bucket — the standard
+    quality-curriculum schedule (high-quality data first, order within
+    a difficulty tier randomized). (doc_id, quality, bucket,
+    curriculum_pos).
+
+    Scale shape: quartile thresholds are ONE 1-row broadcast aggregate
+    (never a global sort); the position is the two-phase
+    ``global_row_number`` over (bucket, hash-prefix) buckets — 4x256
+    parallel windows + broadcast prefix offsets, the q_corpus_shuffle
+    idiom extended with a leading curriculum key. (Unregistered —
+    50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    from .text_analysis import q_quality_score
+
+    scored = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    thresholds = scored.agg(
+        F.expr("percentile(quality, 0.25)").alias("p25"),
+        F.expr("percentile(quality, 0.50)").alias("p50"),
+        F.expr("percentile(quality, 0.75)").alias("p75"),
+    )
+    bucket = (
+        F.when(F.col("quality") >= F.col("p75"), 0)
+        .when(F.col("quality") >= F.col("p50"), 1)
+        .when(F.col("quality") >= F.col("p25"), 2)
+        .otherwise(3)
+    )
+    keyed = (
+        scored.crossJoin(F.broadcast(thresholds))
+        .select("doc_id", "quality", bucket.alias("bucket"))
+        .withColumn("h", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED))
+        .withColumn("hb", F.substring("h", 1, 2))
+    )
+    return global_row_number(
+        keyed, ["bucket", "hb"], ["h", "doc_id"], rn_col="curriculum_pos"
+    ).select(
+        "doc_id",
+        "quality",
+        "bucket",
+        F.col("curriculum_pos").cast("long").alias("curriculum_pos"),
+    )
+
+
+from ..functions.text import STOPWORDS as _STOPWORDS, sql_tokens as _sql_tokens
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+
+CURRICULUM_ORDER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens('text')} AS tokens FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(least(1.0, len(tokens) / 100.0)
+               * (1 - list_sum(list_transform(tokens,
+                     t -> CASE WHEN t IN ({_STOPS_SQL}) THEN 1 ELSE 0 END))
+                  / CAST(len(tokens) AS DOUBLE)), 6) AS quality
+  FROM toks WHERE len(tokens) > 0
+),
+th AS (
+  SELECT quantile_cont(quality, 0.25) AS p25,
+         quantile_cont(quality, 0.50) AS p50,
+         quantile_cont(quality, 0.75) AS p75
+  FROM scored
+),
+bucketed AS (
+  SELECT doc_id, quality,
+         CASE WHEN quality >= p75 THEN 0
+              WHEN quality >= p50 THEN 1
+              WHEN quality >= p25 THEN 2
+              ELSE 3 END AS bucket,
+         md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM scored, th
+)
+SELECT doc_id, quality, bucket,
+       row_number() OVER (ORDER BY bucket, h, doc_id) AS curriculum_pos
+FROM bucketed
+"""

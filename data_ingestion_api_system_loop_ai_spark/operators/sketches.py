@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import sql_tokens, token_hash, tokenize
 from ..sources.loader import load_table
 
 HLL_LGK = 12  # 2^12 registers ≈ 1.6% rse — the DataSketches default
@@ -76,3 +77,128 @@ def direct_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable FREQUENCY sketch (heavy hitters),
+# complementing HLL's mergeable cardinality. Unlike the HLL binary,
+# this CMS is built from plain relational cells — (row j, bucket) ->
+# counter — with engine-portable md5 bucket hashing, so the whole
+# sketch (build, merge, probe) is DuckDB-replicable and the guarantee
+# estimate >= exact is assertable per token.
+#
+# Scale notes (100 TB): the exact per-token count is a map-side-
+# combinable groupBy over the corpus (one shuffle of (token, cnt)
+# pairs); cell building explodes only the DISTINCT-token relation
+# (x CMS_DEPTH), never the corpus; the sketch itself is CMS_DEPTH x
+# CMS_WIDTH <= 4096 cells regardless of corpus size, so it BROADCASTS
+# for probing and merges cell-wise by plain addition (per-source /
+# per-day sketches sum to the global sketch EXACTLY — counters are
+# additive, the property the merge test pins). Probing any candidate
+# set is a broadcast join + min over CMS_DEPTH cells.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(token, j: int):
+    """Row-j bucket of a token: leading-8-hex md5 of the salted token,
+    mod width — the LSH family's engine-portable hash idiom."""
+    return (
+        token_hash(F.concat(F.lit(f"{j}:"), token), 8) % CMS_WIDTH
+    ).cast("int")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, cnt): exact corpus term frequencies over ``documents`` —
+    the CMS input weights (and the ground truth its guarantee is
+    asserted against)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_cells(tokens: DataFrame) -> DataFrame:
+    """(j, bucket, c): the sketch, from a (token, cnt) relation. Only
+    distinct tokens are exploded x depth; collisions accumulate by
+    plain summation."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("token"), j).alias("bucket"))
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        tokens.select(F.explode(rows).alias("r"), "cnt")
+        .groupBy("r.j", "r.bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def cms_probe(cells: DataFrame, probes: DataFrame) -> DataFrame:
+    """(token, est): point estimates for every row of ``probes``
+    (a ``token`` column) — min over the token's CMS_DEPTH cells; the
+    sketch side broadcasts (<= DEPTH x WIDTH rows by construction)."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("token"), j).alias("bucket"))
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        probes.select("token", F.explode(rows).alias("r"))
+        .join(F.broadcast(cells), (F.col("r.j") == cells.j) & (F.col("r.bucket") == cells.bucket))
+        .groupBy("token")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 heavy hitters by CMS estimate with the exact count
+    alongside: (token, est, exact) — est >= exact always (the one-sided
+    CMS guarantee, asserted per token in the direct test), ordered by
+    (est desc, token). (Unregistered — 50-slot cap; driver-grade DuckDB
+    parity: the oracle rebuilds the identical sketch from the same md5
+    bucket math.)"""
+    tf = token_counts(spark, sf_dir)
+    cells = cms_cells(tf)
+    return (
+        cms_probe(cells, tf.select("token"))
+        .join(tf, "token")
+        .select("token", "est", F.col("cnt").alias("exact"))
+        .orderBy(F.col("est").desc(), "token")
+        .limit(15)
+    )
+
+
+CMS_TOPK_ORACLE = f"""
+WITH tf AS (
+  SELECT unnest({sql_tokens('text')}) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS cnt FROM tf GROUP BY token
+),
+cells AS (
+  SELECT j, ('0x' || substr(md5(j || ':' || token), 1, 8))::BIGINT % {CMS_WIDTH} AS bucket,
+         sum(cnt) AS c
+  FROM counts, range({CMS_DEPTH}) r(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, cnt, j,
+         ('0x' || substr(md5(j || ':' || token), 1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+  FROM counts, range({CMS_DEPTH}) r(j)
+),
+est AS (
+  SELECT p.token, min(c.c) AS est, any_value(p.cnt) AS exact
+  FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.token
+)
+SELECT token, est, exact FROM est
+ORDER BY est DESC, token
+LIMIT 15
+"""

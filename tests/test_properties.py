@@ -204,3 +204,35 @@ def test_span_dedup_matches_python_reference(spark, texts):
             for r in dd.q_dedup_spans(spark, tmp).collect()
         }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6).map(
+            lambda w: w  # tiny alphabet -> dense pair collisions
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_matches_python_reference_on_adversarial_corpora(spark, words):
+    """Property form of the BPE parity test: on random tiny-alphabet
+    corpora (maximal merge-candidate collisions and overlap chains),
+    the distributed merge loop reproduces the independent pure-Python
+    BPE's merge sequence and final symbol tables exactly."""
+    from data_ingestion_api_system_loop_ai_spark.operators import bpe
+
+    from .test_unregistered_ops import _py_bpe_reference
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    want_merges, want_words = _py_bpe_reference(wc, 8)
+    merges, final = bpe.bpe_train(docs, 8)
+    assert merges == want_merges
+    got = {r["word"]: r["symbols"] for r in final.collect()}
+    assert got == {w: syms for w, (syms, _n) in want_words.items()}

@@ -1870,3 +1870,128 @@ def test_semdedup_keep_rule_on_constructed_clusters(spark):
     assert got[4] is True
     kept_dups = [v for v in (1, 2, 3) if got[v]]
     assert len(kept_dups) == 1  # exactly one survivor from the dup cluster
+
+
+def test_cms_topk_oracle_exact_and_guarantee(spark, sf_dir):
+    """Count-min sketch heavy hitters at driver grade: the DuckDB
+    oracle rebuilds the identical sketch from the same md5 bucket math;
+    est >= exact holds for EVERY token (the one-sided CMS guarantee);
+    the probe side broadcasts the sketch."""
+    from data_ingestion_api_system_loop_ai_spark.operators import sketches as sk
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = sk.q_cms_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, sk.CMS_TOPK_ORACLE)
+    finally:
+        con.close()
+    tf = sk.token_counts(spark, sf_dir)
+    probed = sk.cms_probe(sk.cms_cells(tf), tf.select("token")).join(tf, "token")
+    assert probed.filter(F.col("est") < F.col("cnt")).count() == 0
+
+
+def test_cms_merges_exactly_cellwise(spark, sf_dir):
+    """The production merge property: per-source sketches summed
+    cell-wise EQUAL the global sketch (counters are additive), so
+    incremental per-partition sketch maintenance loses nothing."""
+    from data_ingestion_api_system_loop_ai_spark.operators import sketches as sk
+    from data_ingestion_api_system_loop_ai_spark.functions.text import tokenize
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source_tf = (
+        d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sources = [r["source"] for r in per_source_tf.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    merged: dict[tuple[int, int], int] = {}
+    for s in sources:
+        cells = sk.cms_cells(
+            per_source_tf.filter(F.col("source") == s).select("token", "cnt")
+        )
+        for r in cells.collect():
+            merged[(r["j"], r["bucket"])] = merged.get((r["j"], r["bucket"]), 0) + r["c"]
+    global_cells = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in sk.cms_cells(sk.token_counts(spark, sf_dir)).collect()
+    }
+    assert merged == global_cells
+
+
+def test_cms_collision_overestimates_only(spark):
+    """Forced-collision fixture: width-1024 rows can collide only by
+    md5 agreement, so synthesize enough distinct tokens that some
+    buckets must collide (pigeonhole > width), then check every
+    estimate is >= its exact count and colliding tokens strictly
+    overestimate."""
+    from data_ingestion_api_system_loop_ai_spark.operators import sketches as sk
+
+    n = 3000  # > CMS_WIDTH -> guaranteed collisions in every row
+    tf = spark.createDataFrame(
+        [(f"tok{i}", 1) for i in range(n)], "token string, cnt long"
+    )
+    cells = sk.cms_cells(tf)
+    probed = sk.cms_probe(cells, tf.select("token")).join(tf, "token")
+    rows = probed.collect()
+    assert len(rows) == n
+    assert all(r["est"] >= r["cnt"] for r in rows)
+    assert any(r["est"] > r["cnt"] for r in rows)  # collisions occurred
+
+
+@pytest.mark.parametrize("which", ["funnel", "cohort"])
+def test_behavior_analytics_oracle_exact(which, spark, sf_dir):
+    """Ordered funnel (stage-k events strictly after the user's first
+    stage-k-1 event) and weekly cohort retention triangle, both at
+    driver grade."""
+    from data_ingestion_api_system_loop_ai_spark.operators import behavior as bh
+
+    from .oracle_utils import compare, duckdb_con
+
+    fn, osql = {
+        "funnel": (bh.q_funnel, bh.FUNNEL_ORACLE),
+        "cohort": (bh.q_cohort_retention, bh.COHORT_RETENTION_ORACLE),
+    }[which]
+    con = duckdb_con(sf_dir)
+    try:
+        compare(fn(spark, sf_dir), con, osql)
+    finally:
+        con.close()
+    if which == "funnel":
+        row = fn(spark, sf_dir).collect()[0]
+        # funnel counts are monotone by construction
+        assert row["n_view"] >= row["n_view_click"] >= row["n_view_click_purchase"]
+
+
+def test_curriculum_order_oracle_exact_and_shape(spark, sf_dir):
+    """Curriculum ordering: DuckDB parity (identical quality formula,
+    quantile thresholds, seeded shuffle key), quartile buckets are
+    non-increasing in quality across the order, and the position is a
+    contiguous 1..n permutation."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        CURRICULUM_ORDER_ORACLE,
+        q_curriculum_order,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_curriculum_order(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, CURRICULUM_ORDER_ORACLE)
+    finally:
+        con.close()
+    rows = sorted(
+        df.collect(), key=lambda r: r["curriculum_pos"]
+    )
+    assert [r["curriculum_pos"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+    # every bucket-0 doc has quality >= every bucket-3 doc
+    q0 = [r["quality"] for r in rows if r["bucket"] == 0]
+    q3 = [r["quality"] for r in rows if r["bucket"] == 3]
+    assert q0 and q3 and min(q0) >= max(q3)
