@@ -622,6 +622,96 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Prefix-filtering EXACT set-similarity self-join — the AllPairs /
+# PPJoin candidate-generation strategy (Chaudhuri et al. 2006, Bayardo
+# et al. 2007, Xiao et al. 2011). Unlike the LSH paths (probabilistic
+# recall) and q_dedup_near (similarity over a df-filtered shingle
+# space), this returns EXACTLY the pairs with Jaccard >= tau over the
+# FULL distinct-shingle space, while joining only on each document's
+# PREFIX: with every set sorted by one global token order (rarest
+# first), two sets with J >= tau must share a token inside both
+# prefixes of length n - ceil(tau*n) + 1, so the equi-join touches the
+# rarest ~(1-tau) fraction of each document's shingles and the hot
+# boilerplate shingles (which sort LAST) never generate candidates.
+# The oracle is the brute-force all-pairs Jaccard join — a SEMANTIC
+# check of the published pruning theorem, not a mirror of the
+# algorithm, so a recall bug in the prefix logic would hash-mismatch.
+# ---------------------------------------------------------------------------
+
+PREFIX_TAU = JACCARD_THRESHOLD
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= ``PREFIX_TAU`` near-dup pairs via prefix
+    filtering. Stages (three shuffles total, all key-balanced):
+
+    1. document frequency per distinct shingle (one shuffle on the
+       shingle — map-side combinable count);
+    2. per-doc rank in the global (df asc, shingle) order via one
+       window on ``doc_id`` (the set-size count rides the same
+       exchange as a partition-only window), prefix = ranks
+       ``<= n - ceil(tau*n) + 1``;
+    3. candidate pairs = equi-join of the prefix relation with itself
+       on the shingle (doc_a < doc_b), pre-pruned by the length filter
+       ``min(n) >= ceil(tau * max(n))`` (J <= min/max sizes), then
+       verified with one ``array_intersect`` over the full per-doc
+       shingle arrays.
+
+    100 TB shape: candidate generation never touches hot shingles —
+    a shingle enters a prefix only while it is among its document's
+    rarest ``~(1-tau)*n`` shingles, so posting lists of the join key
+    are df-bounded from both ends; the verification input is the
+    candidate pair set, which the pruning theorem keeps a superset of
+    (but close to) the true result. On a dense duplicate cluster the
+    OUTPUT itself is quadratic in the cluster size — that regime
+    belongs to the capped LSH path (q_dedup_minhash_banded); the
+    prefix join's value is exactness at moderate similarity."""
+    base = _shingle_sets(spark, sf_dir).filter(F.size("ss") > 0)
+    sh = base.select("doc_id", F.explode("ss").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    wd = W.partitionBy("doc_id").orderBy("df", "s")
+    pref = (
+        sh.join(dfreq, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(wd).alias("rk"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+        )
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1)
+    )
+    pa = pref.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("n_a"))
+    pb = pref.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("n_b"))
+    cand = (
+        pa.join(pb, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("n_a", "n_b")
+                >= F.ceil(F.lit(PREFIX_TAU) * F.greatest("n_a", "n_b"))
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ssa = base.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    ssb = base.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    common = F.size(F.array_intersect("ss_a", "ss_b"))
+    return (
+        cand.join(ssa, "doc_a")
+        .join(ssb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                common / (F.size("ss_a") + F.size("ss_b") - common), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= PREFIX_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near": q_dedup_near,
@@ -787,3 +877,26 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
 """,
     "q_dedup_spans": SPAN_DEDUP_ORACLE,
 }
+
+# Brute-force all-pairs ground truth over the FULL shingle space — the
+# SEMANTIC oracle for q_dedup_prefix (the prefix join must reproduce it
+# exactly; a recall bug in the pruning logic would hash-mismatch).
+# Unregistered (50-slot cap) — exercised by
+# tests/test_unregistered_ops.py.
+PREFIX_DEDUP_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {PREFIX_TAU}
+"""
+)

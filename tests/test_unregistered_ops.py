@@ -1995,3 +1995,78 @@ def test_curriculum_order_oracle_exact_and_shape(spark, sf_dir):
     q0 = [r["quality"] for r in rows if r["bucket"] == 0]
     q3 = [r["quality"] for r in rows if r["bucket"] == 3]
     assert q0 and q3 and min(q0) >= max(q3)
+
+
+def test_dedup_prefix_matches_allpairs_ground_truth(spark, sf_dir):
+    """q_dedup_prefix (AllPairs/PPJoin prefix filtering) must reproduce
+    the brute-force all-pairs Jaccard>=tau result EXACTLY — the oracle
+    is the semantics, not the algorithm, so a pruning/recall bug in the
+    prefix logic (wrong prefix length, wrong global order, missing
+    length filter) shows up as a hash mismatch here."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        PREFIX_DEDUP_ORACLE,
+        q_dedup_prefix,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_dedup_prefix(spark, sf_dir), con, PREFIX_DEDUP_ORACLE)
+    finally:
+        con.close()
+
+
+def test_dedup_prefix_candidates_subset_with_constructed_dups(spark):
+    """Constructed corpus with known Jaccard structure: two exact dups,
+    one moderate overlap pair above tau, one below — the prefix join
+    finds exactly the pairs >= tau."""
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    rows = [
+        # doc 1/2: identical -> jaccard 1.0
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # doc 3: shares a long run with 1 (above tau on 5-shingles)
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # doc 4: unrelated
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        dd, "load_table", lambda spark, sf_dir, name: df
+    ):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.q_dedup_prefix(spark, "ignored").collect()
+        }
+    assert got[(1, 2)] == 1.0
+    # docs 1 and 3: 6 shingles each, 5 shared -> J = 5/7 ~ 0.714286
+    assert abs(got[(1, 3)] - round(5 / 7, 6)) < 1e-9
+    assert got[(2, 3)] == got[(1, 3)]
+    assert not any(4 in p for p in got)
+
+
+def test_semdedup_from_model_matches_fit_inside(spark, sf_dir, tmp_path):
+    """The persisted-cluster-model path (build/probe split) must
+    reproduce the fit-inside SemDeDup verdicts BIT-IDENTICALLY: the
+    model stores the centroids that produced the final assignment, so
+    one frozen broadcast-argmax pass equals the last Lloyd round."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.semdedup import (
+        build_kmeans_model,
+        q_semdedup,
+        q_semdedup_from_model,
+    )
+
+    mp = str(tmp_path / "km_model")
+    with _pytest.raises(FileNotFoundError):
+        q_semdedup_from_model(spark, sf_dir, mp)
+    build_kmeans_model(spark, sf_dir, mp)
+    fit_inside = sorted(map(tuple, q_semdedup(spark, sf_dir).collect()))
+    frozen = sorted(map(tuple, q_semdedup_from_model(spark, sf_dir, mp).collect()))
+    assert fit_inside == frozen
