@@ -98,6 +98,8 @@ HEADLINE = [
     "q_semdedup_model",
     # exact prefix-filtering similarity self-join (AllPairs/PPJoin)
     "q_dedup_prefix",
+    # mergeable quantile histogram (build/merge/probe, DuckDB-parity)
+    "q_hist_quantiles",
 ]
 
 
@@ -138,6 +140,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
         q_cms_topk,
+        q_hist_quantiles,
         q_sketch_rollup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
@@ -176,6 +179,7 @@ def _extra_queries():
     return {
         "q_semdedup_model": _semdedup_from_model,
         "q_dedup_prefix": q_dedup_prefix,
+        "q_hist_quantiles": q_hist_quantiles,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

@@ -202,3 +202,125 @@ SELECT token, est, exact FROM est
 ORDER BY est DESC, token
 LIMIT 15
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: a fixed-width integer histogram over the
+# value domain — the QUANTILE member of the sketch family (HLL =
+# mergeable cardinality, CMS = mergeable frequency). Like the CMS and
+# unlike approx_percentile's internal KLL buffer, the sketch is plain
+# relational cells — (bucket -> count) with pure integer bucket math —
+# so per-partition sub-sketches (here per month) merge CELL-WISE BY
+# ADDITION to exactly the single-pass sketch, and the whole
+# build/merge/probe pipeline replicates in DuckDB and is hash-checked.
+#
+# Scale notes (100 TB): the cell build is one map-side-combinable
+# groupBy over <= HIST_BINS buckets per group — constant sketch size
+# regardless of row count; a maintenance pass stores one histogram per
+# partition alongside its row counts, and any later quantile query
+# merges KB-sized cell relations instead of re-scanning the corpus.
+# The error bound is deterministic: an estimated quantile is off by at
+# most one bucket width W = ceil((max+1)/HIST_BINS) in value terms
+# (exactness the probabilistic KLL cannot give; the trade is needing
+# max(value) up front — one 1-row broadcast aggregate).
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 4096
+HIST_QS = (25, 50, 75)  # integer percents: exact integer target ranks
+
+
+def price_hist_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mon, bucket, c): per-month histogram cells of lineitem
+    ``l_extendedprice`` in integer cents; bucket width derived from the
+    global max so the sketch is <= HIST_BINS cells per month."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    stats = cents.agg(F.max("c").alias("mx"))
+    return (
+        cents.crossJoin(F.broadcast(stats))
+        .select(
+            "mon",
+            F.expr(f"c div ((mx + {HIST_BINS}) div {HIST_BINS})").alias("bucket"),
+        )
+        .groupBy("mon", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q, bucket, lo_cents, hi_cents): p25/p50/p75 of l_extendedprice
+    estimated by MERGING the stored per-month histograms (never
+    re-reading lineitem): cells sum cell-wise into the global sketch,
+    a prefix sum over <= HIST_BINS cell rows (the documented
+    O(#buckets) serial window — constant work at any corpus size)
+    locates the smallest bucket whose cumulative count reaches
+    ceil(q*n/100), and the bucket's [lo, hi] cent range brackets the
+    true percentile (within-one-bucket guarantee, pinned by test).
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity + merge
+    and bracket invariants in tests/test_unregistered_ops.py.)"""
+    from pyspark.sql import Window as W
+
+    cells = (
+        price_hist_cells(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    cum = cells.select(
+        "bucket",
+        F.sum("c")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count("*").alias("n"),
+        F.max(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("mx"),
+    ).select("n", F.expr(f"(mx + {HIST_BINS}) div {HIST_BINS}").alias("w"))
+    qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    targets = spark.range(1).select(qs).crossJoin(F.broadcast(stats))
+    return (
+        targets.join(
+            F.broadcast(cum),
+            cum.cum >= F.expr("(q * n + 99) div 100"),
+        )
+        .groupBy("q", "w")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "q",
+            "bucket",
+            (F.col("bucket") * F.col("w")).alias("lo_cents"),
+            ((F.col("bucket") + 1) * F.col("w") - 1).alias("hi_cents"),
+        )
+        .orderBy("q")
+    )
+
+
+HIST_QUANTILES_ORACLE = f"""
+WITH cents AS (
+  SELECT date_trunc('month', l_shipdate) AS mon,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+stats AS (
+  SELECT count(*) AS n, (max(c) + {HIST_BINS}) // {HIST_BINS} AS w FROM cents
+),
+cells AS (
+  SELECT mon, c // w AS bucket, count(*) AS cnt
+  FROM cents, stats GROUP BY 1, 2
+),
+merged AS (SELECT bucket, sum(cnt) AS cnt FROM cells GROUP BY bucket),
+cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM merged
+),
+targets AS (SELECT unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q)
+SELECT q, min(bucket) AS bucket,
+       min(bucket) * any_value(w) AS lo_cents,
+       (min(bucket) + 1) * any_value(w) - 1 AS hi_cents
+FROM targets, stats, cum
+WHERE cum >= (q * n + 99) // 100
+GROUP BY q
+ORDER BY q
+"""

@@ -2070,3 +2070,58 @@ def test_semdedup_from_model_matches_fit_inside(spark, sf_dir, tmp_path):
     fit_inside = sorted(map(tuple, q_semdedup(spark, sf_dir).collect()))
     frozen = sorted(map(tuple, q_semdedup_from_model(spark, sf_dir, mp).collect()))
     assert fit_inside == frozen
+
+
+def test_hist_quantiles_oracle_merge_and_bracket(spark, sf_dir):
+    """Mergeable quantile histogram: (1) DuckDB parity of the full
+    build/merge/probe pipeline; (2) per-month cells merged cell-wise
+    equal the single-pass global histogram EXACTLY (additive counters —
+    the mergeability contract); (3) each estimated bucket's cent range
+    brackets the true rank-based percentile (the within-one-bucket
+    deterministic error bound)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        HIST_BINS,
+        HIST_QUANTILES_ORACLE,
+        price_hist_cells,
+        q_hist_quantiles,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_hist_quantiles(spark, sf_dir), con, HIST_QUANTILES_ORACLE)
+    finally:
+        con.close()
+
+    merged = {
+        r["bucket"]: r["c"]
+        for r in price_hist_cells(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    mx = cents.agg(F.max("c")).collect()[0][0]
+    w = (mx + HIST_BINS) // HIST_BINS
+    single = {
+        r["bucket"]: r["c"]
+        for r in cents.select(F.expr(f"c div {w}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert merged == single
+
+    vals = sorted(r["c"] for r in cents.collect())
+    n = len(vals)
+    est = {r["q"]: r for r in q_hist_quantiles(spark, sf_dir).collect()}
+    for q in (25, 50, 75):
+        exact = vals[-(-q * n // 100) - 1]  # ceil(q*n/100)-th smallest
+        assert est[q]["lo_cents"] <= exact <= est[q]["hi_cents"]
