@@ -148,6 +148,37 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Maintain an incremental aggregate rollup table
+    (``sources/rollup.py``): ``--refresh`` partial-aggregates only
+    newly-landed files into a new committed unit; ``--compact`` folds
+    units; default prints the finalized aggregate (``--current``
+    additionally scans the uncovered tail)."""
+    from .sources.rollup import (
+        compact_rollup,
+        read_rollup,
+        read_rollup_current,
+        update_rollup,
+    )
+
+    spark = _spark("cli-rollup")
+    if args.refresh:
+        summary = update_rollup(
+            spark, args.path, args.name, args.group_cols.split(","), args.measure
+        )
+        print(json.dumps(summary))
+        return 0
+    if args.compact:
+        print(json.dumps(compact_rollup(spark, args.path, args.name)))
+        return 0
+    reader = read_rollup_current if args.current else read_rollup
+    for r in reader(spark, args.path, args.name).orderBy(*args.group_cols.split(",")).collect():
+        d = r.asDict()
+        d["sum_m"] = str(d["sum_m"])
+        print(json.dumps(d))
+    return 0
+
+
 def cmd_index(args) -> int:
     """Build (or append to) a dedup fingerprint index from a parquet
     dataset of (doc_id, text) rows."""
@@ -324,6 +355,16 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("batch")
     pd.add_argument("index")
     pd.set_defaults(fn=cmd_dedup)
+
+    pu = sub.add_parser("rollup")
+    pu.add_argument("path")
+    pu.add_argument("name")
+    pu.add_argument("--group-cols", dest="group_cols", required=True)
+    pu.add_argument("--measure", required=True)
+    pu.add_argument("--refresh", action="store_true")
+    pu.add_argument("--compact", action="store_true")
+    pu.add_argument("--current", action="store_true")
+    pu.set_defaults(fn=cmd_rollup)
 
     pa = sub.add_parser("analyze")
     pa.add_argument("path")

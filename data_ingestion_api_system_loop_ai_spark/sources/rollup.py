@@ -1,0 +1,226 @@
+"""Incrementally maintained aggregate tables — materialized-view
+maintenance for append-only datasets.
+
+At 100 TB a recurring rollup (revenue per group, event counts per day,
+…) cannot re-aggregate the corpus on every refresh. This module keeps a
+persisted PARTIAL-aggregate table per rollup under
+``<dataset>/_rollup/<name>/`` and refreshes it by scanning ONLY files
+that landed since the last refresh — the incremental-view-maintenance
+idiom, built from the repo's own pieces:
+
+- partials are ALGEBRAIC aggregates (count / decimal sum / min / max)
+  whose merge is lossless: ``sum`` of decimal partial sums equals the
+  single-pass decimal sum exactly (order-independent — the repo's
+  cast-to-decimal-before-SUM discipline), so the incremental table is
+  bit-identical to a full recompute, which the tests pin;
+- each refresh lands one UNIT (a parquet directory of partial rows) and
+  then commits it by atomically rewriting ``manifest.json`` (temp +
+  ``os.replace`` — the ``_stats`` / serving-table commit protocol).
+  Readers resolve the manifest first and read only committed units, so
+  a crash between unit write and manifest commit leaves an orphan
+  directory that is INVISIBLE, never a torn result; the next refresh
+  re-covers those files under a new unit.
+- ``read_rollup`` finalizes over O(#groups x #units) partial rows —
+  never the corpus; ``read_rollup_current`` additionally partial-aggs
+  files not yet covered by any unit (the lossless tail, mirroring
+  ``read_pruned_stats``'s uncovered-files-are-kept rule), giving the
+  exact up-to-the-minute answer for O(new data) scan cost;
+- ``compact_rollup`` folds all committed units into one (the partial
+  table itself accumulates per-refresh files — the same small-file
+  problem the data files have) under the same atomic manifest swap.
+
+Single-writer contract, documented: refresh/compact are maintenance
+jobs; concurrent writers would race the manifest swap (the serving
+table's optimistic-concurrency claims are the pattern to add if a
+deployment needs multi-writer rollups).
+
+Reference parity: none (the 412-LoC reference has no storage layer);
+BASELINE.json north-star tier — this is the production shape behind
+`q_sketch_rollup`'s argument (store per-partition state, merge on
+read), generalized from sketches to exact algebraic aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .maintenance import parquet_files
+
+ROLLUP_DIR = "_rollup"
+_SUM_DECIMAL = "decimal(25,6)"
+
+
+def _root(path: str, name: str) -> str:
+    return os.path.join(path, ROLLUP_DIR, name)
+
+
+def load_rollup_manifest(path: str, name: str) -> dict | None:
+    """The committed manifest ({"group_cols", "measure", "units":
+    [{"id", "files"}]}) or None if the rollup has never been built."""
+    p = os.path.join(_root(path, name), "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_manifest(path: str, name: str, manifest: dict) -> None:
+    root = _root(path, name)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(root, "manifest.json"))
+
+
+def _partial_agg(df: DataFrame, group_cols: list[str], measure: str) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(measure).cast(_SUM_DECIMAL)).alias("sum_m"),
+        F.min(measure).alias("min_m"),
+        F.max(measure).alias("max_m"),
+    )
+
+
+def update_rollup(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    group_cols: list[str],
+    measure: str,
+) -> dict:
+    """Build or incrementally refresh the rollup: partial-aggregate the
+    files NOT covered by any committed unit into a new unit, then
+    commit it atomically. Returns {"new_files", "unit", "units"}
+    (``unit`` is None when nothing landed — a no-op refresh commits
+    nothing). Changing ``group_cols``/``measure`` for an existing name
+    is an error — that is a different rollup."""
+    manifest = load_rollup_manifest(path, name)
+    if manifest is None:
+        manifest = {"group_cols": group_cols, "measure": measure, "units": []}
+    elif manifest["group_cols"] != group_cols or manifest["measure"] != measure:
+        raise ValueError(
+            f"rollup {name!r} exists with keys "
+            f"({manifest['group_cols']}, {manifest['measure']}); "
+            f"requested ({group_cols}, {measure}) — use a new name"
+        )
+    covered = {f for u in manifest["units"] for f in u["files"]}
+    # parquet_files prunes _-prefixed dirs, so the rollup's own state
+    # under _rollup/ can never be mistaken for data
+    current = {os.path.relpath(f, path): f for f in parquet_files(path)}
+    new_rel = sorted(k for k in current if k not in covered)
+    if not new_rel:
+        return {"new_files": 0, "unit": None, "units": len(manifest["units"])}
+    unit = f"u{len(manifest['units']):06d}"
+    # basePath restores hive partition columns on the explicit file list
+    df = spark.read.option("basePath", path).parquet(
+        *[current[k] for k in new_rel]
+    )
+    _partial_agg(df, group_cols, measure).write.mode("overwrite").parquet(
+        os.path.join(_root(path, name), "partials", unit)
+    )
+    manifest["units"].append({"id": unit, "files": new_rel})
+    _commit_manifest(path, name, manifest)
+    return {
+        "new_files": len(new_rel),
+        "unit": unit,
+        "units": len(manifest["units"]),
+    }
+
+
+def _merge_partials(parts: DataFrame, group_cols: list[str]) -> DataFrame:
+    return parts.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_m").cast(_SUM_DECIMAL).alias("sum_m"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
+def _committed_partials(
+    spark: SparkSession, path: str, manifest: dict, name: str
+) -> DataFrame | None:
+    dirs = [
+        os.path.join(_root(path, name), "partials", u["id"])
+        for u in manifest["units"]
+    ]
+    if not dirs:
+        return None
+    # explicit unit list: orphan (uncommitted) unit directories are
+    # never read
+    return spark.read.parquet(*dirs)
+
+
+def read_rollup(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Finalize the committed units: (group_cols..., cnt, sum_m, min_m,
+    max_m) — exactly the full recompute over every COVERED file, from
+    O(#groups x #units) partial rows."""
+    manifest = load_rollup_manifest(path, name)
+    if manifest is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} was never built")
+    parts = _committed_partials(spark, path, manifest, name)
+    if parts is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} has no units")
+    return _merge_partials(parts, manifest["group_cols"])
+
+
+def read_rollup_current(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The exact CURRENT aggregate: committed partials plus a live
+    partial-agg over files no unit covers yet (files that landed after
+    the last refresh) — lossless like ``read_pruned_stats``'s
+    uncovered-files rule, for O(new data) scan cost."""
+    manifest = load_rollup_manifest(path, name)
+    if manifest is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} was never built")
+    gc, measure = manifest["group_cols"], manifest["measure"]
+    parts = _committed_partials(spark, path, manifest, name)
+    covered = {f for u in manifest["units"] for f in u["files"]}
+    tail = [
+        f for f in parquet_files(path) if os.path.relpath(f, path) not in covered
+    ]
+    if tail:
+        live = _partial_agg(
+            spark.read.option("basePath", path).parquet(*tail), gc, measure
+        ).select(*gc, "cnt", "sum_m", "min_m", "max_m")
+        parts = live if parts is None else parts.unionByName(live)
+    if parts is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} has no data")
+    return _merge_partials(parts, gc)
+
+
+def compact_rollup(spark: SparkSession, path: str, name: str) -> dict:
+    """Fold every committed unit into one (same file-coverage, one
+    partial row-set) under an atomic manifest swap; superseded unit
+    directories are removed AFTER the commit (readers resolved through
+    the old manifest already finished planning from explicit paths, and
+    new readers only see the new unit)."""
+    import shutil
+
+    manifest = load_rollup_manifest(path, name)
+    if manifest is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} was never built")
+    old_units = manifest["units"]
+    if len(old_units) <= 1:
+        return {"units_before": len(old_units), "units_after": len(old_units)}
+    parts = _committed_partials(spark, path, manifest, name)
+    unit = f"u{len(old_units):06d}c"
+    _merge_partials(parts, manifest["group_cols"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(_root(path, name), "partials", unit))
+    files = sorted({f for u in old_units for f in u["files"]})
+    new_manifest = {
+        "group_cols": manifest["group_cols"],
+        "measure": manifest["measure"],
+        "units": [{"id": unit, "files": files}],
+    }
+    _commit_manifest(path, name, new_manifest)
+    for u in old_units:
+        shutil.rmtree(
+            os.path.join(_root(path, name), "partials", u["id"]),
+            ignore_errors=True,
+        )
+    return {"units_before": len(old_units), "units_after": 1}

@@ -267,3 +267,162 @@ def test_stats_table_update_is_incremental_and_lossless(spark, sf_dir, tmp_path)
         os.remove(f)
     s3 = update_stats_table(dst, ["event_id"])
     assert s3["removed"] == 2 and s3["total"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate rollup (sources/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_fixture(spark, sf_dir, tmp_path, n_files=3):
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    p = str(tmp_path / "li_ds")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def _full_recompute(spark, path):
+    from pyspark.sql import functions as F
+
+    return {
+        r["l_returnflag"]: (r["cnt"], r["sum_m"], r["min_m"], r["max_m"])
+        for r in spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_m"),
+            F.min("l_quantity").alias("min_m"),
+            F.max("l_quantity").alias("max_m"),
+        )
+        .collect()
+    }
+
+
+def _finalized(df):
+    return {
+        r["l_returnflag"]: (r["cnt"], r["sum_m"], r["min_m"], r["max_m"])
+        for r in df.collect()
+    }
+
+
+def test_rollup_incremental_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Build, append twice, refresh each time: the finalized rollup is
+    BIT-IDENTICAL to a full groupBy recompute (decimal partial sums
+    merge losslessly), and each refresh covers only newly-landed
+    files."""
+    import shutil
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+
+    p = _rollup_fixture(spark, sf_dir, tmp_path)
+    r1 = ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    assert r1["new_files"] > 0 and r1["units"] == 1
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == _full_recompute(
+        spark, p
+    )
+
+    # no-op refresh commits nothing
+    r2 = ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    assert r2 == {"new_files": 0, "unit": None, "units": 1}
+
+    # append a new file; PROVE the refresh reads only it by making every
+    # previously-covered file unreadable first
+    extra = str(tmp_path / "extra")
+    spark.read.parquet(p).limit(500).coalesce(1).write.parquet(extra)
+    import glob, os
+
+    src = glob.glob(extra + "/*.parquet")[0]
+    expected_after = None
+    covered = [
+        os.path.join(p, f)
+        for u in ru.load_rollup_manifest(p, "by_flag")["units"]
+        for f in u["files"]
+    ]
+    shutil.copy(src, os.path.join(p, "late-0001.parquet"))
+    expected_after = _full_recompute(spark, p)
+    backups = {}
+    for f in covered:
+        backups[f] = f + ".bak"
+        os.rename(f, backups[f])
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    try:
+        r3 = ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+        assert r3["new_files"] == 1 and r3["units"] == 2
+    finally:
+        for f, b in backups.items():
+            os.replace(b, f)
+    assert (
+        _finalized(ru.read_rollup(spark, p, "by_flag")) == expected_after
+    )
+
+
+def test_rollup_current_covers_uncovered_tail(spark, sf_dir, tmp_path):
+    """read_rollup_current = committed partials + live partial over
+    files that landed after the last refresh — exact vs full
+    recompute; read_rollup alone still reflects only covered files."""
+    import glob, os, shutil
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+
+    p = _rollup_fixture(spark, sf_dir, tmp_path)
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    before = _full_recompute(spark, p)
+
+    extra = str(tmp_path / "extra2")
+    spark.read.parquet(p).limit(700).coalesce(1).write.parquet(extra)
+    shutil.copy(
+        glob.glob(extra + "/*.parquet")[0], os.path.join(p, "late-0002.parquet")
+    )
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == before
+    assert _finalized(
+        ru.read_rollup_current(spark, p, "by_flag")
+    ) == _full_recompute(spark, p)
+
+
+def test_rollup_orphan_unit_invisible_and_compact(spark, sf_dir, tmp_path):
+    """A unit directory written without a manifest commit (crash
+    simulation) is never read; compaction folds units into one with
+    identical finalized results."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+
+    p = _rollup_fixture(spark, sf_dir, tmp_path)
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    want = _finalized(ru.read_rollup(spark, p, "by_flag"))
+
+    # orphan: partials written, manifest never committed
+    orphan = os.path.join(p, "_rollup", "by_flag", "partials", "u_orphan")
+    spark.read.parquet(
+        os.path.join(p, "_rollup", "by_flag", "partials", "u000000")
+    ).write.parquet(orphan)
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == want
+
+    # second unit then compact
+    import glob, shutil
+
+    extra = str(tmp_path / "extra3")
+    spark.read.parquet(p).limit(300).coalesce(1).write.parquet(extra)
+    shutil.copy(
+        glob.glob(extra + "/*.parquet")[0], os.path.join(p, "late-0003.parquet")
+    )
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    full = _finalized(ru.read_rollup(spark, p, "by_flag"))
+    st = ru.compact_rollup(spark, p, "by_flag")
+    # the orphan never counts: 2 committed units, not 3
+    assert st == {"units_before": 2, "units_after": 1}
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == full
+
+    # key mismatch is an error, not silent divergence
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_orderkey")
