@@ -100,6 +100,10 @@ HEADLINE = [
     "q_dedup_prefix",
     # mergeable quantile histogram (build/merge/probe, DuckDB-parity)
     "q_hist_quantiles",
+    # corpus-wide approximate kNN graph: inline quantizer fit vs the
+    # persisted-index probe (build/probe split)
+    "q_knn_graph",
+    "q_knn_graph_index",
 ]
 
 
@@ -151,6 +155,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
         q_dedup_prefix,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        q_knn_graph,
+    )
 
     ix_root = tempfile.mkdtemp(prefix="bench_ann_ix_")
     built: dict[str, str] = {}
@@ -166,6 +173,13 @@ def _extra_queries():
             built[sf_dir] = p
         return ann_index.q_similarity_ivf_from_index(spark, sf_dir, built[sf_dir])
 
+    def _knn_from_index(spark, sf_dir):
+        if sf_dir not in built:
+            p = os.path.join(ix_root, os.path.basename(sf_dir.rstrip("/")))
+            ann_index.build_ann_index(spark, sf_dir, p)
+            built[sf_dir] = p
+        return ann_index.q_knn_graph_from_index(spark, sf_dir, built[sf_dir])
+
     def _semdedup_from_model(spark, sf_dir):
         # same build-once discipline for the k-means cluster model
         if sf_dir not in km_built:
@@ -180,6 +194,8 @@ def _extra_queries():
         "q_semdedup_model": _semdedup_from_model,
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,
+        "q_knn_graph": q_knn_graph,
+        "q_knn_graph_index": _knn_from_index,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

@@ -236,3 +236,19 @@ def append_ann_index(
         .write.mode("append")
         .parquet(os.path.join(index_path, "pq_codes"))
     )
+
+
+def q_knn_graph_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Corpus-wide kNN graph probing the persisted index (the
+    production graph-build: quantizer frozen, assignments read from the
+    inverted lists) — pinned result-identical to the inline
+    ``similarity.q_knn_graph``."""
+    from .similarity import knn_graph
+
+    _require(index_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = spark.read.parquet(os.path.join(index_path, "centroids"))
+    asg = spark.read.parquet(os.path.join(index_path, "assignments"))
+    return knn_graph(e, cent, asg)

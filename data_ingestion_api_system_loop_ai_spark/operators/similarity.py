@@ -924,3 +924,115 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
   FROM refined
 ) WHERE rnk <= {PQ_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Approximate kNN GRAPH over the whole corpus — every vector's top-k
+# cosine neighbors (the substrate for graph-based curation: connected
+# components over near-dup edges, graph clustering, NN-descent
+# refinement). Query side = the ENTIRE corpus, so unlike ivf_probe the
+# probe relation cannot broadcast: candidates are a plain shuffle
+# equi-join on the probed cell id — both sides O(n), key-balanced by
+# the quantizer's ~sqrt(n)-cell design. Corpus-wide pair evaluations
+# are n * nprobe * avg_cell ≈ 2n*sqrt(n): the standard IVF graph-build
+# cost, vs n^2 brute force.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(
+    e: DataFrame, cent: DataFrame, asg: DataFrame, k: int = KNN_K
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rnk): top-k neighbors of EVERY
+    vector via IVF multi-probe. ``cent``/``asg`` may come from an
+    inline fit or the persisted ANN index — same relations either
+    way."""
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_expr("embedding").alias("q_norm"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("cent_cos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cosine_expr("q_emb", "centroid"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+    cand = asg.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+        "cell",
+    )
+    # NOT broadcast: the probe side is corpus-sized here — shuffle hash
+    # join on the cell id (AQE may still broadcast at tiny SF)
+    pairs = (
+        probes.join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (inline quantizer fit — the
+    oracle-checkable form; the production path probes the persisted
+    index via ``ann_index.q_knn_graph_from_index``, pinned identical).
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    return knn_graph(e, ivf_centroids(asg), asg)
+
+
+KNN_GRAPH_ORACLE = IVF_CELLS_CTE + f""",
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+),
+flat AS (
+  SELECT cell,
+         unnest(list_transform(range(1, len(embedding)+1),
+                               i -> {{'i': i, 'v': embedding[i]}})) AS s
+  FROM cells
+),
+centf AS (
+  SELECT cell, s.i AS i,
+         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+  FROM flat GROUP BY cell, s.i
+),
+cent AS (
+  SELECT cell, list(cv ORDER BY i) AS centroid FROM centf GROUP BY cell
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos('qe', 'centroid')} DESC, c.cell) AS pr
+    FROM q, cent c
+  ) WHERE pr <= {NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round({_cos('qe', 'e.embedding')}, 6) AS cosine
+  FROM probes p
+  JOIN q USING (query_id)
+  JOIN cells e ON e.cell = p.cell AND e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {KNN_K}
+"""

