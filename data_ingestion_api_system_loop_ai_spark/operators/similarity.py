@@ -939,6 +939,17 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 # ---------------------------------------------------------------------------
 
 KNN_K = 5
+# Candidate-side cap per cell — the giant-cell guard (the LSH_BUCKET_CAP
+# argument applied to IVF cells): a dense duplicate cluster (ubiquitous
+# in web-scale embeddings) lands thousands of near-identical vectors in
+# ONE cell, and the per-cell candidate join would go quadratic in the
+# cluster size. Members past the cap (ranked by vec_id inside the cell —
+# a sort-based, spillable window) are dropped from the CANDIDATE side
+# only (they still probe as queries), observable via
+# ``knn_cell_overflow``; they sit in dense duplicate regions that the
+# dedup operators own. The cap rule is mirrored verbatim in the DuckDB
+# oracle, so the hash check covers the capped algorithm itself.
+KNN_CELL_CAP = 1024
 
 
 def knn_graph(
@@ -961,11 +972,17 @@ def knn_graph(
         .filter(F.col("pr") <= NPROBE)
         .select("query_id", "q_emb", "q_norm", "cell")
     )
-    cand = asg.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("v_norm").alias("c_norm"),
-        "cell",
+    wc = W.partitionBy("cell").orderBy("neighbor_id")
+    cand = (
+        asg.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+            "cell",
+        )
+        .withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= KNN_CELL_CAP)
+        .drop("_crn")
     )
     # NOT broadcast: the probe side is corpus-sized here — shuffle hash
     # join on the cell id (AQE may still broadcast at tiny SF)
@@ -998,6 +1015,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(e, ivf_centroids(asg), asg)
 
 
+def knn_cell_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, cell_size) for every IVF cell past ``KNN_CELL_CAP`` — the
+    no-silent-caps companion to ``knn_graph`` (the
+    ``minhash_bucket_overflow`` pattern): a production run reports the
+    cells whose candidate side was truncated so dense duplicate
+    clusters are visible, not silently absorbed."""
+    asg = ivf_assign(load_table(spark, sf_dir, "embeddings"))
+    return (
+        asg.groupBy("cell")
+        .agg(F.count("*").alias("cell_size"))
+        .filter(F.col("cell_size") > KNN_CELL_CAP)
+    )
+
+
 KNN_GRAPH_ORACLE = IVF_CELLS_CTE + f""",
 q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
@@ -1024,12 +1055,19 @@ probes AS (
     FROM q, cent c
   ) WHERE pr <= {NPROBE}
 ),
+capped AS (
+  SELECT * FROM (
+    SELECT cells.*,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crn
+    FROM cells
+  ) WHERE crn <= {KNN_CELL_CAP}
+),
 pairs AS (
   SELECT p.query_id, e.vec_id AS neighbor_id,
          round({_cos('qe', 'e.embedding')}, 6) AS cosine
   FROM probes p
   JOIN q USING (query_id)
-  JOIN cells e ON e.cell = p.cell AND e.vec_id <> p.query_id
+  JOIN capped e ON e.cell = p.cell AND e.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, cosine, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk

@@ -224,3 +224,44 @@ def compact_rollup(spark: SparkSession, path: str, name: str) -> dict:
             ignore_errors=True,
         )
     return {"units_before": len(old_units), "units_after": 1}
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: one committed unit per micro-batch. A rollup
+# is maintained EITHER by file-based update_rollup OR by a streaming
+# writer — not both (stream units carry no file coverage, so a later
+# file refresh would double-count rows the stream already aggregated).
+# ---------------------------------------------------------------------------
+
+
+def rollup_stream_writer(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    group_cols: list[str],
+    measure: str,
+):
+    """A ``foreachBatch`` callable maintaining the rollup under
+    Structured Streaming with EXACTLY-ONCE unit commits: the unit id is
+    derived from the micro-batch id (``b<batch_id>``), so a replayed
+    batch either (a) finds its unit already in the manifest and skips —
+    the crash happened after the commit — or (b) overwrites the orphan
+    partial directory and commits it — the crash happened before. In
+    both arms the committed state is identical to a single clean
+    execution; ``read_rollup`` stays bit-identical to a batch recompute
+    over everything the stream delivered (pinned by test)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"b{batch_id:09d}"
+        manifest = load_rollup_manifest(path, name)
+        if manifest is None:
+            manifest = {"group_cols": group_cols, "measure": measure, "units": []}
+        if any(u["id"] == unit for u in manifest["units"]):
+            return  # replay of a committed batch — exactly-once skip
+        _partial_agg(batch_df, group_cols, measure).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_root(path, name), "partials", unit))
+        manifest["units"].append({"id": unit, "files": [], "batch_id": batch_id})
+        _commit_manifest(path, name, manifest)
+
+    return write_batch

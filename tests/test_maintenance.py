@@ -426,3 +426,80 @@ def test_rollup_orphan_unit_invisible_and_compact(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_orderkey")
+
+
+def test_rollup_stream_writer_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming rollup maintenance: three single-file triggers through
+    foreachBatch produce a rollup bit-identical to a batch recompute of
+    everything delivered; replaying a committed batch (same batch_id)
+    is a no-op, and a crash-before-commit replay (orphan partials, no
+    manifest entry) converges to the same state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    src = str(tmp_path / "stream_src")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    tbl = str(tmp_path / "stream_rollup")
+    os.makedirs(tbl)
+    writer = ru.rollup_stream_writer(
+        spark, tbl, "by_flag", ["l_returnflag"], "l_quantity"
+    )
+    q = (
+        spark.readStream.schema("l_returnflag string, l_quantity double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifest = ru.load_rollup_manifest(tbl, "by_flag")
+    assert len(manifest["units"]) == 3
+
+    def _fin(df):
+        return {
+            r["l_returnflag"]: (r["cnt"], r["sum_m"], r["min_m"], r["max_m"])
+            for r in df.collect()
+        }
+
+    want = _fin(
+        spark.read.parquet(src)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_m"),
+            F.min("l_quantity").alias("min_m"),
+            F.max("l_quantity").alias("max_m"),
+        )
+    )
+    assert _fin(ru.read_rollup(spark, tbl, "by_flag")) == want
+
+    # replay arm (a): batch already committed -> no-op
+    writer(spark.read.parquet(src), 0)
+    assert len(ru.load_rollup_manifest(tbl, "by_flag")["units"]) == 3
+    assert _fin(ru.read_rollup(spark, tbl, "by_flag")) == want
+
+    # replay arm (b): crash before commit — drop the manifest entry for
+    # the last unit (its partial directory remains as an orphan), then
+    # replay that batch_id; the writer overwrites the orphan and commits
+    import glob
+
+    manifest = ru.load_rollup_manifest(tbl, "by_flag")
+    dropped = manifest["units"].pop()
+    ru._commit_manifest(tbl, "by_flag", manifest)
+    a_file = sorted(glob.glob(src + "/*.parquet"))[0]
+    writer(spark.read.parquet(a_file), dropped["batch_id"])
+    after = ru.load_rollup_manifest(tbl, "by_flag")
+    assert len(after["units"]) == 3
+    assert any(u["id"] == dropped["id"] for u in after["units"])

@@ -2168,3 +2168,35 @@ def test_knn_graph_oracle_exact_and_index_probe(spark, sf_dir, tmp_path):
     for q, cnt in per_q.items():
         rnks = sorted(r[3] for r in rows if r[0] == q)
         assert rnks == list(range(1, cnt + 1))
+
+
+def test_knn_graph_survives_giant_dup_cell(spark):
+    """Adversarial corpus: 3000 identical vectors all land in ONE IVF
+    cell (a dense duplicate cluster). The candidate-side cap bounds the
+    per-cell join at KNN_CELL_CAP members, the query completes, every
+    reported neighbor comes from the capped (lowest-vec_id) member set,
+    and knn_cell_overflow reports the truncated cell."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        similarity as sim,
+    )
+
+    n = 3000
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    with mock.patch.object(sim, "load_table", lambda spark, sf_dir, name: e):
+        rows = sim.q_knn_graph(spark, "ignored").collect()
+        over = sim.knn_cell_overflow(spark, "ignored").collect()
+    assert len(over) == 1 and over[0]["cell_size"] == n
+    assert {r["query_id"] for r in rows} == set(range(n))
+    # capped candidate side: neighbors only from the first
+    # KNN_CELL_CAP members of the cell (ranked by vec_id)
+    assert max(r["neighbor_id"] for r in rows) < sim.KNN_CELL_CAP
+    assert all(r["cosine"] == 1.0 for r in rows)
