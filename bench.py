@@ -104,6 +104,10 @@ HEADLINE = [
     # persisted-index probe (build/probe split)
     "q_knn_graph",
     "q_knn_graph_index",
+    # point-in-time join over SCD2 history (feature-store lookup)
+    "q_pit_join",
+    # reciprocal-rank fusion of BM25 + LM-fluency rankings
+    "q_hybrid_rank",
 ]
 
 
@@ -121,6 +125,7 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
         q_bm25_rank,
+        q_hybrid_rank,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
@@ -149,6 +154,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
         q_gap_fill,
+        q_pit_join,
     )
 
     from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sdd
@@ -196,6 +202,8 @@ def _extra_queries():
         "q_hist_quantiles": q_hist_quantiles,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
+        "q_pit_join": q_pit_join,
+        "q_hybrid_rank": q_hybrid_rank,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

@@ -169,3 +169,100 @@ WHERE {hit} > 0
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — hybrid ranking (Cormack et al. 2009), the
+# standard way to combine heterogeneous rankers (BM25 + dense retrieval
+# in search; here BM25 relevance + unigram-LM fluency, the corpus-
+# curation pairing). RRF only needs each ranker's TOP-D list: both
+# inputs arrive as TakeOrderedAndProject top-20s (never a global sort),
+# rank assignment runs on D-row relations (constant-bounded — the same
+# O(#buckets)-serial-work argument as plans/ranking.py's prefix sums),
+# and the fusion itself is one full-outer join on doc_id.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_DEPTH = BM25_TOPK  # fuse each ranker's top-20
+
+
+def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_bm25, rank_lm, rrf, fused_rank): RRF over the
+    BM25 top-20 and the 20 most-fluent docs under the corpus unigram
+    LM (lowest mean surprisal). A doc missing from one list simply
+    contributes nothing for it (the standard RRF convention — NULL
+    rank, not a penalty). ``rrf = sum 1/(60 + rank)``, two fixed-order
+    double terms — identical arithmetic on both engines.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    from pyspark.sql import Window as W
+
+    from .lm_score import lm_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # both windows run over <= RRF_DEPTH rows (post-limit) — bounded
+    # constant, not a corpus-sized single-partition funnel
+    a = (
+        q_bm25_rank(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .withColumn(
+            "rank_bm25",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "rank_bm25")
+    )
+    b = (
+        lm_scores(docs)
+        .orderBy(F.col("mean_surprisal").asc(), "doc_id")
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "rank_lm",
+            F.row_number()
+            .over(W.orderBy(F.col("mean_surprisal").asc(), "doc_id"))
+            .cast("long"),
+        )
+        .select("doc_id", "rank_lm")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_bm25")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_lm")), F.lit(0.0)),
+        6,
+    )
+    fused = a.join(b, "doc_id", "full_outer").withColumn("rrf", rrf)
+    return fused.withColumn(
+        "fused_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "rank_bm25", "rank_lm", "rrf", "fused_rank")
+
+
+def hybrid_rank_oracle_sql() -> str:
+    from .lm_score import LM_SCORE_ORACLE
+
+    return f"""
+WITH bm_raw AS (SELECT * FROM ({bm25_oracle_sql()})),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+  FROM bm_raw
+),
+lm_raw AS (SELECT * FROM ({LM_SCORE_ORACLE})),
+lmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY mean_surprisal ASC, doc_id) AS rank_lm
+  FROM lm_raw
+  QUALIFY rank_lm <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, lmr.doc_id) AS doc_id, rank_bm25, rank_lm,
+         round(coalesce(1.0 / ({RRF_K} + rank_bm25), 0.0)
+               + coalesce(1.0 / ({RRF_K} + rank_lm), 0.0), 6) AS rrf
+  FROM bm FULL OUTER JOIN lmr ON bm.doc_id = lmr.doc_id
+)
+SELECT doc_id, rank_bm25, rank_lm, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM fused
+"""

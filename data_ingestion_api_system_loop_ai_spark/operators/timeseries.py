@@ -537,3 +537,71 @@ SELECT user_id, h,
   (v IS NOT NULL) AS is_observed
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join over SCD2 history — the feature-store lookup
+# ---------------------------------------------------------------------------
+
+
+def pit_join(
+    probes: DataFrame, hist: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Join each probe row to the history version valid AT its
+    timestamp: ``valid_from <= ts`` and (``valid_to`` open or
+    ``ts < valid_to``) — half-open intervals, so boundary probes land
+    in the newer version. The equi-key carries the join (one hash
+    shuffle per side); the interval predicate is a residual evaluated
+    inside the matched key group, whose size is the key's VERSION
+    count — bounded by construction for a dimension history, so the
+    residual fan-out never goes quadratic in the corpus. Training-data
+    pipelines use exactly this to attach the feature value that was
+    true when an event happened (no leakage from the future)."""
+    h = hist.select(
+        F.col(key).alias("_hk"),
+        *[c for c in hist.columns if c != key],
+    )
+    return (
+        probes.join(h, probes[key] == h["_hk"])
+        .filter(
+            (F.col("valid_from") <= F.col(ts_col))
+            & (F.col("valid_to").isNull() | (F.col(ts_col) < F.col("valid_to")))
+        )
+        .drop("_hk")
+    )
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state lookup: for each user's LAST event instant
+    of every active day, the event_type version (from the SCD2 history
+    of q_scd2) valid at that instant — exactly one match per probe
+    (the intervals partition each user's timeline), pinned by test.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    hist = scd2_history(e, "user_id", ["ts", "event_id"], "event_type").select(
+        "user_id", "event_type", "valid_from", "valid_to", "version_seq"
+    )
+    probes = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max("ts").alias("p_ts"))
+    return pit_join(probes, hist, "user_id", "p_ts").select(
+        "user_id", "day", "p_ts", "event_type", "version_seq"
+    )
+
+
+PIT_JOIN_ORACLE = f"""
+WITH hist AS ({SCD2_ORACLE}),
+probes AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         max(ts) AS p_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT p.user_id, p.day, p.p_ts, h.event_type, h.version_seq
+FROM probes p
+JOIN hist h ON p.user_id = h.user_id
+ AND h.valid_from <= p.p_ts
+ AND (h.valid_to IS NULL OR p.p_ts < h.valid_to)
+"""

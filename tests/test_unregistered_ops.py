@@ -2200,3 +2200,63 @@ def test_knn_graph_survives_giant_dup_cell(spark):
     # KNN_CELL_CAP members of the cell (ranked by vec_id)
     assert max(r["neighbor_id"] for r in rows) < sim.KNN_CELL_CAP
     assert all(r["cosine"] == 1.0 for r in rows)
+
+
+def test_pit_join_oracle_exact_and_exactly_one_match(spark, sf_dir):
+    """Point-in-time join over SCD2 history: DuckDB parity, plus the
+    PIT invariants — every probe matches EXACTLY once (the versions
+    partition each key's timeline) and the matched version's interval
+    brackets the probe timestamp (no future leakage)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        PIT_JOIN_ORACLE,
+        q_pit_join,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_pit_join(spark, sf_dir), con, PIT_JOIN_ORACLE)
+    finally:
+        con.close()
+
+    got = q_pit_join(spark, sf_dir)
+    n_probes = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_probes
+    assert got.select("user_id", "day").distinct().count() == n_probes
+
+
+def test_hybrid_rank_oracle_exact_and_rrf_semantics(spark, sf_dir):
+    """RRF hybrid ranking: DuckDB parity, plus the fusion semantics —
+    a doc in BOTH top lists outranks the same ranks taken alone, ranks
+    are dense, and single-list docs carry a NULL partner rank."""
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        RRF_K,
+        hybrid_rank_oracle_sql,
+        q_hybrid_rank,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_hybrid_rank(spark, sf_dir), con, hybrid_rank_oracle_sql())
+    finally:
+        con.close()
+
+    rows = q_hybrid_rank(spark, sf_dir).collect()
+    assert rows
+    ranks = sorted(r["fused_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        want = (1.0 / (RRF_K + r["rank_bm25"]) if r["rank_bm25"] else 0.0) + (
+            1.0 / (RRF_K + r["rank_lm"]) if r["rank_lm"] else 0.0
+        )
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
