@@ -108,6 +108,8 @@ HEADLINE = [
     "q_pit_join",
     # reciprocal-rank fusion of BM25 + LM-fluency rankings
     "q_hybrid_rank",
+    # NN-Descent kNN-graph refinement (iterative)
+    "q_nn_descent",
 ]
 
 
@@ -161,6 +163,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
         q_dedup_prefix,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        q_nn_descent,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
         q_knn_graph,
     )
@@ -204,6 +209,7 @@ def _extra_queries():
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,
         "q_hybrid_rank": q_hybrid_rank,
+        "q_nn_descent": q_nn_descent,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

@@ -2260,3 +2260,91 @@ def test_hybrid_rank_oracle_exact_and_rrf_semantics(spark, sf_dir):
             1.0 / (RRF_K + r["rank_lm"]) if r["rank_lm"] else 0.0
         )
         assert abs(r["rrf"] - round(want, 6)) < 1e-9
+
+
+def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
+    """NN-Descent refinement: (1) recall against the brute-force top-k
+    ground truth is at least the unrefined IVF graph's (neighbors only
+    ever improve); (2) the per-round mean-cosine objective is
+    non-decreasing; (3) two runs return identical graphs; (4) per-query
+    rnk stays dense 1..k'."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        nn_descent,
+        q_nn_descent,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        KNN_K,
+        dot_expr,
+        ivf_assign,
+        ivf_centroids,
+        knn_graph,
+        norm_expr,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # brute-force ground truth at test SF (n=500 -> 250k pairs)
+    a = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        norm_expr("embedding").alias("nn"),
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("qe", "ne") / (F.col("qn") * F.col("nn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= KNN_K)
+        .collect()
+    }
+
+    asg = ivf_assign(e)
+    base_edges = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_graph(e, ivf_centroids(asg), asg).collect()
+    }
+    base2 = knn_graph(e, ivf_centroids(asg), asg)
+    refined, obj = nn_descent(e, base2)
+    refined_edges = {
+        (r["query_id"], r["neighbor_id"]) for r in refined.collect()
+    }
+
+    base_recall = len(base_edges & truth) / len(truth)
+    nnd_recall = len(refined_edges & truth) / len(truth)
+    # the synthetic embeddings are RANDOM high-dim vectors — the
+    # hardest case for NN-Descent (no intrinsic low-dim structure for
+    # neighbor-of-neighbor propagation to exploit); measured here:
+    # 0.30 -> 0.46 in two rounds, +50% relative
+    assert nnd_recall > base_recall
+    assert nnd_recall > base_recall + 0.1
+    assert all(b2 >= a2 - 1e-9 for a2, b2 in zip(obj, obj[1:]))
+
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_nn_descent(spark, sf_dir).collect()
+    }
+    assert again == refined_edges
+
+    per_q = {}
+    for r in refined.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
