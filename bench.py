@@ -110,6 +110,8 @@ HEADLINE = [
     "q_hybrid_rank",
     # NN-Descent kNN-graph refinement (iterative)
     "q_nn_descent",
+    # sqrt-temperature domain resampling (epoch multiplicities)
+    "q_temperature_mix",
 ]
 
 
@@ -145,6 +147,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
         q_curriculum_order,
+        q_temperature_mix,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.semdedup import (
         q_semdedup,
@@ -210,6 +213,7 @@ def _extra_queries():
         "q_pit_join": q_pit_join,
         "q_hybrid_rank": q_hybrid_rank,
         "q_nn_descent": q_nn_descent,
+        "q_temperature_mix": q_temperature_mix,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

@@ -314,3 +314,120 @@ SELECT doc_id, quality, bucket,
        row_number() OVER (ORDER BY bucket, h, doc_id) AS curriculum_pos
 FROM bucketed
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain resampling (the multilingual-corpus sampling
+# rule: sample domain d with probability ∝ p_d^alpha, alpha < 1 — mBERT
+# / XLM-R / T5 all train on exactly this). alpha = 1/2 here, for an
+# engine-portability reason worth recording: IEEE-754 ``sqrt`` is
+# CORRECTLY ROUNDED on every engine, ``pow(x, 0.3)`` is not — so the
+# sqrt form yields bit-identical per-domain targets in Spark and DuckDB
+# while arbitrary alpha could flip a floor at a boundary. Unlike
+# ``domain_mix`` (pure downsampling), temperature sampling UPSAMPLES
+# small domains: the output carries an integer ``n_copies`` per doc
+# (epoch multiplicity — base copies spread evenly via the same
+# rank-stride rule), so one materialized relation expresses both down-
+# and up-sampling with replacement.
+#
+# Scale: one tiny per-domain stats relation (broadcast back), the
+# cross-domain sqrt sum folded in domain-name order (pinned summation
+# order), per-doc ranks via the 256-bucket two-phase grouped rank —
+# no single-partition window anywhere.
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    seed: int | str = SHUFFLE_SEED,
+) -> DataFrame:
+    """(row..., rank_in_domain, n_copies): sqrt-temperature resampling
+    with total budget = corpus size. Domain d's target count is
+    ``k_d = floor(N * sqrt(n_d) / sum_e sqrt(n_e))``; each doc gets
+    ``k_d div n_d`` base copies plus one extra on the evenly-spread
+    rank stride of the remainder — ``sum(n_copies)`` per domain is
+    exactly ``k_d``."""
+    stats = df.groupBy(domain_col).agg(F.count("*").alias("_nd"))
+    tot = stats.agg(
+        F.sum("_nd").alias("_N"),
+        # domain-name-sorted fold: pinned summation order on both engines
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(domain_col).alias("d"),
+                            F.sqrt("_nd").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_S"),
+    )
+    targets = stats.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "_nd",
+        F.floor(F.col("_N") * F.sqrt("_nd") / F.col("_S")).alias("_kd"),
+    )
+    h = _seeded_hex(F.col(key_col), seed)
+    keyed = df.withColumn("_h", h).withColumn("_hb", F.substring("_h", 1, 2))
+    ranked = grouped_row_number(
+        keyed, [domain_col], ["_hb"], ["_h", key_col], rn_col="rank_in_domain"
+    ).drop("_h", "_hb")
+    r = F.col("rank_in_domain")
+    rem = F.col("_kd") % F.col("_nd")
+    extra = (
+        F.floor(r * rem / F.col("_nd")) > F.floor((r - 1) * rem / F.col("_nd"))
+    ).cast("long")
+    return (
+        ranked.join(F.broadcast(targets), domain_col)
+        .withColumn(
+            "n_copies", (F.expr("_kd div _nd") + extra).cast("long")
+        )
+        .drop("_nd", "_kd")
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature language resampling of ``documents``: per-doc
+    epoch multiplicities (small languages upsample above 1, the
+    dominant language drops below 1 copy on average). (Unregistered —
+    50-slot cap; driver-grade DuckDB parity + exact-target invariants
+    in tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", "doc_id")
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH stats AS (
+  SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(nd) AS N,
+         list_sum(list(sqrt(nd) ORDER BY lang)) AS S
+  FROM stats
+),
+targets AS (
+  SELECT lang, nd, CAST(floor(N * sqrt(nd) / S) AS BIGINT) AS kd
+  FROM stats, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_domain
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.rank_in_domain,
+       CAST(kd // nd
+            + (CASE WHEN (r.rank_in_domain * (kd % nd)) // nd
+                     > ((r.rank_in_domain - 1) * (kd % nd)) // nd
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+FROM ranked r JOIN targets USING (lang)
+"""

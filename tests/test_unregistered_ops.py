@@ -2348,3 +2348,45 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_temperature_mix_oracle_exact_and_targets(spark, sf_dir):
+    """sqrt-temperature resampling: DuckDB parity, plus the sampling
+    invariants — per-domain sum(n_copies) equals the integer target
+    floor(N*sqrt(n_d)/S) exactly, small domains upsample relative to
+    the dominant one, and the total stays within #domains of the
+    corpus-size budget."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        TEMPERATURE_MIX_ORACLE,
+        q_temperature_mix,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_temperature_mix(spark, sf_dir), con, TEMPERATURE_MIX_ORACLE)
+    finally:
+        con.close()
+
+    rows = q_temperature_mix(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    nd = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    N = sum(nd.values())
+    S = sum(_math.sqrt(v) for _, v in sorted(nd.items()))
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_copies"]
+    for lang, n in nd.items():
+        assert got[lang] == _math.floor(N * _math.sqrt(n) / S), lang
+    assert N - len(nd) <= sum(got.values()) <= N
+    # temperature flattens: the largest domain's realized share shrinks,
+    # the smallest one's grows
+    big = max(nd, key=nd.get)
+    small = min(nd, key=nd.get)
+    assert got[big] / nd[big] < 1.0 < got[small] / nd[small]
