@@ -112,6 +112,8 @@ HEADLINE = [
     "q_nn_descent",
     # sqrt-temperature domain resampling (epoch multiplicities)
     "q_temperature_mix",
+    # Arrow-batched zlib compression-ratio quality signal
+    "q_compression_ratio",
 ]
 
 
@@ -134,6 +136,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
         q_tfidf_source,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.quality import (
+        q_compression_ratio,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.behavior import (
         q_cohort_retention,
@@ -214,6 +219,7 @@ def _extra_queries():
         "q_hybrid_rank": q_hybrid_rank,
         "q_nn_descent": q_nn_descent,
         "q_temperature_mix": q_temperature_mix,
+        "q_compression_ratio": q_compression_ratio,
         "q_multimodal_meta": q_multimodal_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,

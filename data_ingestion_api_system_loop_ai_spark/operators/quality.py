@@ -176,3 +176,61 @@ FROM base JOIN counted ON base.doc_id = counted.doc_id
 QUALITY_QUERIES = {
     "q_quality_filter": q_quality_filter,
 }
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (the MassiveText/RefinedWeb family's
+# binary-level repetitiveness proxy): highly repetitive or templated
+# text compresses far below prose, and pure gibberish barely compresses
+# at all — a cheap single-pass signal the token-level battery above
+# cannot see (it operates below tokenization). DEFLATE is not
+# expressible in SQL, so this is a sanctioned Python stage: an
+# Arrow-batched pandas UDF (never row-at-a-time), deterministic because
+# zlib level 6 output is a pure function of the bytes. No DuckDB twin —
+# the direct test pins the UDF against an in-process zlib model on
+# every document plus hand-built extremes (repetition compresses below
+# the keep band, random hex sits above prose).
+# ---------------------------------------------------------------------------
+
+COMPRESS_LEVEL = 6
+# keep band for DEFLATE bytes-out/bytes-in on ~400-char docs: below =
+# template/repetition, above = noise (synthetic-corpus-calibrated;
+# production recalibrates per corpus like the Gopher thresholds above)
+COMPRESS_KEEP_LO = 0.30
+COMPRESS_KEEP_HI = 0.90
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compress_ratio, keep) over
+    ``documents``. (Unregistered, NON-SQL-EXPRESSIBLE — DEFLATE; the
+    direct test replays zlib in-process over every doc.)"""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # non-decorator form: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's inference rejects
+    def _ratio(texts):
+        import zlib
+
+        raw = texts.str.encode("utf-8")
+        nb = raw.str.len()
+        nc = raw.map(lambda b: len(zlib.compress(b, COMPRESS_LEVEL)))
+        return pd.DataFrame({"n_bytes": nb, "n_compressed": nc})
+
+    ratio_udf = F.pandas_udf(
+        _ratio, "n_bytes long, n_compressed long"
+    )
+    r = F.col("_c.n_compressed") / F.col("_c.n_bytes")
+    return (
+        docs.withColumn("_c", ratio_udf(F.col("text")))
+        .select(
+            "doc_id",
+            F.col("_c.n_bytes").alias("n_bytes"),
+            F.col("_c.n_compressed").alias("n_compressed"),
+            F.round(r, 6).alias("compress_ratio"),
+            (
+                (r >= F.lit(COMPRESS_KEEP_LO)) & (r <= F.lit(COMPRESS_KEEP_HI))
+            ).alias("keep"),
+        )
+    )

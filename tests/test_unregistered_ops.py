@@ -2390,3 +2390,59 @@ def test_temperature_mix_oracle_exact_and_targets(spark, sf_dir):
     big = max(nd, key=nd.get)
     small = min(nd, key=nd.get)
     assert got[big] / nd[big] < 1.0 < got[small] / nd[small]
+
+
+def test_compression_ratio_matches_zlib_and_is_arrow_batched(spark, sf_dir):
+    """Compression-ratio quality signal: every per-doc value equals an
+    in-process zlib replay (deterministic DEFLATE at level 6); the UDF
+    runs through the Arrow batch path (ArrowEvalPython), never
+    row-at-a-time Python; constructed extremes land outside the keep
+    band on the correct sides."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.quality import (
+        COMPRESS_KEEP_HI,
+        COMPRESS_KEEP_LO,
+        COMPRESS_LEVEL,
+        q_compression_ratio,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    plan = q_compression_ratio(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in q_compression_ratio(spark, sf_dir).collect():
+        raw = texts[r["doc_id"]].encode("utf-8")
+        nc = len(zlib.compress(raw, COMPRESS_LEVEL))
+        assert (r["n_bytes"], r["n_compressed"]) == (len(raw), nc)
+        assert r["compress_ratio"] == round(nc / len(raw), 6)
+        assert r["keep"] == (
+            COMPRESS_KEEP_LO <= nc / len(raw) <= COMPRESS_KEEP_HI
+        )
+
+    # constructed extremes through the same operator
+    import unittest.mock as mock
+
+    from data_ingestion_api_system_loop_ai_spark.operators import quality as ql
+
+    extremes = spark.createDataFrame(
+        [
+            (1, "spam " * 500),  # pure repetition -> compresses hard
+            (2, "9f8a6c1e0b" * 1 + "".join(f"{i*2654435761 % 2**32:08x}" for i in range(60))),  # hash noise
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(ql, "load_table", lambda spark, sf_dir, name: extremes):
+        got = {r["doc_id"]: r for r in ql.q_compression_ratio(spark, "x").collect()}
+    assert got[1]["compress_ratio"] < COMPRESS_KEEP_LO and not got[1]["keep"]
+    assert got[2]["compress_ratio"] > got[1]["compress_ratio"]
