@@ -213,11 +213,26 @@ def test_round4_session_ops_stay_jvm_side(spark, sf_dir):
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
         q_dedup_prefix,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
+        q_hybrid_rank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_temperature_mix,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
         q_hist_quantiles,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        q_pit_join,
+    )
 
-    for fn in (q_dedup_prefix, q_hist_quantiles):
+    for fn in (
+        q_dedup_prefix,
+        q_hist_quantiles,
+        q_pit_join,
+        q_hybrid_rank,
+        q_temperature_mix,
+    ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
