@@ -122,6 +122,7 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators import ann_index
     from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        q_media_pipeline,
         q_multimodal_meta,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
@@ -221,6 +222,7 @@ def _extra_queries():
         "q_temperature_mix": q_temperature_mix,
         "q_compression_ratio": q_compression_ratio,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

@@ -666,7 +666,11 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (but close to) the true result. On a dense duplicate cluster the
     OUTPUT itself is quadratic in the cluster size — that regime
     belongs to the capped LSH path (q_dedup_minhash_banded); the
-    prefix join's value is exactness at moderate similarity."""
+    prefix join's value is exactness at moderate similarity.
+
+    REGISTERED in the late-round-4 rotation (slot funded by
+    q_media_pipeline): the driver hash-checks this against the
+    brute-force all-pairs ground truth every round."""
     base = _shingle_sets(spark, sf_dir).filter(F.size("ss") > 0)
     sh = base.select("doc_id", F.explode("ss").alias("s"))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -726,6 +730,12 @@ DEDUP_QUERIES = {
     # q_process_batch, whose projection stays hash-checked inside
     # q_pipeline_e2e).
     "q_dedup_spans": q_dedup_spans,
+    # Registered in the late-round-4 rotation (slot funded by
+    # q_media_pipeline, which keeps its driver-grade parity test): the
+    # exact AllPairs/PPJoin similarity join, whose oracle is the
+    # brute-force all-pairs GROUND TRUTH — the strongest oracle shape
+    # in the dedup family (semantics, not algorithm mirror).
+    "q_dedup_prefix": q_dedup_prefix,
 }
 
 _MINHASH_MINS = ",\n         ".join(
@@ -881,7 +891,7 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
 # Brute-force all-pairs ground truth over the FULL shingle space — the
 # SEMANTIC oracle for q_dedup_prefix (the prefix join must reproduce it
 # exactly; a recall bug in the pruning logic would hash-mismatch).
-# Unregistered (50-slot cap) — exercised by
+# Registered (late-round-4 rotation) and additionally exercised by
 # tests/test_unregistered_ops.py.
 PREFIX_DEDUP_ORACLE = (
     _SHINGLE_CTE
@@ -900,3 +910,5 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {PREFIX_TAU}
 """
 )
+
+DEDUP_ORACLES["q_dedup_prefix"] = PREFIX_DEDUP_ORACLE

@@ -449,20 +449,20 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.mapInPandas(_resize_and_sample, _PIPELINE_SCHEMA)
 
 
-MULTIMODAL_QUERIES = {
-    # q_multimodal_meta gave up its registry slot in the round-4
-    # rotation (the slot funds q_tpch_q21); the function stays API
-    # surface with a driver-grade parity test against
-    # MULTIMODAL_META_ORACLE in tests/test_unregistered_ops.py.
-    # q_media_features is unregistered (50-slot cap): q_media_pipeline
-    # chains it as its first stage, so the feature-extraction plumbing
-    # is checked through the pipeline's CORRECTNESS row; the function
-    # stays API surface with a direct schema/shape test.
-    "q_media_pipeline": q_media_pipeline,
-}
+# q_multimodal_meta gave up its registry slot in the round-4 rotation
+# (the slot funds q_tpch_q21), and q_media_pipeline gave up its slot in
+# the late-round-4 rotation (the slot funds q_dedup_prefix — an exact
+# AllPairs similarity join with a stronger, semantics-level oracle).
+# Both stay full API surface with driver-grade parity tests against
+# MULTIMODAL_META_ORACLE / MEDIA_PIPELINE_ORACLE in
+# tests/test_unregistered_ops.py; q_media_features is checked through
+# the pipeline's direct test as its first stage.
+MULTIMODAL_QUERIES: dict = {}
 
-MULTIMODAL_ORACLES = {
-    "q_media_pipeline": f"""
+MULTIMODAL_ORACLES: dict = {}
+
+# Direct-test oracle for q_media_pipeline (evicted slot).
+MEDIA_PIPELINE_ORACLE = f"""
 WITH f AS (
   SELECT doc_id AS asset_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -497,8 +497,7 @@ SELECT asset_id, kind,
        CAST(out_w AS INTEGER) AS out_w,
        CAST(out_h AS INTEGER) AS out_h
 FROM s
-""",
-}
+"""
 
 # Direct-test oracle for q_multimodal_meta (evicted from the registry in
 # the round-4 rotation; tests/test_unregistered_ops.py runs this

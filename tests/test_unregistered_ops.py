@@ -2446,3 +2446,22 @@ def test_compression_ratio_matches_zlib_and_is_arrow_batched(spark, sf_dir):
         got = {r["doc_id"]: r for r in ql.q_compression_ratio(spark, "x").collect()}
     assert got[1]["compress_ratio"] < COMPRESS_KEEP_LO and not got[1]["keep"]
     assert got[2]["compress_ratio"] > got[1]["compress_ratio"]
+
+
+def test_round4b_evicted_media_pipeline_stays_oracle_exact(spark, sf_dir):
+    """Late-round-4 slot swap: q_media_pipeline funded q_dedup_prefix's
+    registry slot but keeps the driver-grade DuckDB comparison here
+    (and with it the hash check over the whole two-stage Arrow
+    chain)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        MEDIA_PIPELINE_ORACLE,
+        q_media_pipeline,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_media_pipeline(spark, sf_dir), con, MEDIA_PIPELINE_ORACLE)
+    finally:
+        con.close()
