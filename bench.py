@@ -394,16 +394,22 @@ def main() -> None:
         json.dump(
             {"sf": sf, "n_runs": n_runs, "drain": drain, "spread": spread}, f, indent=1
         )
+    # the driver captures only the LAST 2000 chars of stdout (measured
+    # from BENCH_r03's "tail" field) — at 67 queries the full-precision
+    # line is 1.8 KB and one growth step from being truncated like r03.
+    # The stdout line therefore carries 2-decimal timings and no extras;
+    # BENCH_SPREAD.json keeps full precision, the spread, and the drain
+    # numbers.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "sf": sf,
-                "extras": {"drain_batches_per_s": drain["batches_per_s"]},
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -197,7 +197,14 @@ def compact_rollup(spark: SparkSession, path: str, name: str) -> dict:
     partial row-set) under an atomic manifest swap; superseded unit
     directories are removed AFTER the commit (readers resolved through
     the old manifest already finished planning from explicit paths, and
-    new readers only see the new unit)."""
+    new readers only see the new unit).
+
+    Stream-maintained rollups: stop the streaming query before
+    compacting. Folding erases the per-batch unit ids that
+    ``rollup_stream_writer`` uses as replay markers, so a
+    crash-replayed batch arriving AFTER a concurrent compaction would
+    re-append rows the fold already absorbed — the single-writer
+    contract in the module docstring, stated concretely."""
     import shutil
 
     manifest = load_rollup_manifest(path, name)
