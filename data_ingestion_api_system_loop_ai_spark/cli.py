@@ -148,6 +148,21 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_build_corpus(args) -> int:
+    """Run the end-to-end training-corpus funnel (exact + near dedup,
+    quality filter, decontamination, temperature resample, shuffle
+    order, sequence packing) and write loader shards; prints the
+    reconciliation report (`operators/corpus_pipeline.py`)."""
+    from .operators.corpus_pipeline import build_training_corpus
+
+    spark = _spark("cli-build-corpus")
+    report = build_training_corpus(
+        spark, args.sf_dir, args.out, records_per_file=args.records_per_file
+    )
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_rollup(args) -> int:
     """Maintain an incremental aggregate rollup table
     (``sources/rollup.py``): ``--refresh`` partial-aggregates only
@@ -355,6 +370,12 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("batch")
     pd.add_argument("index")
     pd.set_defaults(fn=cmd_dedup)
+
+    pbc = sub.add_parser("build-corpus")
+    pbc.add_argument("sf_dir")
+    pbc.add_argument("out")
+    pbc.add_argument("--records-per-file", type=int, default=10000)
+    pbc.set_defaults(fn=cmd_build_corpus)
 
     pu = sub.add_parser("rollup")
     pu.add_argument("path")

@@ -44,3 +44,68 @@ def test_request_with_failed_batch_rolls_up_triggered(spark, sf_dir):
     }
     for req in failed_reqs:
         assert overall[req] == "triggered"
+
+
+def test_build_training_corpus_funnel_and_shards(spark, sf_dir, tmp_path):
+    """The end-to-end corpus build: funnel counts are monotone
+    non-increasing, every written doc survives every verdict (no eval
+    ids, no near-dup doc_b, no contaminated, quality-kept only, unique
+    doc_ids), epoch multiplicities are >= 1, shard files respect the
+    records_per_file bound, and shuffle positions are a dense
+    permutation."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.contamination import (
+        EVAL_MOD,
+        EVAL_REM,
+        q_decontaminate,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        build_training_corpus,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_prefix,
+    )
+
+    out = str(tmp_path / "training_shards")
+    rep = build_training_corpus(spark, sf_dir, out, records_per_file=64)
+
+    assert (
+        rep["input"]
+        >= rep["after_exact"]
+        >= rep["after_near"]
+        >= rep["after_quality"]
+        >= rep["after_decontam"]
+        >= rep["rows_written"]
+    )
+    assert rep["rows_written"] > 0 and rep["n_shard_files"] >= 1
+
+    df = spark.read.parquet(out)
+    rows = df.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(i % EVAL_MOD != EVAL_REM for i in ids)
+    assert all(r["n_copies"] >= 1 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+    dropped_near = {
+        r["doc_b"] for r in q_dedup_prefix(spark, sf_dir).collect()
+    }
+    assert not (set(ids) & dropped_near)
+    contaminated = {
+        r["doc_id"]
+        for r in q_decontaminate(spark, sf_dir).filter("contaminated").collect()
+    }
+    assert not (set(ids) & contaminated)
+
+    pos = sorted(r["shuffle_pos"] for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+
+    # shard-file bound: every parquet file holds <= records_per_file rows
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(out, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        assert pq.read_metadata(f).num_rows <= 64
