@@ -114,6 +114,8 @@ HEADLINE = [
     "q_temperature_mix",
     # Arrow-batched zlib compression-ratio quality signal
     "q_compression_ratio",
+    # PSI drift monitoring over the events stream
+    "q_psi_drift",
 ]
 
 
@@ -137,6 +139,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
         q_tfidf_source,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        q_psi_drift,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.quality import (
         q_compression_ratio,
@@ -221,6 +226,7 @@ def _extra_queries():
         "q_nn_descent": q_nn_descent,
         "q_temperature_mix": q_temperature_mix,
         "q_compression_ratio": q_compression_ratio,
+        "q_psi_drift": q_psi_drift,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

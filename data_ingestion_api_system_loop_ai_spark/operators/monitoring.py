@@ -1,0 +1,170 @@
+"""Data-quality / drift monitoring over the ``events`` stream — the
+observability side of a production pipeline (a 100 TB ingest without
+drift alarms silently trains on a shifted distribution).
+
+``q_psi_drift`` computes the POPULATION STABILITY INDEX — the standard
+industry drift metric (credit-risk origin, now the default model-
+monitoring statistic): bucket the metric's value distribution in a
+reference window and a current window, then
+
+    PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+with the usual reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+action. Engineering choices, all for engine portability + scale:
+
+- the reference/current split is the corpus's own time MIDPOINT in
+  epoch microseconds — integer arithmetic, identical on both engines
+  (one 1-row broadcast min/max aggregate);
+- value buckets are the fixed-width integer-cents histogram of the
+  quantile sketch (``(max_cents + BINS) div BINS`` width — one more
+  1-row broadcast), NOT data-dependent quantile edges, so bucket
+  boundaries are bit-stable across engines and across runs;
+- counts get +1 smoothing per (bucket, side) so ln never sees zero —
+  the documented PSI convention for empty buckets;
+- the per-type PSI sums over a BUCKET-SORTED fold (the lm_score
+  idiom), pinning float summation order on both engines.
+
+Scale: two 1-row broadcasts plus ONE map-side-combinable
+(event_type, bucket, side) count shuffle over the corpus; everything
+after runs on <= types x buckets x 2 rows. Rounding to 6 keeps the
+ln/division noise inside the hash gate like the BM25/idf precedent.
+
+Reference parity: none (no analytics in the reference);
+BASELINE.json north-star tier — pipeline observability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+PSI_BINS = 16
+
+
+def psi_drift(
+    df: DataFrame, group_col: str, value_col: str, ts_col: str
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi): PSI of ``value_col``'s distribution
+    between the first and second half of ``ts_col``'s span, per
+    ``group_col``."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    # NTZ-native epoch micros (parquet timestamps surface as
+    # TIMESTAMP_NTZ in Spark 4, which unix_micros rejects) — identical
+    # to DuckDB's epoch_us over the same NTZ values
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        cents.alias("c"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        ).alias("us"),
+    )
+    stats = base.agg(
+        F.min("us").alias("t0"),
+        F.max("us").alias("t1"),
+        F.max("c").alias("mx"),
+    ).select(
+        F.expr("t0 + (t1 - t0) div 2").alias("mid"),
+        F.expr(f"(mx + {PSI_BINS}) div {PSI_BINS}").alias("w"),
+    )
+    counted = (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "grp",
+            F.expr("c div w").alias("bucket"),
+            (F.col("us") <= F.col("mid")).alias("is_ref"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count_if("is_ref").alias("nr"),
+            F.count_if(~F.col("is_ref")).alias("nc"),
+        )
+    )
+    tot = counted.groupBy("grp").agg(
+        F.sum("nr").alias("Nr"),
+        F.sum("nc").alias("Nc"),
+        F.count("*").alias("nb"),
+    )
+    # +1 smoothing per present bucket; denominators grow by the bucket
+    # count so fractions still sum to 1 per side. Aliases disambiguate
+    # the join of `counted` with its own aggregate.
+    p = (F.col("c.nr") + 1) / (F.col("t.Nr") + F.col("t.nb"))
+    q = (F.col("c.nc") + 1) / (F.col("t.Nc") + F.col("t.nb"))
+    contrib = counted.alias("c").join(tot.alias("t"), "grp").select(
+        "grp",
+        F.col("c.bucket").alias("bucket"),
+        ((p - q) * F.log(p / q)).alias("term"),
+        F.col("t.Nr").alias("Nr"),
+        F.col("t.Nc").alias("Nc"),
+    )
+    return (
+        contrib.groupBy("grp")
+        .agg(
+            F.max("Nr").alias("n_ref"),
+            F.max("Nc").alias("n_cur"),
+            # bucket-sorted fold: pinned summation order
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("bucket", "term"))
+                        ),
+                        lambda s: s["term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("psi"),
+        )
+        .select(F.col("grp").alias("event_type"), "n_ref", "n_cur", "psi")
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the ``value`` distribution per event_type between the
+    first and second half of the events table's time span.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    known-shift fixture tests in tests/test_unregistered_ops.py.)"""
+    return psi_drift(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "ts"
+    ).orderBy("event_type")
+
+
+PSI_DRIFT_ORACLE = f"""
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) AS us
+  FROM events
+),
+stats AS (
+  SELECT min(us) + (max(us) - min(us)) // 2 AS mid,
+         (max(c) + {PSI_BINS}) // {PSI_BINS} AS w
+  FROM base
+),
+counted AS (
+  SELECT grp, c // w AS bucket,
+         sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN us <= mid THEN 0 ELSE 1 END) AS nc
+  FROM base, stats GROUP BY 1, 2
+),
+tot AS (
+  SELECT grp, sum(nr) AS Nr, sum(nc) AS Nc, count(*) AS nb
+  FROM counted GROUP BY grp
+),
+contrib AS (
+  SELECT c.grp, c.bucket,
+         (((c.nr + 1) * 1.0 / (t.Nr + t.nb)) - ((c.nc + 1) * 1.0 / (t.Nc + t.nb)))
+         * ln(((c.nr + 1) * 1.0 / (t.Nr + t.nb)) / ((c.nc + 1) * 1.0 / (t.Nc + t.nb)))
+         AS term,
+         t.Nr AS Nr, t.Nc AS Nc
+  FROM counted c JOIN tot t USING (grp)
+)
+SELECT grp AS event_type, max(Nr) AS n_ref, max(Nc) AS n_cur,
+       round(list_sum(list(term ORDER BY bucket)), 6) AS psi
+FROM contrib
+GROUP BY grp
+ORDER BY event_type
+"""

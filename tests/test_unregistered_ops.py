@@ -2465,3 +2465,51 @@ def test_round4b_evicted_media_pipeline_stays_oracle_exact(spark, sf_dir):
         compare(q_media_pipeline(spark, sf_dir), con, MEDIA_PIPELINE_ORACLE)
     finally:
         con.close()
+
+
+def test_psi_drift_oracle_exact_and_detects_shift(spark, sf_dir):
+    """PSI drift monitoring: DuckDB parity over events, plus semantic
+    fixtures — an identically-distributed constructed stream scores
+    near zero, a deliberately shifted one scores above the 0.25 action
+    threshold."""
+    import datetime as _dt
+
+    from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        PSI_DRIFT_ORACLE,
+        psi_drift,
+        q_psi_drift,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_psi_drift(spark, sf_dir), con, PSI_DRIFT_ORACLE)
+    finally:
+        con.close()
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def _rows(shift):
+        out = []
+        for i in range(2000):
+            ref_half = i < 1000
+            # deterministic pseudo-values, uniform-ish in [0, 100)
+            v = (i * 37) % 100 + 0.5
+            if not ref_half and shift:
+                v = v * 0.2  # collapse the current window's scale
+            out.append(
+                ("m", float(v), t0 + _dt.timedelta(minutes=i))
+            )
+        return out
+
+    schema = "grp string, value double, ts timestamp"
+    stable = psi_drift(
+        spark.createDataFrame(_rows(False), schema), "grp", "value", "ts"
+    ).collect()[0]
+    shifted = psi_drift(
+        spark.createDataFrame(_rows(True), schema), "grp", "value", "ts"
+    ).collect()[0]
+    assert stable["n_ref"] == shifted["n_ref"] == 1000
+    assert stable["psi"] < 0.1
+    assert shifted["psi"] > 0.25
