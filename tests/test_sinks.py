@@ -178,3 +178,35 @@ def test_ingest_wire_writer_round_trip_and_overwrite(spark, tmp_path):
     df2.write.format("ingestwire").mode("overwrite").save(out)
     rows = spark.read.format("ingestwire").load(out).collect()
     assert [r["request_id"] for r in rows] == ["3"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """Format matrix: ORC round-trips lineitem exactly (Spark's
+    built-in vectorized ORC reader/writer) and range predicates reach
+    the ORC scan as pushed filters — the same pushdown guarantee the
+    parquet tests pin."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = str(tmp_path / "li_orc")
+    src.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert Counter(map(str, src.collect())) == Counter(map(str, back.collect()))
+
+    filtered = back.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scan = plan[plan.index("Scan orc") :]
+    assert "PushedFilters" in scan and "l_quantity" in scan.split("ReadSchema")[0]
+    # column pruning: the ORC scan reads only the two referenced columns
+    read_schema = scan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read_schema and "l_shipdate" not in read_schema
