@@ -77,10 +77,28 @@ def _commit_manifest(path: str, name: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(root, "manifest.json"))
 
 
+def _next_unit(manifest: dict, suffix: str = "") -> str:
+    """Allocate a globally-unique unit id from the manifest's monotone
+    ``seq`` counter (committed with the manifest, so it survives
+    compaction). Naming units by ``len(units)`` would collide after a
+    fold resets the unit count: a second compaction could regenerate an
+    EXISTING committed unit's name and overwrite the directory it is
+    concurrently reading. Manifests written before ``seq`` existed
+    default to ``len(units)``, which reproduces their historical
+    naming."""
+    seq = manifest.get("seq", len(manifest["units"]))
+    manifest["seq"] = seq + 1
+    return f"u{seq:06d}{suffix}"
+
+
 def _partial_agg(df: DataFrame, group_cols: list[str], measure: str) -> DataFrame:
+    # the outer cast pins sum_m's STORED type to decimal(25,6) — Spark
+    # widens sum(decimal(25,6)) to decimal(35,6), and a unit written at
+    # the widened type cannot be read together with a compacted unit
+    # written at the declared type (parquet physical layouts differ)
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col(measure).cast(_SUM_DECIMAL)).alias("sum_m"),
+        F.sum(F.col(measure).cast(_SUM_DECIMAL)).cast(_SUM_DECIMAL).alias("sum_m"),
         F.min(measure).alias("min_m"),
         F.max(measure).alias("max_m"),
     )
@@ -115,7 +133,7 @@ def update_rollup(
     new_rel = sorted(k for k in current if k not in covered)
     if not new_rel:
         return {"new_files": 0, "unit": None, "units": len(manifest["units"])}
-    unit = f"u{len(manifest['units']):06d}"
+    unit = _next_unit(manifest)
     # basePath restores hive partition columns on the explicit file list
     df = spark.read.option("basePath", path).parquet(
         *[current[k] for k in new_rel]
@@ -214,7 +232,7 @@ def compact_rollup(spark: SparkSession, path: str, name: str) -> dict:
     if len(old_units) <= 1:
         return {"units_before": len(old_units), "units_after": len(old_units)}
     parts = _committed_partials(spark, path, manifest, name)
-    unit = f"u{len(old_units):06d}c"
+    unit = _next_unit(manifest, suffix="c")
     _merge_partials(parts, manifest["group_cols"]).write.mode(
         "overwrite"
     ).parquet(os.path.join(_root(path, name), "partials", unit))
@@ -222,6 +240,7 @@ def compact_rollup(spark: SparkSession, path: str, name: str) -> dict:
     new_manifest = {
         "group_cols": manifest["group_cols"],
         "measure": manifest["measure"],
+        "seq": manifest["seq"],
         "units": [{"id": unit, "files": files}],
     }
     _commit_manifest(path, name, new_manifest)

@@ -503,3 +503,53 @@ def test_rollup_stream_writer_exactly_once(spark, sf_dir, tmp_path):
     after = ru.load_rollup_manifest(tbl, "by_flag")
     assert len(after["units"]) == 3
     assert any(u["id"] == dropped["id"] for u in after["units"])
+
+
+def test_rollup_repeated_compaction_never_reuses_unit_names(spark, sf_dir, tmp_path):
+    """Regression: unit ids come from a monotone manifest counter, so a
+    second compaction can never regenerate an existing committed unit's
+    name (which would overwrite the directory it is concurrently
+    reading). Two update/compact cycles -> all ids ever committed are
+    distinct and the finalized aggregate stays equal to the full
+    recompute."""
+    import glob
+    import os
+    import shutil
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+
+    p = _rollup_fixture(spark, sf_dir, tmp_path)
+    seen_ids = set()
+
+    def _snap():
+        ids = {u["id"] for u in ru.load_rollup_manifest(p, "by_flag")["units"]}
+        assert not (ids - seen_ids) & seen_ids
+        seen_ids.update(ids)
+
+    def _append_file(tag):
+        extra = str(tmp_path / f"x{tag}")
+        spark.read.parquet(p).limit(100).coalesce(1).write.parquet(extra)
+        shutil.copy(
+            glob.glob(extra + "/*.parquet")[0],
+            os.path.join(p, f"late-{tag}.parquet"),
+        )
+
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    _snap()
+    _append_file("a")
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    _snap()
+    ru.compact_rollup(spark, p, "by_flag")
+    _snap()
+    _append_file("b")
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    _snap()
+    # the second compaction is the collision case under len()-naming
+    ru.compact_rollup(spark, p, "by_flag")
+    m = ru.load_rollup_manifest(p, "by_flag")
+    assert len(m["units"]) == 1
+    new_id = m["units"][0]["id"]
+    assert new_id not in seen_ids
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == _full_recompute(
+        spark, p
+    )
