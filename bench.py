@@ -116,6 +116,8 @@ HEADLINE = [
     "q_compression_ratio",
     # PSI drift monitoring over the events stream
     "q_psi_drift",
+    # asymmetric containment (quotation/partial-copy) detection
+    "q_dedup_containment",
 ]
 
 
@@ -175,6 +177,7 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sdd
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_containment,
         q_dedup_prefix,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -227,6 +230,7 @@ def _extra_queries():
         "q_temperature_mix": q_temperature_mix,
         "q_compression_ratio": q_compression_ratio,
         "q_psi_drift": q_psi_drift,
+        "q_dedup_containment": q_dedup_containment,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

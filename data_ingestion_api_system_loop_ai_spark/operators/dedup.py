@@ -912,3 +912,112 @@ WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {PREFIX_TAU}
 )
 
 DEDUP_ORACLES["q_dedup_prefix"] = PREFIX_DEDUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Containment detection (Broder 1997's second resemblance measure):
+# c(A,B) = |A ∩ B| / |A| — ASYMMETRIC, catching what Jaccard cannot: a
+# short document wholly quoted inside a long one has high containment
+# but low Jaccard (the union is dominated by the long doc). This is the
+# partial-copy / quotation / boilerplate-inclusion detector of the
+# dedup family.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_inner, doc_outer, containment): ordered pairs where at
+    least ``CONTAINMENT_THRESHOLD`` of doc_inner's distinct 5-shingles
+    also appear in doc_outer. Same inverted-index shape and DF-cutoff
+    skew guard as q_dedup_near (the cutoff is again part of the
+    semantics, mirrored in the oracle); the only differences are the
+    asymmetric denominator and that both pair orientations are
+    evaluated. (Unregistered — 50-slot cap; driver-grade DuckDB parity
+    + constructed quote-inclusion goldens in
+    tests/test_unregistered_ops.py.)"""
+    sh = _shingles(spark, sf_dir)
+    stats = sh.agg(F.countDistinct("doc_id").alias("n_docs"))
+    cutoff = F.greatest(
+        F.lit(DF_CUTOFF_MIN),
+        F.ceil(F.lit(DF_CUTOFF_FRAC) * F.col("n_docs")),
+    )
+    postings = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .crossJoin(F.broadcast(stats))
+        .filter(F.size("docs") <= cutoff)
+        .select("s", "docs")
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        postings.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    both = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # evaluate both orientations of each unordered pair
+    fwd = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        F.round(F.col("common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        F.round(F.col("common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= CONTAINMENT_THRESHOLD
+    )
+
+
+CONTAINMENT_ORACLE = (
+    _SHINGLE_CTE
+    + f"""
+, stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+sh_f AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN df USING (s), stats
+  WHERE df <= greatest({DF_CUTOFF_MIN}, CAST(ceil({DF_CUTOFF_FRAC} * n_docs) AS BIGINT))
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh_f GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh_f a JOIN sh_f b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+),
+oriented AS (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         round(common * 1.0 / n_a, 6) AS containment FROM sized
+  UNION ALL
+  SELECT doc_b AS doc_inner, doc_a AS doc_outer,
+         round(common * 1.0 / n_b, 6) AS containment FROM sized
+)
+SELECT doc_inner, doc_outer, containment
+FROM oriented WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+)

@@ -2513,3 +2513,45 @@ def test_psi_drift_oracle_exact_and_detects_shift(spark, sf_dir):
     assert stable["n_ref"] == shifted["n_ref"] == 1000
     assert stable["psi"] < 0.1
     assert shifted["psi"] > 0.25
+
+
+def test_dedup_containment_oracle_exact_and_quote_fixture(spark, sf_dir):
+    """Containment detection: DuckDB parity over documents, plus the
+    defining fixture — a short doc fully quoted inside a long one has
+    containment 1.0 (inner -> outer) while its Jaccard stays below the
+    near-dup threshold, the exact case symmetric measures miss."""
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            dd.q_dedup_containment(spark, sf_dir), con, dd.CONTAINMENT_ORACLE
+        )
+    finally:
+        con.close()
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.replace("w", "v")),
+        (3, "unrelated words entirely different from both documents here"),
+    ]
+    import unittest.mock as mock
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(dd, "load_table", lambda spark, sf_dir, name: df):
+        got = {
+            (r["doc_inner"], r["doc_outer"]): r["containment"]
+            for r in dd.q_dedup_containment(spark, "x").collect()
+        }
+        jac = {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.q_dedup_near(spark, "x").collect()
+        }
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the long doc is NOT contained in the quote
+    assert not any(3 in p for p in got)
+    assert (1, 2) not in jac  # Jaccard misses the quotation case
