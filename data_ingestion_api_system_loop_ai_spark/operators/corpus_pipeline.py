@@ -57,26 +57,37 @@ def build_training_corpus(
     sf_dir: str,
     out_path: str,
     records_per_file: int = 200,
+    with_report: bool = True,
 ) -> dict:
     """Run the full funnel over ``documents`` and write training
     shards to ``out_path``. Returns the reconciliation report:
     ``{input, after_exact, after_near, after_quality, after_decontam,
     rows_written, total_copies, n_shards_files}`` — each stage count
     the survivors AFTER that verdict joins in, so the funnel is
-    monotone non-increasing by construction (pinned by test)."""
+    monotone non-increasing by construction (pinned by test).
+
+    ``with_report=False`` skips the per-stage counts: each count is a
+    separate action that re-executes the funnel prefix, an acceptable
+    diagnostic cost at audit time but 5 extra corpus passes a 100 TB
+    production run should not pay — the write-only path executes the
+    plan exactly once."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
     # eval docs are held out up front: they are the benchmark suite,
     # never training corpus
     train = docs.filter(~(F.col("doc_id") % EVAL_MOD == EVAL_REM))
-    report: dict = {"input": train.count()}
+
+    def _n(df):
+        return df.count() if with_report else None
+
+    report: dict = {"input": _n(train)}
 
     keep_exact = q_dedup_exact(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     s = train.join(keep_exact, "doc_id", "left_semi")
-    report["after_exact"] = s.count()
+    report["after_exact"] = _n(s)
 
     drop_near = (
         q_dedup_prefix(spark, sf_dir)
@@ -84,11 +95,11 @@ def build_training_corpus(
         .distinct()
     )
     s = s.join(drop_near, "doc_id", "left_anti")
-    report["after_near"] = s.count()
+    report["after_near"] = _n(s)
 
     quality = quality_profile(docs).filter("keep").select("doc_id", "n_tokens")
     s = s.join(quality, "doc_id")  # inner: carries n_tokens forward
-    report["after_quality"] = s.count()
+    report["after_quality"] = _n(s)
 
     contaminated = (
         q_decontaminate(spark, sf_dir)
@@ -96,7 +107,7 @@ def build_training_corpus(
         .select("doc_id")
     )
     s = s.join(contaminated, "doc_id", "left_anti")
-    report["after_decontam"] = s.count()
+    report["after_decontam"] = _n(s)
 
     mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
 
