@@ -211,7 +211,11 @@ def test_round4_session_ops_stay_jvm_side(spark, sf_dir):
     quantile histogram, and the frozen-model SemDeDup assignment —
     all pure relational plans, no Python eval nodes anywhere."""
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_containment,
         q_dedup_prefix,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        q_psi_drift,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.retrieval import (
         q_hybrid_rank,
@@ -228,10 +232,12 @@ def test_round4_session_ops_stay_jvm_side(spark, sf_dir):
 
     for fn in (
         q_dedup_prefix,
+        q_dedup_containment,
         q_hist_quantiles,
         q_pit_join,
         q_hybrid_rank,
         q_temperature_mix,
+        q_psi_drift,
     ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
