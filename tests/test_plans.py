@@ -282,3 +282,61 @@ def test_dedup_prefix_candidate_join_prunes_hot_shingles(spark, sf_dir):
     )
     # tau=0.5 keeps ~half of each doc's shingles (+1)
     assert pref_n < 0.6 * total
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE's built-in skew handling (enabled in session.py) must
+    actually ENGAGE on a skewed shuffle join: a build side where one
+    key holds ~half the rows produces an executed plan whose sort-merge
+    join is marked skew=on — the runtime complement to the manual
+    salting pattern (q_join_salted), proving the session config is not
+    a dead knob. Thresholds are lowered only inside this test so the
+    ~100k-row fixture crosses AQE's size heuristics."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        n = 100_000
+        # key 0 holds half the big side. The payload must be DATA-
+        # DEPENDENT and incompressible: a literal pad is constant-folded
+        # past the join (the shuffle then carries only the key column)
+        # and the hot partition's identical keys lz4-compress below the
+        # skew byte threshold — sha2(id) forces the 64-byte column
+        # through the shuffle at full entropy.
+        big = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id") % 512)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        small = spark.range(512).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        j = big.join(small, "k")
+        # execute THIS DataFrame's own query execution — count() or a
+        # write command would plan a SEPARATE query and leave j's AQE
+        # unfinalized; collect() runs the Dataset's own plan
+        assert len(j.collect()) == n
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
