@@ -81,14 +81,24 @@ def psi_drift(
             F.count_if(~F.col("is_ref")).alias("nc"),
         )
     )
+    return psi_from_bucket_counts(counted).select(
+        F.col("grp").alias("event_type"), "n_ref", "n_cur", "psi"
+    )
+
+
+def psi_from_bucket_counts(counted: DataFrame) -> DataFrame:
+    """(grp, n_ref, n_cur, psi) from a (grp, bucket, nr, nc) count
+    relation — the PSI tail shared by the batch split (psi_drift) and
+    the streaming monitor (drift_stream_writer): +1 smoothing per
+    present bucket (denominators grow by the bucket count so fractions
+    still sum to 1 per side), bucket-sorted fold pinning float
+    summation order. Aliases disambiguate the join of ``counted`` with
+    its own aggregate."""
     tot = counted.groupBy("grp").agg(
         F.sum("nr").alias("Nr"),
         F.sum("nc").alias("Nc"),
         F.count("*").alias("nb"),
     )
-    # +1 smoothing per present bucket; denominators grow by the bucket
-    # count so fractions still sum to 1 per side. Aliases disambiguate
-    # the join of `counted` with its own aggregate.
     p = (F.col("c.nr") + 1) / (F.col("t.Nr") + F.col("t.nb"))
     q = (F.col("c.nc") + 1) / (F.col("t.Nc") + F.col("t.nb"))
     contrib = counted.alias("c").join(tot.alias("t"), "grp").select(
@@ -98,27 +108,21 @@ def psi_drift(
         F.col("t.Nr").alias("Nr"),
         F.col("t.Nc").alias("Nc"),
     )
-    return (
-        contrib.groupBy("grp")
-        .agg(
-            F.max("Nr").alias("n_ref"),
-            F.max("Nc").alias("n_cur"),
-            # bucket-sorted fold: pinned summation order
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("bucket", "term"))
-                        ),
-                        lambda s: s["term"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+    return contrib.groupBy("grp").agg(
+        F.max("Nr").alias("n_ref"),
+        F.max("Nc").alias("n_cur"),
+        # bucket-sorted fold: pinned summation order
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                    lambda s: s["term"],
                 ),
-                6,
-            ).alias("psi"),
-        )
-        .select(F.col("grp").alias("event_type"), "n_ref", "n_cur", "psi")
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("psi"),
     )
 
 
@@ -168,3 +172,111 @@ FROM contrib
 GROUP BY grp
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Continuous drift monitoring: a PERSISTED reference histogram + a
+# streaming PSI monitor. The batch q_psi_drift compares two halves of
+# one table; production monitoring freezes a reference distribution
+# once (the histogram is the build artifact — the quantile sketch's
+# cells with their width) and scores every arriving micro-batch
+# against it, appending one PSI row per batch to a drift log. Frozen
+# binning is the point: the REFERENCE defines the buckets, so scores
+# are comparable across batches and a width recomputed per batch could
+# not hide a shift.
+# ---------------------------------------------------------------------------
+
+_REF_MARKER = "_COMMITTED"
+
+
+def build_reference_histogram(
+    df: DataFrame, value_col: str, path: str, bins: int = PSI_BINS
+) -> None:
+    """Persist the reference distribution of ``value_col``: cells
+    (bucket, c) parquet + meta.json {w, n, bins}, committed with the
+    atomic marker (readers refuse a half-written reference)."""
+    import json
+    import os
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(cents.alias("c"))
+    w = base.agg(
+        F.expr(f"(max(c) + {bins}) div {bins}").alias("w"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    cells = base.select(F.expr(f"c div {w['w']}").alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("c"))
+    cells.write.mode("overwrite").parquet(os.path.join(path, "cells"))
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"w": w["w"], "n": w["n"], "bins": bins}, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    mtmp = os.path.join(path, f".{_REF_MARKER}.tmp")
+    with open(mtmp, "w") as f:
+        f.write("ok")
+    os.replace(mtmp, os.path.join(path, _REF_MARKER))
+
+
+def psi_against_reference(
+    spark: SparkSession, batch_df: DataFrame, value_col: str, ref_path: str
+) -> float:
+    """PSI of ``batch_df[value_col]`` against the persisted reference —
+    batch values bucket with the REFERENCE's frozen width (values past
+    the trained range land in higher buckets, which smoothing handles:
+    a mass excursion outside the reference range IS drift)."""
+    import json
+    import os
+
+    if not os.path.exists(os.path.join(ref_path, _REF_MARKER)):
+        raise FileNotFoundError(
+            f"reference histogram at {ref_path} has no {_REF_MARKER} marker"
+        )
+    with open(os.path.join(ref_path, "meta.json")) as f:
+        meta = json.load(f)
+    ref = spark.read.parquet(os.path.join(ref_path, "cells")).select(
+        "bucket", F.col("c").alias("nr")
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    cur = (
+        batch_df.select(cents.alias("_c"))
+        .select(F.expr(f"_c div {meta['w']}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("nc"))
+    )
+    counted = (
+        ref.join(cur, "bucket", "full_outer")
+        .select(
+            F.lit("m").alias("grp"),
+            "bucket",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    row = psi_from_bucket_counts(counted).collect()[0]
+    return row["psi"]
+
+
+def drift_stream_writer(
+    spark: SparkSession, value_col: str, ref_path: str, log_path: str
+):
+    """A ``foreachBatch`` callable scoring every micro-batch against
+    the persisted reference and appending (batch_id, n, psi) to a
+    parquet drift log — the alerting surface (a production run attaches
+    a threshold watcher to the log). Append-idempotence rides the
+    deterministic batch_id: a replayed batch overwrites its own
+    partition directory (``batch=<id>``), never duplicating log rows."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        psi = psi_against_reference(spark, batch_df, value_col, ref_path)
+        spark.createDataFrame(
+            [(batch_id, n, float(psi))], "batch_id long, n long, psi double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(log_path, f"batch={batch_id}")
+        )
+
+    return write_batch

@@ -1019,3 +1019,75 @@ def test_cli_compact_index(spark, sf_dir, tmp_path, capsys):
     assert summary["compacted_units"] == 2
     assert summary["files_after"] < summary["files_before"]
     assert inc.committed_units(ix) == [summary["unit"]]
+
+
+def test_drift_stream_monitor_scores_batches_against_frozen_reference(
+    spark, sf_dir, tmp_path
+):
+    """Continuous drift monitoring: a reference histogram built from
+    the events table is frozen (its width defines every batch's
+    binning); a stream of three single-file triggers — two drawn from
+    the same distribution, one with a collapsed value scale — produces
+    a drift log whose in-distribution batches score low PSI and whose
+    shifted batch crosses the action threshold. A replayed batch id
+    overwrites its own log partition (no duplicate rows)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        build_reference_histogram,
+        drift_stream_writer,
+        psi_against_reference,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ref_path = str(tmp_path / "ref_hist")
+    with __import__("pytest").raises(FileNotFoundError):
+        psi_against_reference(spark, ev.limit(10), "value", ref_path)
+    build_reference_histogram(ev, "value", ref_path)
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # triggers 0/1: the reference distribution itself; trigger 2: scale
+    # collapsed by 10x — a clear shift
+    ev.select("value").limit(2000).coalesce(1).write.parquet(src + "/.t0")
+    ev.select("value").limit(2000).coalesce(1).write.parquet(src + "/.t1")
+    ev.select((F.col("value") * 0.1).alias("value")).limit(2000).coalesce(
+        1
+    ).write.parquet(src + "/.t2")
+    import shutil
+
+    for i in range(3):
+        f = glob.glob(src + f"/.t{i}/*.parquet")[0]
+        shutil.move(f, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(src + f"/.t{i}")
+
+    log = str(tmp_path / "drift_log")
+    writer = drift_stream_writer(spark, "value", ref_path, log)
+    q = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["batch_id"]: r for r in spark.read.parquet(log).collect()}
+    assert len(rows) == 3
+    assert len({r["n"] for r in rows.values()}) == 1 and all(
+        r["n"] > 0 for r in rows.values()
+    )
+    psis = sorted((r["psi"], b) for b, r in rows.items())
+    # exactly one batch (the shifted one) crosses the action threshold
+    low, mid, high = psis
+    assert low[0] < 0.1 and mid[0] < 0.1 and high[0] > 0.25
+
+    # replay idempotence: re-running a committed batch id overwrites
+    # its partition, leaving the log row count unchanged
+    writer(spark.read.parquet(os.path.join(src, "f0.parquet")), low[1])
+    assert spark.read.parquet(log).count() == 3
