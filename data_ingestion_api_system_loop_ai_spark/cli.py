@@ -174,10 +174,16 @@ def cmd_rollup(args) -> int:
         read_rollup,
         read_rollup_current,
         update_rollup,
+        vacuum_rollup,
     )
 
+    if args.vacuum:
+        print(json.dumps(vacuum_rollup(args.path, args.name)))
+        return 0
     spark = _spark("cli-rollup")
     if args.refresh:
+        if not (args.group_cols and args.measure):
+            raise SystemExit("--refresh requires --group-cols and --measure")
         summary = update_rollup(
             spark, args.path, args.name, args.group_cols.split(","), args.measure
         )
@@ -186,8 +192,15 @@ def cmd_rollup(args) -> int:
     if args.compact:
         print(json.dumps(compact_rollup(spark, args.path, args.name)))
         return 0
+    from .sources.rollup import load_rollup_manifest
+
+    # read paths take the group columns from the committed manifest
+    manifest = load_rollup_manifest(args.path, args.name)
+    if manifest is None:
+        raise SystemExit(f"rollup {args.name!r} at {args.path} was never built")
+    order_cols = manifest["group_cols"]
     reader = read_rollup_current if args.current else read_rollup
-    for r in reader(spark, args.path, args.name).orderBy(*args.group_cols.split(",")).collect():
+    for r in reader(spark, args.path, args.name).orderBy(*order_cols).collect():
         d = r.asDict()
         d["sum_m"] = str(d["sum_m"])
         print(json.dumps(d))
@@ -380,11 +393,13 @@ def build_parser() -> argparse.ArgumentParser:
     pu = sub.add_parser("rollup")
     pu.add_argument("path")
     pu.add_argument("name")
-    pu.add_argument("--group-cols", dest="group_cols", required=True)
-    pu.add_argument("--measure", required=True)
+    # required for --refresh and the read paths; --vacuum needs neither
+    pu.add_argument("--group-cols", dest="group_cols")
+    pu.add_argument("--measure")
     pu.add_argument("--refresh", action="store_true")
     pu.add_argument("--compact", action="store_true")
     pu.add_argument("--current", action="store_true")
+    pu.add_argument("--vacuum", action="store_true")
     pu.set_defaults(fn=cmd_rollup)
 
     pa = sub.add_parser("analyze")

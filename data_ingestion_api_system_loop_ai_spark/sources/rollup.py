@@ -291,3 +291,25 @@ def rollup_stream_writer(
         _commit_manifest(path, name, manifest)
 
     return write_batch
+
+
+def vacuum_rollup(path: str, name: str) -> dict:
+    """Remove ORPHAN unit directories — partials written by a refresh,
+    stream batch, or compaction that crashed before its manifest
+    commit. Orphans are invisible to readers (the manifest is the only
+    entry point) so this is pure space reclamation; committed units are
+    never touched. Returns {"removed", "kept"}."""
+    import shutil
+
+    manifest = load_rollup_manifest(path, name)
+    if manifest is None:
+        raise FileNotFoundError(f"rollup {name!r} at {path} was never built")
+    committed = {u["id"] for u in manifest["units"]}
+    pdir = os.path.join(_root(path, name), "partials")
+    removed = 0
+    if os.path.isdir(pdir):
+        for d in sorted(os.listdir(pdir)):
+            if d not in committed and not d.startswith("."):
+                shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
+                removed += 1
+    return {"removed": removed, "kept": len(committed)}

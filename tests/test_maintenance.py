@@ -553,3 +553,27 @@ def test_rollup_repeated_compaction_never_reuses_unit_names(spark, sf_dir, tmp_p
     assert _finalized(ru.read_rollup(spark, p, "by_flag")) == _full_recompute(
         spark, p
     )
+
+
+def test_rollup_vacuum_removes_only_orphans(spark, sf_dir, tmp_path):
+    """vacuum_rollup deletes crash-debris unit directories and nothing
+    else: finalized results are unchanged and committed units stay."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.sources import rollup as ru
+
+    p = _rollup_fixture(spark, sf_dir, tmp_path)
+    ru.update_rollup(spark, p, "by_flag", ["l_returnflag"], "l_quantity")
+    want = _finalized(ru.read_rollup(spark, p, "by_flag"))
+
+    pdir = os.path.join(p, "_rollup", "by_flag", "partials")
+    spark.read.parquet(os.path.join(pdir, "u000000")).write.parquet(
+        os.path.join(pdir, "u_orphan1")
+    )
+    spark.read.parquet(os.path.join(pdir, "u000000")).write.parquet(
+        os.path.join(pdir, "u_orphan2")
+    )
+    st = ru.vacuum_rollup(p, "by_flag")
+    assert st == {"removed": 2, "kept": 1}
+    assert sorted(os.listdir(pdir)) == ["u000000"]
+    assert _finalized(ru.read_rollup(spark, p, "by_flag")) == want
