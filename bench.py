@@ -118,6 +118,8 @@ HEADLINE = [
     "q_psi_drift",
     # asymmetric containment (quotation/partial-copy) detection
     "q_dedup_containment",
+    # stratified k-fold assignment (exact per-stratum balance)
+    "q_stratified_kfold",
 ]
 
 
@@ -160,6 +162,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
         q_curriculum_order,
+        q_stratified_kfold,
         q_temperature_mix,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.semdedup import (
@@ -231,6 +234,7 @@ def _extra_queries():
         "q_compression_ratio": q_compression_ratio,
         "q_psi_drift": q_psi_drift,
         "q_dedup_containment": q_dedup_containment,
+        "q_stratified_kfold": q_stratified_kfold,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

@@ -431,3 +431,60 @@ SELECT r.doc_id, r.lang, r.rank_in_domain,
                THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
 FROM ranked r JOIN targets USING (lang)
 """
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — the cross-validation / eval-protocol
+# split. Hash-mod folds balance only in expectation; the rank-stride
+# form ((rank - 1) % k over the seeded permutation order, per stratum)
+# gives EXACT balance — fold sizes within each stratum differ by at
+# most one, deterministically — while staying key-stable enough for
+# reproducibility (the fold of a doc depends only on the corpus
+# content, the seed, and k). Same two-phase grouped rank as
+# domain_mix, so a corpus-sized stratum never funnels through one
+# window partition.
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int = KFOLD_K,
+    seed: int | str = SHUFFLE_SEED,
+) -> DataFrame:
+    """(row..., rank_in_stratum, fold): fold ∈ [0, k) assigned by rank
+    stride within each stratum's seeded hash order."""
+    h = _seeded_hex(F.col(key_col), seed)
+    keyed = df.withColumn("_h", h).withColumn("_hb", F.substring("_h", 1, 2))
+    ranked = grouped_row_number(
+        keyed, [stratum_col], ["_hb"], ["_h", key_col], rn_col="rank_in_stratum"
+    ).drop("_h", "_hb")
+    return ranked.withColumn(
+        "fold", ((F.col("rank_in_stratum") - 1) % k).cast("int")
+    )
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold stratified-by-language split of ``documents``.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    exact-balance/coverage invariants in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_kfold(docs, "lang", "doc_id")
+
+
+STRATIFIED_KFOLD_ORACLE = f"""
+SELECT doc_id, lang, rank_in_stratum,
+       CAST((rank_in_stratum - 1) % {KFOLD_K} AS INTEGER) AS fold
+FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_stratum
+  FROM documents
+)
+"""

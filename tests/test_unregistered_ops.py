@@ -2555,3 +2555,36 @@ def test_dedup_containment_oracle_exact_and_quote_fixture(spark, sf_dir):
     assert (2, 1) not in got  # the long doc is NOT contained in the quote
     assert not any(3 in p for p in got)
     assert (1, 2) not in jac  # Jaccard misses the quotation case
+
+
+def test_stratified_kfold_oracle_exact_and_balanced(spark, sf_dir):
+    """Stratified k-fold: DuckDB parity, exact per-stratum balance
+    (fold sizes within each language differ by at most one), full
+    coverage (every doc in exactly one fold), and determinism across
+    runs."""
+    from collections import Counter as _Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        KFOLD_K,
+        STRATIFIED_KFOLD_ORACLE,
+        q_stratified_kfold,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_stratified_kfold(spark, sf_dir), con, STRATIFIED_KFOLD_ORACLE)
+    finally:
+        con.close()
+
+    rows = q_stratified_kfold(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    per = _Counter((r["lang"], r["fold"]) for r in rows)
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        sizes = [per.get((lang, f), 0) for f in range(KFOLD_K)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    again = sorted(map(tuple, q_stratified_kfold(spark, sf_dir).collect()))
+    assert again == sorted(map(tuple, rows))
