@@ -120,6 +120,8 @@ HEADLINE = [
     "q_dedup_containment",
     # stratified k-fold assignment (exact per-stratum balance)
     "q_stratified_kfold",
+    # PMI collocation extraction
+    "q_collocations",
 ]
 
 
@@ -143,6 +145,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
         q_tfidf_source,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
+        q_collocations,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
         q_psi_drift,
@@ -235,6 +240,7 @@ def _extra_queries():
         "q_psi_drift": q_psi_drift,
         "q_dedup_containment": q_dedup_containment,
         "q_stratified_kfold": q_stratified_kfold,
+        "q_collocations": q_collocations,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

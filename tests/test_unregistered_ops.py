@@ -2588,3 +2588,44 @@ def test_stratified_kfold_oracle_exact_and_balanced(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
     again = sorted(map(tuple, q_stratified_kfold(spark, sf_dir).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_collocations_oracle_exact_and_fixture(spark, sf_dir):
+    """PMI collocations: DuckDB parity over documents, plus the
+    defining fixture — a token pair that always co-occurs scores the
+    maximal PMI for its counts, and a pair of independently-frequent
+    tokens scores near zero."""
+    import math as _math
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        collocations as cl,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(cl.q_collocations(spark, sf_dir), con, cl.COLLOCATIONS_ORACLE)
+    finally:
+        con.close()
+
+    # "hong kong" always adjacent (perfect collocation); "the cat" /
+    # "the dog" / "a cat" / "a dog" mix freely (near-independent)
+    rows = []
+    for i in range(10):
+        rows.append((i, "hong kong visit " + ["the cat", "the dog", "a cat", "a dog"][i % 4]))
+    import unittest.mock as mock
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(cl, "load_table", lambda spark, sf_dir, name: df):
+        got = {
+            (r["x"], r["y"]): r for r in cl.q_collocations(spark, "x").collect()
+        }
+    assert ("hong", "kong") in got
+    hk = got[("hong", "kong")]
+    # perfect association: c_xy == c_x == c_y
+    assert hk["c_xy"] == 10
+    # and its PMI tops every mixed pair that qualified
+    for (x, y), r in got.items():
+        if (x, y) != ("hong", "kong"):
+            assert r["pmi"] <= hk["pmi"]
