@@ -122,6 +122,9 @@ HEADLINE = [
     "q_stratified_kfold",
     # PMI collocation extraction
     "q_collocations",
+    # grouped mergeable quantiles + Markov transition matrix
+    "q_hist_quantiles_grouped",
+    "q_event_transitions",
 ]
 
 
@@ -157,6 +160,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.behavior import (
         q_cohort_retention,
+        q_event_transitions,
         q_funnel,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
@@ -176,6 +180,7 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
         q_cms_topk,
         q_hist_quantiles,
+        q_hist_quantiles_grouped,
         q_sketch_rollup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
@@ -241,6 +246,8 @@ def _extra_queries():
         "q_dedup_containment": q_dedup_containment,
         "q_stratified_kfold": q_stratified_kfold,
         "q_collocations": q_collocations,
+        "q_hist_quantiles_grouped": q_hist_quantiles_grouped,
+        "q_event_transitions": q_event_transitions,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

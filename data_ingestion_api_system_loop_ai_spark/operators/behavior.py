@@ -165,3 +165,67 @@ FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
 GROUP BY a.cohort_week, a.week_offset
 ORDER BY a.cohort_week, a.week_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix — the first-order Markov view of the events
+# stream (the behavioral-analytics complement to the funnel's fixed
+# stage order): for every ordered pair of event types, how often does
+# the second IMMEDIATELY follow the first within a user's timeline,
+# and with what conditional probability.
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, n, p): consecutive-event transition counts
+    per ordered type pair across all users, with the row-normalized
+    probability ``p = n / sum_n(from_type)`` (each user's last event
+    has no successor and drops out). One lag window per user (parallel
+    across users — a user's timeline fits a partition by the same
+    argument as SCD2) + one map-side-combinable pair count; the
+    normalizer joins back on from_type over a types^2-bounded relation.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    row-stochastic invariant in tests/test_unregistered_ops.py.)"""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n, round(p.n * 1.0 / t.tot, 6) AS p
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY p.from_type, p.to_type
+"""

@@ -324,3 +324,92 @@ WHERE cum >= (q * n + 99) // 100
 GROUP BY q
 ORDER BY q
 """
+
+
+def q_hist_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, q, bucket, lo_cents, hi_cents): p25/p50/p75 of
+    ``l_extendedprice`` PER RETURNFLAG from the same mergeable
+    histogram cells — the grouped form of ``q_hist_quantiles``. The
+    prefix sum runs in a window PARTITIONED BY the group (parallel
+    across groups, <= HIST_BINS rows within each), targets ride a
+    per-group count relation; bucket width stays the GLOBAL one so
+    per-group sketches remain cell-wise mergeable into the corpus
+    sketch. (Unregistered — 50-slot cap; driver-grade DuckDB parity in
+    tests/test_unregistered_ops.py.)"""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    stats = cents.agg(F.max("c").alias("mx")).select(
+        F.expr(f"(mx + {HIST_BINS}) div {HIST_BINS}").alias("w")
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(stats))
+        .select("grp", F.expr("c div w").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cum = cells.select(
+        "grp",
+        "bucket",
+        F.sum("c")
+        .over(
+            W.partitionBy("grp").orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+    )
+    counts = cents.groupBy("grp").agg(F.count("*").alias("n"))
+    qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    targets = counts.select("grp", "n", qs).crossJoin(F.broadcast(stats))
+    return (
+        targets.join(
+            cum,
+            (targets.grp == cum.grp)
+            & (F.col("cum") >= F.expr("(q * n + 99) div 100")),
+        )
+        .groupBy(targets.grp.alias("grp"), "q", "w")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "grp",
+            "q",
+            "bucket",
+            (F.col("bucket") * F.col("w")).alias("lo_cents"),
+            ((F.col("bucket") + 1) * F.col("w") - 1).alias("hi_cents"),
+        )
+        .orderBy("grp", "q")
+    )
+
+
+HIST_QUANTILES_GROUPED_ORACLE = f"""
+WITH cents AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+stats AS (SELECT (max(c) + {HIST_BINS}) // {HIST_BINS} AS w FROM cents),
+cells AS (
+  SELECT grp, c // w AS bucket, count(*) AS cnt
+  FROM cents, stats GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+  FROM cells
+),
+counts AS (SELECT grp, count(*) AS n FROM cents GROUP BY grp),
+targets AS (
+  SELECT grp, n, unnest([{", ".join(str(q) for q in HIST_QS)}]) AS q
+  FROM counts
+)
+SELECT t.grp, t.q, min(bucket) AS bucket,
+       min(bucket) * any_value(w) AS lo_cents,
+       (min(bucket) + 1) * any_value(w) - 1 AS hi_cents
+FROM targets t, stats, cum
+WHERE cum.grp = t.grp AND cum.cum >= (t.q * t.n + 99) // 100
+GROUP BY t.grp, t.q
+ORDER BY t.grp, t.q
+"""

@@ -2629,3 +2629,75 @@ def test_collocations_oracle_exact_and_fixture(spark, sf_dir):
     for (x, y), r in got.items():
         if (x, y) != ("hong", "kong"):
             assert r["pmi"] <= hk["pmi"]
+
+
+def test_hist_quantiles_grouped_oracle_exact(spark, sf_dir):
+    """Grouped mergeable quantiles: DuckDB parity, and every group's
+    estimated bucket brackets its true rank-based percentile."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        HIST_QUANTILES_GROUPED_ORACLE,
+        q_hist_quantiles_grouped,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            q_hist_quantiles_grouped(spark, sf_dir),
+            con,
+            HIST_QUANTILES_GROUPED_ORACLE,
+        )
+    finally:
+        con.close()
+
+    vals: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    ):
+        vals.setdefault(r["l_returnflag"], []).append(r["c"])
+    est = {
+        (r["grp"], r["q"]): r
+        for r in q_hist_quantiles_grouped(spark, sf_dir).collect()
+    }
+    for grp, xs in vals.items():
+        xs.sort()
+        for q in (25, 50, 75):
+            exact = xs[-(-q * len(xs) // 100) - 1]
+            e = est[(grp, q)]
+            assert e["lo_cents"] <= exact <= e["hi_cents"], (grp, q)
+
+
+def test_event_transitions_oracle_exact_and_row_stochastic(spark, sf_dir):
+    """Markov transition matrix: DuckDB parity, and per from_type the
+    probabilities sum to 1 (row-stochastic up to rounding)."""
+    from collections import defaultdict
+
+    from data_ingestion_api_system_loop_ai_spark.operators.behavior import (
+        EVENT_TRANSITIONS_ORACLE,
+        q_event_transitions,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            q_event_transitions(spark, sf_dir), con, EVENT_TRANSITIONS_ORACLE
+        )
+    finally:
+        con.close()
+
+    sums = defaultdict(float)
+    for r in q_event_transitions(spark, sf_dir).collect():
+        sums[r["from_type"]] += r["p"]
+    for ft, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
