@@ -125,6 +125,8 @@ HEADLINE = [
     # grouped mergeable quantiles + Markov transition matrix
     "q_hist_quantiles_grouped",
     "q_event_transitions",
+    # semantic clusters: CC over strong kNN edges (iterative)
+    "q_embedding_clusters",
 ]
 
 
@@ -151,6 +153,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
         q_collocations,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        q_embedding_clusters,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
         q_psi_drift,
@@ -248,6 +253,7 @@ def _extra_queries():
         "q_collocations": q_collocations,
         "q_hist_quantiles_grouped": q_hist_quantiles_grouped,
         "q_event_transitions": q_event_transitions,
+        "q_embedding_clusters": q_embedding_clusters,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

@@ -246,3 +246,41 @@ SELECT d.doc_id,
        coalesce(cc.component, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic clusters: connected components over the kNN graph's strong
+# edges — the composition that turns the ANN substrate into corpus
+# structure (cluster-aware curation, per-cluster sampling caps,
+# semantic dedup beyond pairwise: a chain a~b~c lands in ONE cluster
+# even when cos(a,c) is below threshold).
+# ---------------------------------------------------------------------------
+
+# cosine floor for a kNN edge to count as a semantic tie — adapted to
+# the synthetic corpus's near-orthogonal cosine range (the SEMDEDUP_TAU
+# argument; production recalibrates per embedding model)
+EMB_EDGE_TAU = 0.30
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, component, cluster_size): components of the kNN graph
+    restricted to edges with cosine >= ``EMB_EDGE_TAU``. Vectors with
+    no strong edge stay out of the relation (singletons carry no
+    cluster information). Iterative min-label propagation — the same
+    non-SQL-expressible loop as the dedup components, pinned against
+    an independent pure-Python union-find in the direct test."""
+    from ..sources.loader import load_table as _lt
+    from .similarity import ivf_assign, ivf_centroids, knn_graph
+
+    e = _lt(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    strong = knn_graph(e, ivf_centroids(asg), asg).filter(
+        F.col("cosine") >= EMB_EDGE_TAU
+    )
+    cc = connected_components(strong, a_col="query_id", b_col="neighbor_id")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

@@ -2701,3 +2701,60 @@ def test_event_transitions_oracle_exact_and_row_stochastic(spark, sf_dir):
         sums[r["from_type"]] += r["p"]
     for ft, s in sums.items():
         assert abs(s - 1.0) < 1e-4, (ft, s)
+
+
+def test_embedding_clusters_match_union_find(spark, sf_dir):
+    """Semantic clusters over strong kNN edges: labels equal an
+    independent pure-Python union-find (min-id canonicalized) on the
+    identical edge set; every edge's endpoints share a component;
+    cluster sizes reconcile."""
+    from collections import Counter as _Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        EMB_EDGE_TAU,
+        q_embedding_clusters,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        knn_graph,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    edges = [
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_graph(e, ivf_centroids(asg), asg)
+        .filter(f"cosine >= {EMB_EDGE_TAU}")
+        .collect()
+    ]
+    assert edges, "tau too high for the fixture corpus"
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r["vec_id"]: (r["component"], r["cluster_size"])
+        for r in q_embedding_clusters(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    sizes = _Counter(want.values())
+    for vec, (comp, size) in got.items():
+        assert size == sizes[comp]
+    for a, b in edges:
+        assert got[a][0] == got[b][0]
