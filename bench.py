@@ -127,6 +127,8 @@ HEADLINE = [
     "q_event_transitions",
     # semantic clusters: CC over strong kNN edges (iterative)
     "q_embedding_clusters",
+    # bigram LM conditional surprisal
+    "q_lm2_score",
 ]
 
 
@@ -172,6 +174,7 @@ def _extra_queries():
         q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+        q_lm2_score,
         q_lm_score,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
@@ -254,6 +257,7 @@ def _extra_queries():
         "q_hist_quantiles_grouped": q_hist_quantiles_grouped,
         "q_event_transitions": q_event_transitions,
         "q_embedding_clusters": q_embedding_clusters,
+        "q_lm2_score": q_lm2_score,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

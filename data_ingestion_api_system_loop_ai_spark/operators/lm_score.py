@@ -170,3 +170,144 @@ SELECT doc_id,
        round(s / n_tokens, 6) BETWEEN {LM_LOW} AND {LM_HIGH} AS keep
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM — conditional surprisal (one order up from the unigram
+# stage, one step toward the CCNet/KenLM n-gram filter): score each
+# document by the mean add-one-smoothed -ln P(y|x) over its adjacent
+# token pairs, P(y|x) = (c_xy + 1) / (c_x + V). The scale difference
+# from the unigram stage is honest and documented: the trained bigram
+# relation is CORPUS-BIGRAM-bounded, not Zipf-vocabulary-bounded, so
+# the scoring join runs as a plain shuffle join on the (x, y) key (the
+# sharded-model deployment) rather than a broadcast — AQE still
+# broadcasts it while it fits.
+# ---------------------------------------------------------------------------
+
+
+def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, n_distinct_bigrams, mean_surprisal2) over
+    ``documents`` — docs with fewer than two tokens drop (no bigrams).
+    Summation rides a (x, y)-sorted fold so float order is pinned on
+    both engines. (Unregistered — 50-slot cap; driver-grade DuckDB
+    parity + ordering fixture in tests/test_unregistered_ops.py.)"""
+    from .collocations import bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = bigram_counts(docs.select("text"))
+    cx = bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    v = bg.agg(F.countDistinct("y").alias("V"))
+
+    pairs_arr = F.element_at(
+        F.transform(
+            F.array(tokenize(F.col("text"))),
+            lambda ts: F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.slice(ts, 1, F.size(ts) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.element_at(ts, i + 2).alias("y")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>")),
+        ),
+        1,
+    )
+    # in-row distinct-bigram tfs (the lm_score idiom lifted to pairs):
+    # the explode below emits one row per DISTINCT doc bigram, so the
+    # model join's fan-in is bounded by per-doc bigram diversity
+    doc_bg = docs.select(
+        "doc_id", pairs_arr.alias("_ps")
+    ).withColumn(
+        "_tfs",
+        F.transform(
+            F.array_distinct("_ps"),
+            lambda p: F.struct(
+                p["x"].alias("x"),
+                p["y"].alias("y"),
+                F.size(
+                    F.filter(
+                        "_ps",
+                        lambda q: (q["x"] == p["x"]) & (q["y"] == p["y"]),
+                    )
+                ).alias("tf"),
+            ),
+        ),
+    )
+    per_pair = doc_bg.filter(F.size("_ps") > 0).select(
+        "doc_id",
+        F.size("_ps").alias("n_bigrams"),
+        F.explode("_tfs").alias("e"),
+    ).select("doc_id", "n_bigrams", "e.x", "e.y", "e.tf")
+
+    contrib = (
+        per_pair.join(bg, ["x", "y"])
+        .join(cx, "x")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "x",
+            "y",
+            (
+                F.col("tf")
+                * -F.log((F.col("c_xy") + 1) / (F.col("c_x") + F.col("V")))
+            ).alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id", "n_bigrams").agg(
+        F.count("*").alias("n_distinct_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", "y", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        F.round(F.col("s") / F.col("n_bigrams"), 6).alias("mean_surprisal2"),
+    )
+
+
+LM2_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+bg_doc AS (
+  SELECT doc_id, u.pair['x'] AS x, u.pair['y'] AS y, count(*) AS tf
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 2 THEN
+         list_transform(range(1, len(ts)),
+                        i -> {{'x': ts[i], 'y': ts[i+1]}})
+         ELSE [] END) AS u(pair)
+  GROUP BY 1, 2, 3
+),
+bg AS (SELECT x, y, sum(tf) AS c_xy FROM bg_doc GROUP BY x, y),
+cx AS (SELECT x, sum(c_xy) AS c_x FROM bg GROUP BY x),
+v AS (SELECT count(DISTINCT y) AS V FROM bg),
+nb AS (
+  SELECT doc_id, greatest(len(ts) - 1, 0) AS n_bigrams FROM toks
+),
+contrib AS (
+  SELECT d.doc_id, d.x, d.y,
+         d.tf * -ln((b.c_xy + 1) / (c.c_x + v.V)) AS c
+  FROM bg_doc d JOIN bg b USING (x, y) JOIN cx c USING (x) CROSS JOIN v
+),
+per_doc AS (
+  SELECT c.doc_id, n.n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         list_sum(list(c.c ORDER BY c.x, c.y)) AS s
+  FROM contrib c JOIN nb n USING (doc_id)
+  GROUP BY c.doc_id, n.n_bigrams
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+       round(s / n_bigrams, 6) AS mean_surprisal2
+FROM per_doc
+"""

@@ -2758,3 +2758,29 @@ def test_embedding_clusters_match_union_find(spark, sf_dir):
         assert size == sizes[comp]
     for a, b in edges:
         assert got[a][0] == got[b][0]
+
+
+def test_lm2_score_oracle_exact_and_orders_fluency(spark, sf_dir):
+    """Bigram LM conditional surprisal: DuckDB parity over documents,
+    plus the semantics fixture — a document made of the corpus's most
+    common transitions scores lower (more fluent) than one pairing the
+    same tokens in never-seen orders."""
+    from data_ingestion_api_system_loop_ai_spark.operators import lm_score as lm
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(lm.q_lm2_score(spark, sf_dir), con, lm.LM2_SCORE_ORACLE)
+    finally:
+        con.close()
+
+    rows = [(i, "alpha beta gamma delta") for i in range(20)]
+    rows.append((100, "alpha beta gamma delta"))  # fluent: seen bigrams
+    rows.append((101, "delta alpha gamma beta"))  # same tokens, unseen order
+    import unittest.mock as mock
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(lm, "load_table", lambda spark, sf_dir, name: df):
+        got = {r["doc_id"]: r for r in lm.q_lm2_score(spark, "x").collect()}
+    assert got[100]["mean_surprisal2"] < got[101]["mean_surprisal2"]
