@@ -188,13 +188,19 @@ FROM per_doc
 def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, n_distinct_bigrams, mean_surprisal2) over
     ``documents`` — docs with fewer than two tokens drop (no bigrams).
-    Summation rides a (x, y)-sorted fold so float order is pinned on
-    both engines. (Unregistered — 50-slot cap; driver-grade DuckDB
+    Per-doc summation casts each contribution to decimal(25,12) so the
+    sum is order-independent exactly on both engines. (Unregistered — 50-slot cap; driver-grade DuckDB
     parity + ordering fixture in tests/test_unregistered_ops.py.)"""
     from .collocations import bigram_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = bigram_counts(docs.select("text"))
+    # REUSE BARRIER (the _shingle_sets idiom): the trained bigram
+    # relation has three consumers (the scoring join, the c_x
+    # marginals, the vocabulary count) — without a shared exchange each
+    # would re-run the corpus tokenize+pair aggregation; the
+    # repartition makes the three subtrees identical up to the
+    # exchange, which ReuseExchange collapses to one execution
+    bg = bigram_counts(docs.select("text")).repartition(F.col("x"))
     cx = bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
     v = bg.agg(F.countDistinct("y").alias("V"))
 
@@ -213,32 +219,22 @@ def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    # in-row distinct-bigram tfs (the lm_score idiom lifted to pairs):
-    # the explode below emits one row per DISTINCT doc bigram, so the
-    # model join's fan-in is bounded by per-doc bigram diversity
-    doc_bg = docs.select(
-        "doc_id", pairs_arr.alias("_ps")
-    ).withColumn(
-        "_tfs",
-        F.transform(
-            F.array_distinct("_ps"),
-            lambda p: F.struct(
-                p["x"].alias("x"),
-                p["y"].alias("y"),
-                F.size(
-                    F.filter(
-                        "_ps",
-                        lambda q: (q["x"] == p["x"]) & (q["y"] == p["y"]),
-                    )
-                ).alias("tf"),
-            ),
-        ),
+    # exploded (doc, x, y) tf aggregation — NOT the unigram stage's
+    # in-row tf trick: bigrams are nearly all DISTINCT within a doc, so
+    # the in-row filter degenerates to O(n_bigrams^2) struct compares
+    # per document (measured 17 s at sf0.1; the in-row form wins only
+    # when per-doc term diversity is far below length, as with
+    # unigrams). The pairs array is evaluated EXACTLY ONCE per row:
+    # n_bigrams is recovered later as sum(tf) instead of a second
+    # size(pairs_arr) reference, which CollapseProject would inline as
+    # a full re-tokenize+re-pair per row (measured 8.6 s -> 2.5 s).
+    per_pair = (
+        docs.select("doc_id", F.explode(pairs_arr).alias("p"))
+        .groupBy(
+            "doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+        )
+        .agg(F.count("*").alias("tf"))
     )
-    per_pair = doc_bg.filter(F.size("_ps") > 0).select(
-        "doc_id",
-        F.size("_ps").alias("n_bigrams"),
-        F.explode("_tfs").alias("e"),
-    ).select("doc_id", "n_bigrams", "e.x", "e.y", "e.tf")
 
     contrib = (
         per_pair.join(bg, ["x", "y"])
@@ -246,25 +242,24 @@ def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            "n_bigrams",
-            "x",
-            "y",
+            "tf",
             (
                 F.col("tf")
                 * -F.log((F.col("c_xy") + 1) / (F.col("c_x") + F.col("V")))
             ).alias("c"),
         )
     )
-    per_doc = contrib.groupBy("doc_id", "n_bigrams").agg(
+    # decimal sum instead of the unigram stage's sorted fold: collecting
+    # ~n_bigrams (x, y, c) STRING structs per doc for ordering is the
+    # dominant cost at scale; casting each contribution to
+    # decimal(25,12) makes the sum order-independent exactly (the
+    # ivf_centroids precedent), so a plain HashAggregate suffices.
+    # n_bigrams = sum(tf) — recovered here rather than carried from a
+    # second pairs-array evaluation.
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
         F.count("*").alias("n_distinct_bigrams"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("x", "y", "c"))),
-                lambda s: s["c"],
-            ),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        ).alias("s"),
+        F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("s"),
     )
     return per_doc.select(
         "doc_id",
@@ -301,7 +296,7 @@ contrib AS (
 per_doc AS (
   SELECT c.doc_id, n.n_bigrams,
          count(*) AS n_distinct_bigrams,
-         list_sum(list(c.c ORDER BY c.x, c.y)) AS s
+         CAST(sum(CAST(c.c AS DECIMAL(25,12))) AS DOUBLE) AS s
   FROM contrib c JOIN nb n USING (doc_id)
   GROUP BY c.doc_id, n.n_bigrams
 )
