@@ -129,6 +129,8 @@ HEADLINE = [
     "q_embedding_clusters",
     # bigram LM conditional surprisal
     "q_lm2_score",
+    # semantic clusters probed from the persisted index
+    "q_embedding_clusters_index",
 ]
 
 
@@ -229,6 +231,15 @@ def _extra_queries():
             built[sf_dir] = p
         return ann_index.q_knn_graph_from_index(spark, sf_dir, built[sf_dir])
 
+    def _clusters_from_index(spark, sf_dir):
+        if sf_dir not in built:
+            p = os.path.join(ix_root, os.path.basename(sf_dir.rstrip("/")))
+            ann_index.build_ann_index(spark, sf_dir, p)
+            built[sf_dir] = p
+        return ann_index.q_embedding_clusters_from_index(
+            spark, sf_dir, built[sf_dir]
+        )
+
     def _semdedup_from_model(spark, sf_dir):
         # same build-once discipline for the k-means cluster model
         if sf_dir not in km_built:
@@ -258,6 +269,7 @@ def _extra_queries():
         "q_event_transitions": q_event_transitions,
         "q_embedding_clusters": q_embedding_clusters,
         "q_lm2_score": q_lm2_score,
+        "q_embedding_clusters_index": _clusters_from_index,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
         "q_tpch_q13": q_tpch_q13,

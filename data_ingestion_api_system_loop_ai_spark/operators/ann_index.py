@@ -252,3 +252,27 @@ def q_knn_graph_from_index(
     cent = spark.read.parquet(os.path.join(index_path, "centroids"))
     asg = spark.read.parquet(os.path.join(index_path, "assignments"))
     return knn_graph(e, cent, asg)
+
+
+def q_embedding_clusters_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Semantic clusters probing the persisted ANN index: the kNN
+    edges come from the stored quantizer/assignments (zero training in
+    the query path), the component loop is unchanged — pinned
+    result-identical to the inline ``components.q_embedding_clusters``."""
+    from .components import EMB_EDGE_TAU, connected_components
+
+    _require(index_path)
+    from pyspark.sql import functions as F
+
+    strong = q_knn_graph_from_index(spark, sf_dir, index_path).filter(
+        F.col("cosine") >= EMB_EDGE_TAU
+    )
+    cc = connected_components(strong, a_col="query_id", b_col="neighbor_id")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(F.broadcast(sizes), "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

@@ -2784,3 +2784,24 @@ def test_lm2_score_oracle_exact_and_orders_fluency(spark, sf_dir):
     with mock.patch.object(lm, "load_table", lambda spark, sf_dir, name: df):
         got = {r["doc_id"]: r for r in lm.q_lm2_score(spark, "x").collect()}
     assert got[100]["mean_surprisal2"] < got[101]["mean_surprisal2"]
+
+
+def test_embedding_clusters_from_index_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted-index form of the semantic clusters returns the
+    IDENTICAL labeling to the inline fit (same frozen edges, same
+    component loop)."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        q_embedding_clusters,
+    )
+
+    ix = str(tmp_path / "cl_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    inline = sorted(map(tuple, q_embedding_clusters(spark, sf_dir).collect()))
+    from_ix = sorted(
+        map(
+            tuple,
+            ai.q_embedding_clusters_from_index(spark, sf_dir, ix).collect(),
+        )
+    )
+    assert inline == from_ix and inline
