@@ -113,6 +113,14 @@ def cmd_compact(args) -> int:
         )
         print(json.dumps(summary))
         return 0
+    if args.ann_index:
+        # `compact SRC --ann-index`: SRC is a persisted ANN index;
+        # fold its append units into one c-unit (marker supersession,
+        # probe results pinned identical — VERDICT r04 #6).
+        from .operators.ann_index import compact_ann_index
+
+        print(json.dumps(compact_ann_index(spark, args.src)))
+        return 0
     if args.dst is None:
         print("error: DST is required unless --index is given", file=sys.stderr)
         return 2
@@ -416,6 +424,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="SRC is a dedup fingerprint index: consolidate its "
         "committed units (DST, if given, is the kept-corpus out_path "
         "compacted alongside)",
+    )
+    pc.add_argument(
+        "--ann-index",
+        action="store_true",
+        help="SRC is a persisted ANN index: consolidate its committed "
+        "append units into one unit (probe results unchanged)",
     )
     pc.add_argument("--target-mb", type=int, default=128)
     pc.add_argument("--partition-by", default=None)

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_k, tokenize
+from ..sources import commit_protocol
 from .dedup import JACCARD_THRESHOLD, MINHASH_BANDS, MINHASH_N, MINHASH_R, SHINGLE_K
 
 _COMMITS_DIR = "_commits"
@@ -151,51 +152,21 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _marker_state(index_path: str) -> tuple[set[str], set[str]]:
-    """(all committed marker names, union of every marker's supersedes
-    set). A plain unit's marker contains its own label; a compaction
-    unit's marker contains ``supersedes=u1,u2,...`` — the units whose
-    content it consolidated. Supersession applies from ALL markers
-    (even ones that were themselves later superseded): a crashed
-    cleanup can leave an old marker behind, and its supersedes set must
-    keep shadowing units whose content now lives two compactions deep."""
-    d = os.path.join(index_path, _COMMITS_DIR)
-    if not os.path.isdir(d):
-        return set(), set()
-    names = {f for f in os.listdir(d) if not f.startswith((".", "_"))}
-    superseded: set[str] = set()
-    for n in names:
-        with open(os.path.join(d, n)) as f:
-            content = f.read().strip()
-        if content.startswith("supersedes="):
-            superseded.update(
-                u for u in content[len("supersedes=") :].split(",") if u
-            )
-    return names, superseded
-
-
-def committed_units(index_path: str) -> list[str]:
-    """Unit labels whose marker file committed and that no compaction
-    marker supersedes — the ONLY units any reader resolves. Sorted for
-    deterministic read order."""
-    names, superseded = _marker_state(index_path)
-    return sorted(names - superseded)
+# Unit-marker protocol: the shared implementation lives in
+# sources/commit_protocol.py (VERDICT r04 #7 — this module's r4
+# protocol was extracted verbatim as the common core; the dedup index,
+# the ANN index, and the rollup manifests now publish through ONE
+# rename primitive with one test suite). The thin aliases below keep
+# this module's public surface (tests, cli, streaming writer) stable.
+_marker_state = commit_protocol.marker_state
+committed_units = commit_protocol.committed_units
 
 
 def _commit_unit(index_path: str, unit: str, content: str | None = None) -> None:
-    """Atomically publish a unit: temp file + rename, the same
-    publish-by-rename contract the wire source requires of its capture
-    files. The rename is the commit point — before it, nothing
-    references the unit's directories; after it, both tables observe
-    the unit together. A compaction passes ``content`` as its
-    ``supersedes=...`` list, making the same rename simultaneously
-    publish the consolidated unit and retire the units it replaced."""
-    d = os.path.join(index_path, _COMMITS_DIR)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{unit}.tmp")
-    with open(tmp, "w") as f:
-        f.write(content if content is not None else unit)
-    os.replace(tmp, os.path.join(d, unit))
+    supersedes = None
+    if content is not None and content.startswith("supersedes="):
+        supersedes = [u for u in content[len("supersedes=") :].split(",") if u]
+    commit_protocol.commit_unit(index_path, unit, supersedes=supersedes)
 
 
 def build_dedup_index(
@@ -223,12 +194,7 @@ def build_dedup_index(
         # skip names any marker has ever used OR superseded: reusing a
         # superseded label would commit a unit that compaction markers
         # already shadow (silently invisible history)
-        names, superseded = _marker_state(path)
-        taken = names | superseded
-        i = 0
-        while f"u{i:06d}" in taken:
-            i += 1
-        label = f"u{i:06d}"
+        label = commit_protocol.next_unit_label(path)
     s = _sigs(docs)
     s.select("sha", "doc_id").groupBy("sha").agg(
         F.min("doc_id").alias("canonical_id")
@@ -459,12 +425,7 @@ def compact_dedup_index(
             "files_after": files_before,
         }
 
-    names, superseded = _marker_state(index_path)
-    taken = names | superseded
-    i = 0
-    while f"c{i:06d}" in taken:
-        i += 1
-    label = f"c{i:06d}"
+    label = commit_protocol.next_unit_label(index_path, prefix="c")
 
     from ..sources.maintenance import _dataset_bytes
 

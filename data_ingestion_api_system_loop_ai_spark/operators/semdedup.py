@@ -149,7 +149,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pruning run — not something a query retrains.
 # ---------------------------------------------------------------------------
 
-_MARKER = "_COMMITTED"
+# marker protocol shared package-wide: sources/commit_protocol.py
 
 
 def build_kmeans_model(
@@ -178,11 +178,10 @@ def build_kmeans_model(
     for _ in range(iters - 1):
         asg = kmeans_assign(e, cent).localCheckpoint()
         cent = _recompute(e, asg).localCheckpoint()
+    from ..sources import commit_protocol
+
     cent.write.mode("overwrite").parquet(os.path.join(model_path, "centroids"))
-    tmp = os.path.join(model_path, f".{_MARKER}.tmp")
-    with open(tmp, "w") as f:
-        f.write("ok")
-    os.replace(tmp, os.path.join(model_path, _MARKER))
+    commit_protocol.write_marker(model_path)
 
 
 def q_semdedup_from_model(
@@ -195,11 +194,11 @@ def q_semdedup_from_model(
     test); per-query cost at sf0.1 drops ~4x."""
     import os
 
-    if not os.path.exists(os.path.join(model_path, _MARKER)):
-        raise FileNotFoundError(
-            f"k-means model at {model_path} has no {_MARKER} marker "
-            f"(never built, or a build crashed mid-write); run build_kmeans_model"
-        )
+    from ..sources import commit_protocol
+
+    commit_protocol.require_marker(
+        model_path, what="k-means model", builder="build_kmeans_model"
+    )
     e = load_table(spark, sf_dir, "embeddings")
     cent = spark.read.parquet(os.path.join(model_path, "centroids"))
     return semdedup(e, tau=tau, centroids=cent).orderBy("vec_id")

@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .commit_protocol import atomic_write_text
 from .maintenance import parquet_files
 
 ROLLUP_DIR = "_rollup"
@@ -69,12 +70,11 @@ def load_rollup_manifest(path: str, name: str) -> dict | None:
 
 
 def _commit_manifest(path: str, name: str, manifest: dict) -> None:
-    root = _root(path, name)
-    os.makedirs(root, exist_ok=True)
-    tmp = os.path.join(root, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(root, "manifest.json"))
+    # one rename primitive across the package (VERDICT r04 #7)
+    atomic_write_text(
+        os.path.join(_root(path, name), "manifest.json"),
+        json.dumps(manifest, indent=1),
+    )
 
 
 def _next_unit(manifest: dict, suffix: str = "") -> str:

@@ -262,10 +262,9 @@ class IngestWireWriter(DataSourceWriter):
             files = sorted(set(files) | set(prev_files))
             rows += prev_rows
         manifest = {"files": files, "rows": rows}
-        tmp = success + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, success)
+        from .commit_protocol import atomic_write_text
+
+        atomic_write_text(success, json.dumps(manifest))
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -50,6 +50,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..sources.commit_protocol import atomic_write_text
+
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
 _CONFIG = "_TABLE_CONFIG.json"
@@ -113,18 +115,17 @@ class ServingTable:
     def _save_config(self) -> None:
         cfg_path = os.path.join(self.path, _CONFIG)
         if not os.path.exists(cfg_path):
-            tmp = cfg_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
+            atomic_write_text(
+                cfg_path,
+                json.dumps(
                     {
                         "key_cols": self.key_cols,
                         "seq_col": self.seq_col,
                         "num_buckets": self.num_buckets,
                         "bucket_cols": self.bucket_cols,
-                    },
-                    f,
-                )
-            os.replace(tmp, cfg_path)
+                    }
+                ),
+            )
 
     # -- commit protocol ---------------------------------------------------
 
@@ -139,10 +140,8 @@ class ServingTable:
             return -1
 
     def _commit(self, version: int) -> None:
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._pointer_file())  # atomic pointer swap
+        # atomic pointer swap — the shared rename primitive
+        atomic_write_text(self._pointer_file(), str(version))
 
     def _claim_version(self, version: int) -> None:
         """Optimistic concurrency: atomically claim a version number
@@ -620,19 +619,17 @@ class ServingTable:
         # nothing references older directories
         self._write_manifest(next_v, {int(b): next_v for b in touched})
         self._commit(next_v)
-        cfg_path = os.path.join(self.path, _CONFIG)
-        tmp = cfg_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        atomic_write_text(
+            os.path.join(self.path, _CONFIG),
+            json.dumps(
                 {
                     "key_cols": self.key_cols,
                     "seq_col": self.seq_col,
                     "num_buckets": self.num_buckets,
                     "bucket_cols": self.bucket_cols,
-                },
-                f,
-            )
-        os.replace(tmp, cfg_path)
+                }
+            ),
+        )
         self._vacuum(next_v)
         return next_v
 
