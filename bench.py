@@ -131,6 +131,17 @@ HEADLINE = [
     "q_lm2_score",
     # semantic clusters probed from the persisted index
     "q_embedding_clusters_index",
+    # text/retrieval scoring against the persisted text model (the
+    # last build/probe split, VERDICT r04 #1): compare with the
+    # train-inside forms q_lm_score / q_lm2_score / q_hybrid_rank
+    "q_lm_score_model",
+    "q_lm2_score_model",
+    "q_hybrid_rank_model",
+    # the production shape of the split: score the 1% ingest batch
+    # against the frozen corpus LM (O(batch)) vs training on the full
+    # corpus inline to score the same batch (O(corpus))
+    "q_lm_batch_inline",
+    "q_lm_batch_model",
 ]
 
 
@@ -210,9 +221,57 @@ def _extra_queries():
         q_knn_graph,
     )
 
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        text_models as tmod,
+    )
+
     ix_root = tempfile.mkdtemp(prefix="bench_ann_ix_")
     built: dict[str, str] = {}
     km_built: dict[str, str] = {}
+    tm_built: dict[str, str] = {}
+
+    def _text_model(spark, sf_dir) -> str:
+        if sf_dir not in tm_built:
+            p = os.path.join(ix_root, "tm_" + os.path.basename(sf_dir.rstrip("/")))
+            tmod.build_text_models(spark, sf_dir, p)
+            tm_built[sf_dir] = p
+        return tm_built[sf_dir]
+
+    def _lm_from_model(spark, sf_dir):
+        return tmod.q_lm_score_from_model(spark, sf_dir, _text_model(spark, sf_dir))
+
+    def _lm2_from_model(spark, sf_dir):
+        return tmod.q_lm2_score_from_model(spark, sf_dir, _text_model(spark, sf_dir))
+
+    def _hybrid_from_model(spark, sf_dir):
+        return tmod.q_hybrid_rank_from_model(
+            spark, sf_dir, _text_model(spark, sf_dir)
+        )
+
+    def _lm_batch_model(spark, sf_dir):
+        return tmod.q_lm_score_batch_from_model(
+            spark, sf_dir, _text_model(spark, sf_dir)
+        )
+
+    def _lm_batch_inline(spark, sf_dir):
+        # honest train-inside equivalent of the batch scoring: the LM
+        # must come from the FULL corpus even though only the 1% batch
+        # is scored — O(corpus) per invocation
+        from pyspark.sql import functions as _F
+
+        from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+            lm_scores,
+            unigram_counts,
+            unigram_totals,
+        )
+        from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.filter(_F.col("doc_id") % 100 == 0)
+        freq = unigram_counts(docs)
+        return lm_scores(batch, freq=freq, totals=unigram_totals(freq))
 
     def _ivf_from_index(spark, sf_dir):
         # one build per sf_dir, OUTSIDE any timed run when the warm-up
@@ -287,6 +346,11 @@ def _extra_queries():
         "q_cohort_retention": q_cohort_retention,
         "q_curriculum_order": q_curriculum_order,
         "q_similarity_ivf_index": _ivf_from_index,
+        "q_lm_score_model": _lm_from_model,
+        "q_lm2_score_model": _lm2_from_model,
+        "q_hybrid_rank_model": _hybrid_from_model,
+        "q_lm_batch_inline": _lm_batch_inline,
+        "q_lm_batch_model": _lm_batch_model,
     }
 
 
@@ -403,6 +467,9 @@ def main() -> None:
         "overwrite"
     ).save()
     fns["q_semdedup_model"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    fns["q_lm_score_model"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

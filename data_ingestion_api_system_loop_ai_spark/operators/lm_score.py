@@ -68,32 +68,56 @@ def unigram_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_scores(docs: DataFrame) -> DataFrame:
+def unigram_totals(freq: DataFrame) -> DataFrame:
+    """1-row (T, V) smoothing denominator of the trained LM."""
+    return freq.agg(F.sum("cnt").alias("T"), F.count("*").alias("V"))
+
+
+def lm_scores(
+    docs: DataFrame,
+    freq: DataFrame | None = None,
+    totals: DataFrame | None = None,
+) -> DataFrame:
     """Score ``docs(doc_id, text)``: (doc_id, n_tokens, n_distinct,
-    mean_surprisal, keep)."""
-    freq = unigram_counts(docs)
-    totals = freq.agg(
-        F.sum("cnt").alias("T"), F.count("*").alias("V")
-    )
+    mean_surprisal, keep).
+
+    ``freq``/``totals`` default to training on ``docs`` itself (the
+    oracle-checked inline form); a persisted model passes its stored
+    relations instead (``operators/text_models.py``) and the scoring
+    plan below is UNCHANGED — counts are longs and every downstream
+    expression is the same tree, so from-model results are bit-identical
+    to train-inside results (pinned by test)."""
+    if freq is None:
+        freq = unigram_counts(docs)
+    if totals is None:
+        totals = unigram_totals(freq)
 
     # in-row distinct-token tfs: (doc_id, token, tf, n_tokens) with NO
-    # (doc, token) shuffle — the explode below feeds a broadcast join
-    toks = docs.select(
-        "doc_id", tokenize(F.col("text")).alias("_toks")
-    ).withColumn(
-        "_tfs",
-        F.transform(
-            F.array_sort(F.array_distinct("_toks")),
-            lambda t: F.struct(
-                t.alias("token"),
-                F.size(F.filter("_toks", lambda x: x == t)).alias("tf"),
-            ),
+    # (doc, token) shuffle — the explode below feeds a broadcast join.
+    # LET BINDING via F.inline (the bm25_scores idiom): projecting
+    # size(_toks) NEXT TO the explode of _tfs lets CollapseProject
+    # inline both aliases into the Generate, re-evaluating the whole
+    # tokenize + O(distinct*len) tf tree per consumer (the exact
+    # double-evaluation that cost q_lm2_score 8.6->2.5 s in r4; here
+    # measured 2.1 s -> 0.2 s at sf0.1). Routing the pair through one
+    # inline-Generate makes n_tokens/tfs real attributes evaluated
+    # exactly once per document.
+    packed = F.transform(
+        F.array(tokenize(F.col("text"))),
+        lambda ts: F.struct(
+            F.size(ts).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.array_distinct(ts)),
+                lambda t: F.struct(
+                    t.alias("token"),
+                    F.size(F.filter(ts, lambda x: x == t)).alias("tf"),
+                ),
+            ).alias("tfs"),
         ),
     )
-    per_tok = toks.select(
-        "doc_id",
-        F.size("_toks").alias("n_tokens"),
-        F.explode("_tfs").alias("e"),
+    base = docs.select("doc_id", F.inline(packed))
+    per_tok = base.select(
+        "doc_id", "n_tokens", F.explode("tfs").alias("e")
     ).select("doc_id", "n_tokens", "e.token", "e.tf")
 
     contrib = (
@@ -185,6 +209,16 @@ FROM per_doc
 # ---------------------------------------------------------------------------
 
 
+def bigram_marginals(bg: DataFrame) -> DataFrame:
+    """(x, c_x) left-marginal counts of the trained bigram relation."""
+    return bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+
+
+def bigram_vocab(bg: DataFrame) -> DataFrame:
+    """1-row (V) right-vocabulary size — the add-one denominator."""
+    return bg.agg(F.countDistinct("y").alias("V"))
+
+
 def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, n_distinct_bigrams, mean_surprisal2) over
     ``documents`` — docs with fewer than two tokens drop (no bigrams).
@@ -201,9 +235,16 @@ def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition makes the three subtrees identical up to the
     # exchange, which ReuseExchange collapses to one execution
     bg = bigram_counts(docs.select("text")).repartition(F.col("x"))
-    cx = bg.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
-    v = bg.agg(F.countDistinct("y").alias("V"))
+    return lm2_scores(docs, bg, bigram_marginals(bg), bigram_vocab(bg))
 
+
+def lm2_scores(
+    docs: DataFrame, bg: DataFrame, cx: DataFrame, v: DataFrame
+) -> DataFrame:
+    """The bigram scoring plan against a given trained model
+    (``bg``/``cx``/``v`` — trained inline by ``q_lm2_score`` or read
+    from a persisted model by ``text_models.q_lm2_score_from_model``;
+    counts are longs, so both sources score bit-identically)."""
     pairs_arr = F.element_at(
         F.transform(
             F.array(tokenize(F.col("text"))),

@@ -49,11 +49,22 @@ def _tf(tokens: Column, term: str) -> Column:
     return F.size(F.filter(tokens, lambda x: x == F.lit(term)))
 
 
-def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    stats: DataFrame | None = None,
+) -> DataFrame:
     """Score ``docs(doc_id, text)`` against ``terms``; returns every doc
     with ``n_hit`` (matched term count) and ``bm25`` (double score).
 
     Scale: one scan; stats are a 1-row broadcast; no corpus shuffle.
+
+    ``stats`` defaults to aggregating the corpus inside the query (the
+    oracle-checked inline form); a persisted model passes its stored
+    1-row (n_docs, sum_dl, df_0..df_{k-1}) relation instead
+    (``operators/text_models.py``) — all counts are longs and the score
+    expression tree below is unchanged, so from-model scores are
+    bit-identical (pinned by test).
     """
     # LET BINDING, one step further than the _shingle_sets idiom
     # (operators/quality.py:70-92): extracting N fields from a struct
@@ -72,14 +83,15 @@ def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFra
         ),
     )
     base = docs.select("doc_id", F.inline(packed))
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-            for i in range(len(terms))
-        ],
-    )
+    if stats is None:
+        stats = base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
     s = base.crossJoin(F.broadcast(stats))
 
     # avgdl and the per-term contribution, written as the identical
@@ -118,7 +130,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle-free scoring + TakeOrderedAndProject top-k (ties on doc_id).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = bm25_scores(docs)
+    return bm25_topk(bm25_scores(docs))
+
+
+def bm25_topk(scored: DataFrame) -> DataFrame:
+    """Top-k cut shared by the inline and from-model forms."""
     return (
         scored.filter(F.col("n_hit") > 0)
         .orderBy(F.col("bm25").desc(), "doc_id")
@@ -195,16 +211,24 @@ def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     double terms — identical arithmetic on both engines.
     (Unregistered — 50-slot cap; driver-grade DuckDB parity in
     tests/test_unregistered_ops.py.)"""
-    from pyspark.sql import Window as W
-
     from .lm_score import lm_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rrf_fuse(q_bm25_rank(spark, sf_dir), lm_scores(docs))
+
+
+def rrf_fuse(bm25_top: DataFrame, lm_scored: DataFrame) -> DataFrame:
+    """The fusion plan against given ranker outputs (``bm25_top`` =
+    a BM25 top-k relation carrying ``bm25``; ``lm_scored`` = a full
+    ``lm_scores`` relation) — shared by the train-inside form above and
+    the persisted-model form in ``text_models.q_hybrid_rank_from_model``
+    so both fuse identically."""
+    from pyspark.sql import Window as W
+
     # both windows run over <= RRF_DEPTH rows (post-limit) — bounded
     # constant, not a corpus-sized single-partition funnel
     a = (
-        q_bm25_rank(spark, sf_dir)
-        .select("doc_id", "bm25")
+        bm25_top.select("doc_id", "bm25")
         .withColumn(
             "rank_bm25",
             F.row_number()
@@ -214,8 +238,7 @@ def q_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank_bm25")
     )
     b = (
-        lm_scores(docs)
-        .orderBy(F.col("mean_surprisal").asc(), "doc_id")
+        lm_scored.orderBy(F.col("mean_surprisal").asc(), "doc_id")
         .limit(RRF_DEPTH)
         .withColumn(
             "rank_lm",
