@@ -309,7 +309,19 @@ def _extra_queries():
             km_built[sf_dir] = p
         return sdd.q_semdedup_from_model(spark, sf_dir, km_built[sf_dir])
 
+    from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+        UNREGISTERED_RELATIONAL_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        UNREGISTERED_TIMESERIES_QUERIES,
+    )
+
     return {
+        # round-5 rotation evictions — still benched from their
+        # unregistered dicts (cost profile unchanged by registration)
+        "q_window_rank": UNREGISTERED_RELATIONAL_QUERIES["q_window_rank"],
+        "q_stream_sliding": UNREGISTERED_TIMESERIES_QUERIES["q_stream_sliding"],
+        "q_watermark_late": UNREGISTERED_TIMESERIES_QUERIES["q_watermark_late"],
         "q_semdedup_model": _semdedup_from_model,
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,

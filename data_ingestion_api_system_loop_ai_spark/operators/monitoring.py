@@ -280,3 +280,8 @@ def drift_stream_writer(
         )
 
     return write_batch
+
+# Registered in the round-5 rotation (slot funded by q_watermark_late):
+# PSI drift over the events stream, known-shift fixtures in tests.
+MONITORING_QUERIES = {"q_psi_drift": q_psi_drift}
+MONITORING_ORACLES = {"q_psi_drift": PSI_DRIFT_ORACLE}

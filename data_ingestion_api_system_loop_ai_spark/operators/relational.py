@@ -446,9 +446,13 @@ FROM events
 # tests/test_unregistered_ops.py over these dicts.
 UNREGISTERED_RELATIONAL_QUERIES = {
     n: RELATIONAL_QUERIES.pop(n)
-    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs")
+    # q_window_rank joined in the round-5 rotation (funding q_knn_graph
+    # et al.): its dense_rank-over-partition shape is subsumed by the
+    # registered q_analytic_funcs battery, and the parity test below
+    # keeps the driver-grade comparison.
+    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs", "q_window_rank")
 }
 UNREGISTERED_RELATIONAL_ORACLES = {
     n: RELATIONAL_ORACLES.pop(n)
-    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs")
+    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs", "q_window_rank")
 }

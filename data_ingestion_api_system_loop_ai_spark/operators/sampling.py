@@ -488,3 +488,8 @@ FROM (
   FROM documents
 )
 """
+
+# Registered in the round-5 rotation (slot funded by q_stream_sliding):
+# sqrt-temperature resampling with bit-identical targets.
+SAMPLING_QUERIES["q_temperature_mix"] = q_temperature_mix
+SAMPLING_ORACLES["q_temperature_mix"] = TEMPERATURE_MIX_ORACLE

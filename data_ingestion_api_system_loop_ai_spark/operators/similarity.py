@@ -1074,3 +1074,9 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
   FROM pairs
 ) WHERE rnk <= {KNN_K}
 """
+
+# Registered in the round-5 rotation (slot funded by q_window_rank):
+# the corpus-wide kNN graph is the strongest similarity operator still
+# unregistered — capped-cell join, giant-dup-cell guard, DuckDB twin.
+SIMILARITY_QUERIES["q_knn_graph"] = q_knn_graph
+SIMILARITY_ORACLES["q_knn_graph"] = KNN_GRAPH_ORACLE

@@ -335,8 +335,19 @@ FROM events GROUP BY 1
 # q_pivot_wide's slot funds the LLM-pipeline quartet (see
 # operators/sampling.py / quality.py / contamination.py); it keeps the
 # driver-grade DuckDB comparison via tests/test_unregistered_ops.py.
-UNREGISTERED_TIMESERIES_QUERIES = {"q_pivot_wide": TIMESERIES_QUERIES.pop("q_pivot_wide")}
-UNREGISTERED_TIMESERIES_ORACLES = {"q_pivot_wide": TIMESERIES_ORACLES.pop("q_pivot_wide")}
+# q_stream_sliding / q_watermark_late joined the round-5 rotation
+# (funding q_temperature_mix / q_psi_drift): both are batch
+# approximations whose streaming semantics the live streaming tests
+# and q_streaming_exec_tumbling's CORRECTNESS row already cover; the
+# round-5 parity test keeps the driver-grade comparison for each.
+UNREGISTERED_TIMESERIES_QUERIES = {
+    n: TIMESERIES_QUERIES.pop(n)
+    for n in ("q_pivot_wide", "q_stream_sliding", "q_watermark_late")
+}
+UNREGISTERED_TIMESERIES_ORACLES = {
+    n: TIMESERIES_ORACLES.pop(n)
+    for n in ("q_pivot_wide", "q_stream_sliding", "q_watermark_late")
+}
 
 
 # ---------------------------------------------------------------------------

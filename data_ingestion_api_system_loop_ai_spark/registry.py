@@ -36,6 +36,7 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     (".operators.quality", "QUALITY_QUERIES", "QUALITY_ORACLES"),
     (".operators.contamination", "CONTAMINATION_QUERIES", "CONTAMINATION_ORACLES"),
     (".operators.sampling", "SAMPLING_QUERIES", "SAMPLING_ORACLES"),
+    (".operators.monitoring", "MONITORING_QUERIES", "MONITORING_ORACLES"),
     (".operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
     (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
     (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),

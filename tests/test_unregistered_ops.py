@@ -2899,3 +2899,33 @@ def test_lm_batch_scoring_from_model_matches_corpus_trained_inline(
         )
     )
     assert inline == frozen and len(inline) > 0
+
+
+@pytest.mark.parametrize(
+    "which", ["q_window_rank", "q_stream_sliding", "q_watermark_late"]
+)
+def test_round5_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
+    """Round-5 slot swap: q_window_rank, q_stream_sliding and
+    q_watermark_late funded q_knn_graph, q_temperature_mix and
+    q_psi_drift but keep the driver-grade DuckDB comparison here
+    (window-rank semantics also stay hash-checked inside the
+    registered q_analytic_funcs; sliding/late-event semantics inside
+    q_streaming_exec_tumbling and the live streaming tests)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+        UNREGISTERED_RELATIONAL_ORACLES,
+        UNREGISTERED_RELATIONAL_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        UNREGISTERED_TIMESERIES_ORACLES,
+        UNREGISTERED_TIMESERIES_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    qs = {**UNREGISTERED_RELATIONAL_QUERIES, **UNREGISTERED_TIMESERIES_QUERIES}
+    os_ = {**UNREGISTERED_RELATIONAL_ORACLES, **UNREGISTERED_TIMESERIES_ORACLES}
+    con = duckdb_con(sf_dir)
+    try:
+        compare(qs[which](spark, sf_dir), con, os_[which])
+    finally:
+        con.close()
