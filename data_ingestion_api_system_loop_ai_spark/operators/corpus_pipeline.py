@@ -62,7 +62,7 @@ def build_training_corpus(
     """Run the full funnel over ``documents`` and write training
     shards to ``out_path``. Returns the reconciliation report:
     ``{input, after_exact, after_near, after_quality, after_decontam,
-    rows_written, total_copies, n_shards_files}`` — each stage count
+    rows_written, total_copies, n_shard_files}`` — each stage count
     the survivors AFTER that verdict joins in, so the funnel is
     monotone non-increasing by construction (pinned by test).
 
@@ -118,7 +118,12 @@ def build_training_corpus(
         keyed, ["_hb"], ["_h", "doc_id"], rn_col="shuffle_pos"
     ).drop("_h", "_hb")
 
-    packs = pack_assignments(ordered, "doc_id", "n_tokens").select(
+    # the shuffle rank DRIVES pack layout (ADVICE r04): without
+    # order_col the packer's internal window would re-order each shard
+    # by doc_id, silently undoing the seeded shuffle for adjacency
+    packs = pack_assignments(
+        ordered, "doc_id", "n_tokens", order_col="shuffle_pos"
+    ).select(
         "doc_id", "shard", "seq_in_shard", "start_off", "pack_seq",
         "crosses_boundary",
     )

@@ -18,9 +18,10 @@ k-means, BPE):
 - scoring joins candidates to the vector relation on each side — two
   hash shuffles on vec_id;
 - the keep step is an ordinary per-query top-k window over old ∪ new;
-- per round ONE aggregated scalar (mean neighbor cosine — the graph
-  objective, non-decreasing by construction since edges only improve)
-  crosses to the driver; ``localCheckpoint`` keeps plan depth O(1).
+- per round ONE aggregated scalar (the k-slot padded mean cosine — the
+  graph objective, truly non-decreasing: edges only improve, are only
+  displaced by better ones, and a new edge fills a -1 pad) crosses to
+  the driver; ``localCheckpoint`` keeps plan depth O(1).
 
 Deterministic end to end (cosines rounded like the base graph, ties
 break by neighbor_id), so repeated runs return identical graphs —
@@ -55,11 +56,24 @@ def nn_descent(
 ) -> tuple[DataFrame, list[float]]:
     """Refine ``graph`` (query_id, neighbor_id, cosine) over vectors
     ``e`` (vec_id, embedding); returns (refined graph with dense per-
-    query rnk, per-round mean-cosine objective)."""
+    query rnk, per-round objective).
+
+    The objective is the FIXED-SIZE padded mean: mean cosine over
+    exactly ``n_queries * k`` slots, absent slots padded with -1 (the
+    cosine floor). This is truly monotone (ADVICE r04): existing edges
+    only ever improve under the max-merge, an edge is dropped only when
+    a better one displaces it, and a NEW edge replaces a -1 pad with a
+    cosine >= -1 — whereas the naive mean over present edges can
+    DECREASE when an under-filled query gains a genuine but low-cosine
+    neighbor."""
     v = e.select(
         "vec_id", "embedding", norm_expr("embedding").alias("v_norm")
     ).localCheckpoint()
     g = graph.select("query_id", "neighbor_id", "cosine").localCheckpoint()
+    # fixed slot universe for the padded objective: the refinement
+    # never introduces query nodes (candidates come from existing
+    # edges), so the base graph's query count pins the denominator
+    n_q = g.select("query_id").distinct().count()
     objective: list[float] = []
     qa = v.select(
         F.col("vec_id").alias("query_id"),
@@ -119,7 +133,12 @@ def nn_descent(
             .select("query_id", "neighbor_id", "cosine")
             .localCheckpoint()
         )
-        objective.append(g.agg(F.avg("cosine")).collect()[0][0])
+        row = g.agg(
+            F.sum("cosine").alias("s"), F.count("*").alias("m")
+        ).collect()[0]
+        objective.append(
+            (row["s"] + (n_q * k - row["m"]) * -1.0) / (n_q * k)
+        )
     wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     out = g.withColumn("rnk", F.row_number().over(wq).cast("long"))
     return out, objective

@@ -68,6 +68,7 @@ def pack_assignments(
     tokens_col: str,
     budget: int = PACK_BUDGET,
     nshards: int = NSHARDS,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk layout over any (key, token_count) relation.
 
@@ -83,17 +84,25 @@ def pack_assignments(
                         (the loader masks attention across it)
 
     One shuffle (hash into shards), one streaming window per shard.
+
+    ``order_col`` sets the within-shard token-stream order (ties broken
+    by ``key_col``); default is ``key_col`` itself. A corpus shuffle
+    stage MUST pass its shuffle rank here (ADVICE r04): ordering by key
+    would pack consecutive doc_ids adjacently, partially preserving
+    the source/crawl locality the shuffle exists to break.
     """
     key, toks = F.col(key_col), F.col(tokens_col)
+    order = [order_col, key_col] if order_col else [key_col]
     sharded = df.filter(toks > 0).select(
         key_col,
+        *([order_col] if order_col else []),
         toks.cast("long").alias("n_tokens"),
         portable_shard(key, nshards).alias("shard"),
     )
-    w = W.partitionBy("shard").orderBy(key_col)
+    w = W.partitionBy("shard").orderBy(*order)
     run = (
         W.partitionBy("shard")
-        .orderBy(key_col)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.sum("n_tokens").over(run)

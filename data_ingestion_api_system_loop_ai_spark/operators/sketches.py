@@ -239,46 +239,48 @@ def price_hist_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
     stats = cents.agg(F.max("c").alias("mx"))
+    # the bucket width ``w`` is stored WITH the cells (constant across
+    # the sketch — it parameterizes it, like a CMS's seed row), so a
+    # probe recovers every statistic it needs from the sketch alone:
+    # n = sum of cell counts, w = the stored width (ADVICE r04)
     return (
         cents.crossJoin(F.broadcast(stats))
         .select(
             "mon",
             F.expr(f"c div ((mx + {HIST_BINS}) div {HIST_BINS})").alias("bucket"),
+            F.expr(f"(mx + {HIST_BINS}) div {HIST_BINS}").alias("w"),
         )
-        .groupBy("mon", "bucket")
+        .groupBy("mon", "bucket", "w")
         .agg(F.count("*").alias("c"))
     )
 
 
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q, bucket, lo_cents, hi_cents): p25/p50/p75 of l_extendedprice
-    estimated by MERGING the stored per-month histograms (never
-    re-reading lineitem): cells sum cell-wise into the global sketch,
-    a prefix sum over <= HIST_BINS cell rows (the documented
-    O(#buckets) serial window — constant work at any corpus size)
-    locates the smallest bucket whose cumulative count reaches
-    ceil(q*n/100), and the bucket's [lo, hi] cent range brackets the
-    true percentile (within-one-bucket guarantee, pinned by test).
+    estimated by MERGING the stored per-month histograms — the probe
+    reads ONLY the sketch (ADVICE r04: n is recovered as the sum of
+    cell counts and w is stored with the cells, so lineitem is never
+    re-scanned): cells sum cell-wise into the global sketch, a prefix
+    sum over <= HIST_BINS cell rows (the documented O(#buckets) serial
+    window — constant work at any corpus size) locates the smallest
+    bucket whose cumulative count reaches ceil(q*n/100), and the
+    bucket's [lo, hi] cent range brackets the true percentile
+    (within-one-bucket guarantee, pinned by test).
     (Unregistered — 50-slot cap; driver-grade DuckDB parity + merge
     and bracket invariants in tests/test_unregistered_ops.py.)"""
     from pyspark.sql import Window as W
 
-    cells = (
-        price_hist_cells(spark, sf_dir)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("c"))
-    )
+    sketch = price_hist_cells(spark, sf_dir)
+    cells = sketch.groupBy("bucket").agg(F.sum("c").alias("c"))
     cum = cells.select(
         "bucket",
         F.sum("c")
         .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
         .alias("cum"),
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    stats = li.agg(
-        F.count("*").alias("n"),
-        F.max(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("mx"),
-    ).select("n", F.expr(f"(mx + {HIST_BINS}) div {HIST_BINS}").alias("w"))
+    # every probe statistic comes from the sketch itself: counters are
+    # additive (n = sum c) and the width parameterizes every cell
+    stats = sketch.agg(F.sum("c").alias("n"), F.max("w").alias("w"))
     qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
     targets = spark.range(1).select(qs).crossJoin(F.broadcast(stats))
     return (
@@ -363,7 +365,10 @@ def q_hist_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum"),
     )
-    counts = cents.groupBy("grp").agg(F.count("*").alias("n"))
+    # per-group n from the sketch itself (additive counters), not a
+    # second scan relation — the same single-source property as the
+    # ungrouped probe
+    counts = cells.groupBy("grp").agg(F.sum("c").alias("n"))
     qs = F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
     targets = counts.select("grp", "n", qs).crossJoin(F.broadcast(stats))
     return (

@@ -2929,3 +2929,34 @@ def test_round5_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
         compare(qs[which](spark, sf_dir), con, os_[which])
     finally:
         con.close()
+
+
+def test_pack_assignments_order_col_drives_layout(spark):
+    """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
+    pack layout. With an order column that reverses key order, the
+    token stream must follow the ORDER column (seq_in_shard/start_off
+    assigned along it), not re-sort by key and silently undo the
+    shuffle."""
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10, 100 - i) for i in range(1, 9)],
+        "doc_id long, n_tokens long, shuffle_pos long",
+    )
+    rows = pack_assignments(
+        df, "doc_id", "n_tokens", budget=1000, nshards=1,
+        order_col="shuffle_pos",
+    ).collect()
+    by_seq = sorted(rows, key=lambda r: r["seq_in_shard"])
+    # stream order = ascending shuffle_pos = DESCENDING doc_id
+    assert [r["doc_id"] for r in by_seq] == [8, 7, 6, 5, 4, 3, 2, 1]
+    assert [r["start_off"] for r in by_seq] == [10 * i for i in range(8)]
+    # default (no order_col) keeps the key-ordered layout
+    legacy = sorted(
+        pack_assignments(df, "doc_id", "n_tokens", budget=1000, nshards=1)
+        .collect(),
+        key=lambda r: r["seq_in_shard"],
+    )
+    assert [r["doc_id"] for r in legacy] == list(range(1, 9))
