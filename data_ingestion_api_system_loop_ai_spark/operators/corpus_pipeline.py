@@ -45,11 +45,84 @@ from pyspark.sql import functions as F
 from ..plans.ranking import global_row_number
 from ..sources.loader import load_table
 from ..sources.sinks import write_training_shards
-from .contamination import EVAL_MOD, EVAL_REM, q_decontaminate
-from .dedup import q_dedup_exact, q_dedup_prefix
-from .packing import pack_assignments
-from .quality import quality_profile
+from .contamination import (
+    CONTAMINATION_ORACLES,
+    EVAL_MOD,
+    EVAL_REM,
+    q_decontaminate,
+)
+from .dedup import PREFIX_DEDUP_ORACLE, q_dedup_exact, q_dedup_prefix
+from .packing import NSHARDS, PACK_BUDGET, pack_assignments
+from .quality import QUALITY_ORACLES, quality_profile
 from .sampling import SHUFFLE_SEED, _seeded_hex, temperature_mix
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The funnel as NAMED STAGE RELATIONS — the single source both the
+    shard-writing build and the registered ``q_corpus_funnel`` query
+    compose from (so the hash-checked relation cannot drift from what
+    production writes). Keys: ``train``, ``after_exact``, ``after_near``,
+    ``after_quality``, ``after_decontam``, ``final`` (the packed layout
+    incl. ``text``)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # eval docs are held out up front: they are the benchmark suite,
+    # never training corpus
+    stages: dict[str, DataFrame] = {}
+    train = docs.filter(~(F.col("doc_id") % EVAL_MOD == EVAL_REM))
+    stages["train"] = train
+
+    keep_exact = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    s = train.join(keep_exact, "doc_id", "left_semi")
+    stages["after_exact"] = s
+
+    drop_near = (
+        q_dedup_prefix(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s = s.join(drop_near, "doc_id", "left_anti")
+    stages["after_near"] = s
+
+    quality = quality_profile(docs).filter("keep").select("doc_id", "n_tokens")
+    s = s.join(quality, "doc_id")  # inner: carries n_tokens forward
+    stages["after_quality"] = s
+
+    contaminated = (
+        q_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    s = s.join(contaminated, "doc_id", "left_anti")
+    stages["after_decontam"] = s
+
+    mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
+
+    keyed = mixed.withColumn(
+        "_h", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED)
+    ).withColumn("_hb", F.substring("_h", 1, 2))
+    ordered = global_row_number(
+        keyed, ["_hb"], ["_h", "doc_id"], rn_col="shuffle_pos"
+    ).drop("_h", "_hb")
+
+    # the shuffle rank DRIVES pack layout (ADVICE r04): without
+    # order_col the packer's internal window would re-order each shard
+    # by doc_id, silently undoing the seeded shuffle for adjacency
+    packs = pack_assignments(
+        ordered, "doc_id", "n_tokens", order_col="shuffle_pos"
+    ).select(
+        "doc_id", "shard", "seq_in_shard", "start_off", "pack_seq",
+        "crosses_boundary",
+    )
+    stages["final"] = ordered.join(packs, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_tokens", "n_copies",
+        "shuffle_pos", "shard", "seq_in_shard", "start_off", "pack_seq",
+        "crosses_boundary",
+    )
+    return stages
 
 
 def build_training_corpus(
@@ -71,68 +144,19 @@ def build_training_corpus(
     diagnostic cost at audit time but 5 extra corpus passes a 100 TB
     production run should not pay — the write-only path executes the
     plan exactly once."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
-    )
-    # eval docs are held out up front: they are the benchmark suite,
-    # never training corpus
-    train = docs.filter(~(F.col("doc_id") % EVAL_MOD == EVAL_REM))
+    stages = funnel_stages(spark, sf_dir)
 
     def _n(df):
         return df.count() if with_report else None
 
-    report: dict = {"input": _n(train)}
-
-    keep_exact = q_dedup_exact(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    s = train.join(keep_exact, "doc_id", "left_semi")
-    report["after_exact"] = _n(s)
-
-    drop_near = (
-        q_dedup_prefix(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    s = s.join(drop_near, "doc_id", "left_anti")
-    report["after_near"] = _n(s)
-
-    quality = quality_profile(docs).filter("keep").select("doc_id", "n_tokens")
-    s = s.join(quality, "doc_id")  # inner: carries n_tokens forward
-    report["after_quality"] = _n(s)
-
-    contaminated = (
-        q_decontaminate(spark, sf_dir)
-        .filter("contaminated")
-        .select("doc_id")
-    )
-    s = s.join(contaminated, "doc_id", "left_anti")
-    report["after_decontam"] = _n(s)
-
-    mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
-
-    keyed = mixed.withColumn(
-        "_h", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED)
-    ).withColumn("_hb", F.substring("_h", 1, 2))
-    ordered = global_row_number(
-        keyed, ["_hb"], ["_h", "doc_id"], rn_col="shuffle_pos"
-    ).drop("_h", "_hb")
-
-    # the shuffle rank DRIVES pack layout (ADVICE r04): without
-    # order_col the packer's internal window would re-order each shard
-    # by doc_id, silently undoing the seeded shuffle for adjacency
-    packs = pack_assignments(
-        ordered, "doc_id", "n_tokens", order_col="shuffle_pos"
-    ).select(
-        "doc_id", "shard", "seq_in_shard", "start_off", "pack_seq",
-        "crosses_boundary",
-    )
-    final = ordered.join(packs, "doc_id").select(
-        "doc_id", "text", "lang", "source", "n_tokens", "n_copies",
-        "shuffle_pos", "shard", "seq_in_shard", "start_off", "pack_seq",
-        "crosses_boundary",
-    )
-    write_training_shards(final, out_path, records_per_file)
+    report: dict = {
+        "input": _n(stages["train"]),
+        "after_exact": _n(stages["after_exact"]),
+        "after_near": _n(stages["after_near"]),
+        "after_quality": _n(stages["after_quality"]),
+        "after_decontam": _n(stages["after_decontam"]),
+    }
+    write_training_shards(stages["final"], out_path, records_per_file)
     out = spark.read.parquet(out_path)
     report["rows_written"] = out.count()
     report["total_copies"] = out.agg(F.sum("n_copies")).collect()[0][0]
@@ -143,3 +167,108 @@ def build_training_corpus(
         glob.glob(os.path.join(out_path, "*.parquet"))
     )
     return report
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed funnel output as a deterministic relation (VERDICT
+    r04 #9: the capstone gets its own CORRECTNESS row, not just
+    per-stage checks): exactly what ``build_training_corpus`` writes to
+    shards, minus the ``text`` payload — doc identity, language/source,
+    token count, epoch multiplicity, global shuffle position, and the
+    full pack layout. One row per surviving training document; every
+    verdict join, the survivor-set temperature mix, the seeded global
+    shuffle, and the shuffle-ordered packing are all inside the hash."""
+    return funnel_stages(spark, sf_dir)["final"].drop("text")
+
+
+# The DuckDB twin composes the REGISTERED stage oracles verbatim
+# (exact-dedup keep set, prefix-join near-dup drops, quality keeps,
+# contamination drops) and then replays the temperature mix over the
+# SURVIVOR set, the seeded md5 global order, and the shuffle-ordered
+# concat-and-chunk layout — the composition itself is what this oracle
+# adds over the per-stage rows.
+CORPUS_FUNNEL_ORACLE = f"""
+WITH keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+drop_near AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({PREFIX_DEDUP_ORACLE})
+),
+qual AS (
+  SELECT doc_id, n_tokens
+  FROM ({QUALITY_ORACLES['q_quality_filter']}) WHERE keep
+),
+contam AS (
+  SELECT doc_id FROM ({CONTAMINATION_ORACLES['q_decontaminate']})
+  WHERE contaminated
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.source, q.n_tokens
+  FROM documents d JOIN qual q USING (doc_id)
+  WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+    AND d.doc_id IN (SELECT doc_id FROM keep_exact)
+    AND d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+stats AS (SELECT lang, count(*) AS nd FROM surv GROUP BY lang),
+tot AS (
+  SELECT sum(nd) AS N, list_sum(list(sqrt(nd) ORDER BY lang)) AS S
+  FROM stats
+),
+targets AS (
+  SELECT lang, nd, CAST(floor(N * sqrt(nd) / S) AS BIGINT) AS kd
+  FROM stats, tot
+),
+rankedm AS (
+  SELECT s.*,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_domain
+  FROM surv s
+),
+mixed AS (
+  SELECT r.doc_id, r.lang, r.source, r.n_tokens,
+         CAST(kd // nd
+              + (CASE WHEN (r.rank_in_domain * (kd % nd)) // nd
+                       > ((r.rank_in_domain - 1) * (kd % nd)) // nd
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+  FROM rankedm r JOIN targets USING (lang)
+),
+ordered AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS shuffle_pos
+  FROM mixed WHERE n_copies >= 1
+),
+laid AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {NSHARDS} AS BIGINT) AS shard,
+         CAST(row_number() OVER w AS BIGINT) AS seq_in_shard,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum,
+         n_tokens
+  FROM ordered
+  WHERE n_tokens > 0
+  WINDOW w AS (
+    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {NSHARDS}
+    ORDER BY shuffle_pos, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o.doc_id, o.lang, o.source, o.n_tokens, o.n_copies, o.shuffle_pos,
+       l.shard, l.seq_in_shard,
+       cum - l.n_tokens AS start_off,
+       (cum - l.n_tokens) // {PACK_BUDGET} AS pack_seq,
+       ((cum - 1) // {PACK_BUDGET})
+         <> ((cum - l.n_tokens) // {PACK_BUDGET}) AS crosses_boundary
+FROM ordered o JOIN laid l USING (doc_id)
+"""
+
+# Registered in the round-5 rotation (slot funded by q_corpus_shuffle,
+# whose seeded-md5 two-phase global rank is hash-checked inside this
+# query's shuffle_pos stage; the evicted slot keeps its driver-grade
+# parity test in tests/test_unregistered_ops.py).
+CORPUS_QUERIES = {"q_corpus_funnel": q_corpus_funnel}
+CORPUS_ORACLES = {"q_corpus_funnel": CORPUS_FUNNEL_ORACLE}

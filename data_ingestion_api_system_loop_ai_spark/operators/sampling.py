@@ -206,6 +206,13 @@ _MIX_CASE_DEN = "CASE lang " + " ".join(
 
 SAMPLING_QUERIES = {
     "q_domain_mix": q_domain_mix,
+}
+
+# Evicted in the round-5 rotation (slot funds q_corpus_funnel, whose
+# shuffle_pos stage hash-checks this same seeded-md5 two-phase global
+# rank over the funnel's survivor set); keeps the driver-grade DuckDB
+# comparison in tests/test_unregistered_ops.py.
+UNREGISTERED_SAMPLING_QUERIES = {
     "q_corpus_shuffle": q_corpus_shuffle,
 }
 
@@ -224,6 +231,9 @@ SELECT doc_id, lang, source, r AS rank_in_lang
 FROM ranked
 WHERE (r * num) // den > ((r - 1) * num) // den
 """,
+}
+
+UNREGISTERED_SAMPLING_ORACLES = {
     "q_corpus_shuffle": f"""
 SELECT doc_id,
        CAST(row_number() OVER (

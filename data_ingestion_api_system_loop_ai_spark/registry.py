@@ -38,6 +38,7 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     (".operators.sampling", "SAMPLING_QUERIES", "SAMPLING_ORACLES"),
     (".operators.monitoring", "MONITORING_QUERIES", "MONITORING_ORACLES"),
     (".operators.packing", "PACKING_QUERIES", "PACKING_ORACLES"),
+    (".operators.corpus_pipeline", "CORPUS_QUERIES", "CORPUS_ORACLES"),
     (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
     (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),
     (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),

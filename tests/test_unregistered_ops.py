@@ -2993,6 +2993,65 @@ def test_round5_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
         con.close()
 
 
+def test_round5b_evicted_corpus_shuffle_stays_oracle_exact(spark, sf_dir):
+    """Round-5 second swap: q_corpus_shuffle funded q_corpus_funnel
+    (the capstone's CORRECTNESS row, VERDICT r04 #9). The evicted slot
+    keeps the driver-grade DuckDB comparison here; its seeded-md5
+    two-phase global rank also stays hash-checked inside the funnel's
+    shuffle_pos stage."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        UNREGISTERED_SAMPLING_ORACLES,
+        UNREGISTERED_SAMPLING_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            UNREGISTERED_SAMPLING_QUERIES["q_corpus_shuffle"](spark, sf_dir),
+            con,
+            UNREGISTERED_SAMPLING_ORACLES["q_corpus_shuffle"],
+        )
+    finally:
+        con.close()
+
+
+def test_corpus_funnel_relation_matches_written_shards(spark, sf_dir, tmp_path):
+    """The registered q_corpus_funnel relation and what
+    build_training_corpus actually WRITES must be the same rows — the
+    registered hash check is only meaningful if it covers the
+    production artifact."""
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        build_training_corpus,
+        q_corpus_funnel,
+    )
+
+    out = str(tmp_path / "funnel_shards")
+    build_training_corpus(spark, sf_dir, out, with_report=False)
+    written = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out).drop("text").select(
+                "doc_id", "lang", "source", "n_tokens", "n_copies",
+                "shuffle_pos", "shard", "seq_in_shard", "start_off",
+                "pack_seq", "crosses_boundary",
+            ).collect(),
+        )
+    )
+    rel = sorted(
+        map(
+            tuple,
+            q_corpus_funnel(spark, sf_dir).select(
+                "doc_id", "lang", "source", "n_tokens", "n_copies",
+                "shuffle_pos", "shard", "seq_in_shard", "start_off",
+                "pack_seq", "crosses_boundary",
+            ).collect(),
+        )
+    )
+    assert written == rel and len(rel) > 0
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
