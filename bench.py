@@ -70,6 +70,9 @@ HEADLINE = [
     "q_domain_mix",
     "q_corpus_shuffle",
     "q_dedup_spans",
+    # the registered capstone funnel (round-5 rotation): composed
+    # verdict joins + survivor temperature mix + shuffle + packing
+    "q_corpus_funnel",
     # unregistered operators (the registry is at the driver's 50-slot
     # cap; q_multimodal_meta gave up its slot in the round-4 rotation)
     # whose cost profile still matters at scale — benched from their
@@ -315,6 +318,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
         UNREGISTERED_TIMESERIES_QUERIES,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        UNREGISTERED_SAMPLING_QUERIES,
+    )
 
     return {
         # round-5 rotation evictions — still benched from their
@@ -322,6 +328,7 @@ def _extra_queries():
         "q_window_rank": UNREGISTERED_RELATIONAL_QUERIES["q_window_rank"],
         "q_stream_sliding": UNREGISTERED_TIMESERIES_QUERIES["q_stream_sliding"],
         "q_watermark_late": UNREGISTERED_TIMESERIES_QUERIES["q_watermark_late"],
+        "q_corpus_shuffle": UNREGISTERED_SAMPLING_QUERIES["q_corpus_shuffle"],
         "q_semdedup_model": _semdedup_from_model,
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,

@@ -272,3 +272,139 @@ FROM ordered o JOIN laid l USING (doc_id)
 # parity test in tests/test_unregistered_ops.py).
 CORPUS_QUERIES = {"q_corpus_funnel": q_corpus_funnel}
 CORPUS_ORACLES = {"q_corpus_funnel": CORPUS_FUNNEL_ORACLE}
+
+
+def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DROP ATTRIBUTION for the corpus funnel — the audit
+    relation a production run needs when 'why did my corpus shrink 40%'
+    comes up: one row per input document with the FIRST stage that
+    removed it (``eval_holdout`` / ``exact_dup`` / ``near_dup`` /
+    ``low_quality`` / ``contaminated`` / ``zero_copies``) or ``kept``.
+    Stage order matches the funnel's join order, so
+    ``count(*) GROUP BY stage`` reconciles exactly with
+    ``build_training_corpus``'s report deltas.
+
+    Scale: the verdict relations are the same tiny doc_id sets the
+    funnel already computes; attribution is doc_id-keyed left-semi
+    evidence folded with one ``when`` chain — no new corpus pass
+    beyond the stage verdicts themselves. (Unregistered — 50-slot cap;
+    driver-grade DuckDB parity in tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keep_exact = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("_exact_keep")
+    )
+    drop_near = (
+        q_dedup_prefix(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near_drop", F.lit(True))
+    )
+    qual = (
+        quality_profile(load_table(spark, sf_dir, "documents"))
+        .filter("keep")
+        .select("doc_id", F.lit(True).alias("_qual_keep"))
+    )
+    contam = (
+        q_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id", F.lit(True).alias("_contam"))
+    )
+    # the temperature mix is fit on the funnel's ACTUAL survivor set
+    # (post-decontamination), exactly as build_training_corpus runs it
+    surv = funnel_stages(spark, sf_dir)["after_decontam"]
+    mixed = temperature_mix(surv, "lang", "doc_id").select(
+        "doc_id", "n_copies"
+    )
+    stage = (
+        F.when(F.col("doc_id") % EVAL_MOD == EVAL_REM, "eval_holdout")
+        .when(F.col("_exact_keep").isNull(), "exact_dup")
+        .when(F.col("_near_drop").isNotNull(), "near_dup")
+        .when(F.col("_qual_keep").isNull(), "low_quality")
+        .when(F.col("_contam").isNotNull(), "contaminated")
+        .when(F.col("n_copies") < 1, "zero_copies")
+        .otherwise("kept")
+    )
+    return (
+        docs.join(keep_exact, "doc_id", "left")
+        .join(drop_near, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(mixed, "doc_id", "left")
+        .select(
+            "doc_id", "lang", stage.alias("stage"),
+            (stage == "kept").alias("kept"),
+        )
+    )
+
+
+FUNNEL_EXPLAIN_ORACLE = f"""
+WITH keep_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+drop_near AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({PREFIX_DEDUP_ORACLE})
+),
+qual AS (
+  SELECT doc_id FROM ({QUALITY_ORACLES['q_quality_filter']}) WHERE keep
+),
+contam AS (
+  SELECT doc_id FROM ({CONTAMINATION_ORACLES['q_decontaminate']})
+  WHERE contaminated
+),
+surv AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d
+  WHERE d.doc_id % {EVAL_MOD} <> {EVAL_REM}
+    AND d.doc_id IN (SELECT doc_id FROM keep_exact)
+    AND d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    AND d.doc_id IN (SELECT doc_id FROM qual)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+stats AS (SELECT lang, count(*) AS nd FROM surv GROUP BY lang),
+tot AS (
+  SELECT sum(nd) AS N, list_sum(list(sqrt(nd) ORDER BY lang)) AS S
+  FROM stats
+),
+targets AS (
+  SELECT lang, nd, CAST(floor(N * sqrt(nd) / S) AS BIGINT) AS kd
+  FROM stats, tot
+),
+rankedm AS (
+  SELECT s.*,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_domain
+  FROM surv s
+),
+mixed AS (
+  SELECT r.doc_id,
+         CAST(kd // nd
+              + (CASE WHEN (r.rank_in_domain * (kd % nd)) // nd
+                       > ((r.rank_in_domain - 1) * (kd % nd)) // nd
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+  FROM rankedm r JOIN targets USING (lang)
+),
+staged AS (
+  SELECT d.doc_id, d.lang,
+         CASE
+           WHEN d.doc_id % {EVAL_MOD} = {EVAL_REM} THEN 'eval_holdout'
+           WHEN d.doc_id NOT IN (SELECT doc_id FROM keep_exact)
+             THEN 'exact_dup'
+           WHEN d.doc_id IN (SELECT doc_id FROM drop_near) THEN 'near_dup'
+           WHEN d.doc_id NOT IN (SELECT doc_id FROM qual)
+             THEN 'low_quality'
+           WHEN d.doc_id IN (SELECT doc_id FROM contam)
+             THEN 'contaminated'
+           WHEN coalesce(
+             (SELECT m.n_copies FROM mixed m WHERE m.doc_id = d.doc_id), 0
+           ) < 1 THEN 'zero_copies'
+           ELSE 'kept'
+         END AS stage
+  FROM documents d
+)
+SELECT doc_id, lang, stage, stage = 'kept' AS kept FROM staged
+"""
+
+UNREGISTERED_CORPUS_QUERIES = {"q_funnel_explain": q_funnel_explain}
+UNREGISTERED_CORPUS_ORACLES = {"q_funnel_explain": FUNNEL_EXPLAIN_ORACLE}

@@ -112,6 +112,7 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
 #   sort — the same scale argument as ``plans/ranking.py``.
 
 from pyspark.sql import SparkSession
+from pyspark.sql.window import Window as W
 
 from ..plans.ranking import global_row_number, grouped_row_number
 from ..sources.loader import load_table
@@ -503,3 +504,220 @@ FROM (
 # sqrt-temperature resampling with bit-identical targets.
 SAMPLING_QUERIES["q_temperature_mix"] = q_temperature_mix
 SAMPLING_ORACLES["q_temperature_mix"] = TEMPERATURE_MIX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection — "give me the best corpus that fits N tokens":
+# rank documents by quality (ties by key) and keep the prefix whose
+# cumulative token count fits the budget. The greedy quality-first
+# prefix is the standard data-constrained-training selection rule.
+#
+# Scale shape: the obvious plan (one global ORDER BY quality DESC with
+# a running sum) serializes the corpus through a single window
+# partition. Instead both the rank AND the running token sum are
+# two-phase: quality buckets (a leading prefix of the sort order) give
+# parallel within-bucket windows, and the tiny per-bucket token totals
+# prefix-sum in O(#buckets) before broadcasting back — the
+# global_row_number idiom, extended to a distributed cumulative sum.
+# ---------------------------------------------------------------------------
+
+BUDGET_BUCKETS = 16
+
+
+def budget_select(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: Column,
+) -> DataFrame:
+    """(key, score, tokens, sel_rank, cum_tokens, selected) — greedy
+    score-descending prefix under a cumulative token ``budget`` (a
+    Column so callers can derive it from the corpus itself). ``score``
+    must lie in [0, 1] (the bucketing contract; quality scores here
+    always are)."""
+    neg = (-F.col(score_col)).alias("_neg")
+    keyed = df.select(
+        key_col, score_col, tokens_col, neg,
+        F.floor(-F.col(score_col) * BUDGET_BUCKETS).cast("int").alias("_bk"),
+        budget.cast("long").alias("_budget"),
+    )
+    local_w = W.partitionBy("_bk").orderBy("_neg", key_col)
+    run = local_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = keyed.withColumn(
+        "_lrn", F.row_number().over(local_w).cast("long")
+    ).withColumn("_lcum", F.sum(tokens_col).over(run).cast("long"))
+    offs = (
+        keyed.groupBy("_bk")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.sum(tokens_col).cast("long").alias("_tok"),
+        )
+        .withColumn(
+            "_rn_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "_tok_off",
+            F.coalesce(
+                F.sum("_tok").over(
+                    W.orderBy("_bk").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_bk", "_rn_off", "_tok_off")
+    )
+    cum = (F.col("_tok_off") + F.col("_lcum")).alias("cum_tokens")
+    return (
+        local.join(F.broadcast(offs), "_bk")
+        .select(
+            key_col, score_col, tokens_col,
+            (F.col("_rn_off") + F.col("_lrn")).alias("sel_rank"),
+            cum,
+            (F.col("_tok_off") + F.col("_lcum") <= F.col("_budget")).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first token-budget selection over ``documents``: budget
+    is one third of the corpus's total tokens (corpus-derived, so the
+    cutoff bites at every SF), scores are the text-analysis quality
+    relation. (Unregistered — 50-slot cap; driver-grade DuckDB parity
+    in tests/test_unregistered_ops.py.)"""
+    from .text_analysis import q_quality_score
+
+    scored = q_quality_score(spark, sf_dir).select(
+        "doc_id", "quality", "n_tokens"
+    )
+    budget_rel = scored.agg(
+        (F.sum("n_tokens") / 3).cast("long").alias("_budget")
+    )
+    keyed = scored.crossJoin(F.broadcast(budget_rel))
+    return budget_select(
+        keyed, "doc_id", "quality", "n_tokens", F.col("_budget")
+    )
+
+
+BUDGET_SELECT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens('text')} AS tokens FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(least(1.0, len(tokens) / 100.0)
+               * (1 - list_sum(list_transform(tokens,
+                     t -> CASE WHEN t IN ({_STOPS_SQL}) THEN 1 ELSE 0 END))
+                  / CAST(len(tokens) AS DOUBLE)), 6) AS quality,
+         CAST(len(tokens) AS BIGINT) AS n_tokens
+  FROM toks WHERE len(tokens) > 0
+),
+budget AS (SELECT CAST(sum(n_tokens) // 3 AS BIGINT) AS b FROM scored),
+laid AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(row_number() OVER w AS BIGINT) AS sel_rank,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+  FROM scored
+  WINDOW w AS (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, quality, n_tokens, sel_rank, cum_tokens,
+       cum_tokens <= b AS selected
+FROM laid, budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# Probability-proportional-to-size Poisson sampling — the weighted
+# subsample ("sample documents proportionally to token count / quality
+# mass") with EXACT integer selection arithmetic: doc selected iff
+# u * W < 2^32 * k * w, where u is the doc's 32-bit md5 integer, w its
+# weight, W the corpus weight total, k the expected sample size. No
+# transcendental functions anywhere, so Spark and any oracle agree
+# bit-for-bit (an Efraimidis-Spirakis exp/pow key would be at the
+# mercy of libm last-ulp differences across engines). Inclusion
+# probability is min(1, k*w/W) exactly.
+#
+# Scale: one corpus scan + one 1-row broadcast total; the predicate is
+# per-row integer math in DECIMAL(38,0) so the product u*W cannot
+# overflow even at 100 TB weight totals (u < 2^32, W < 10^28 fits).
+# ---------------------------------------------------------------------------
+
+PPS_K = 25
+
+
+def pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = PPS_K,
+    seed: int | str = SHUFFLE_SEED,
+) -> DataFrame:
+    """(key, weight, u32, selected): Poisson PPS sample with expected
+    size ``k`` (exact when no weight hits the min(1, .) cap)."""
+    u32 = (
+        F.conv(
+            F.substring(_seeded_hex(F.col(key_col), seed), 1, 8), 16, 10
+        ).cast("long")
+    )
+    tot = df.agg(
+        F.sum(F.col(weight_col)).cast("decimal(19,0)").alias("_W")
+    )
+    dec = "decimal(19,0)"
+    lhs = F.col("u32").cast(dec) * F.col("_W")
+    rhs = (
+        F.lit(2**32).cast(dec)
+        * F.lit(k).cast(dec)
+        * F.col(weight_col).cast(dec)
+    )
+    return (
+        df.select(key_col, weight_col, u32.alias("u32"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key_col, weight_col, "u32", (lhs < rhs).alias("selected")
+        )
+    )
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-weighted Poisson PPS sample of ``documents``
+    (expected ``PPS_K`` = 25 docs; long documents proportionally likelier —
+    the token-mass-preserving subsample). (Unregistered — 50-slot cap;
+    driver-grade DuckDB parity + integer-exactness invariants in
+    tests/test_unregistered_ops.py.)"""
+    from .text_analysis import q_quality_score
+
+    scored = q_quality_score(spark, sf_dir).select("doc_id", "n_tokens")
+    return pps_sample(scored, "doc_id", "n_tokens")
+
+
+PPS_SAMPLE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens('text')} AS tokens FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+  FROM toks WHERE len(tokens) > 0
+),
+tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS W FROM scored)
+SELECT doc_id, n_tokens,
+       CAST(('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT AS BIGINT) AS u32,
+       CAST(('0x' || substr(md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT AS HUGEINT) * W
+         < CAST(4294967296 AS HUGEINT) * {PPS_K} * n_tokens AS selected
+FROM scored, tot
+"""
+
+UNREGISTERED_SAMPLING_QUERIES["q_budget_select"] = q_budget_select
+UNREGISTERED_SAMPLING_ORACLES["q_budget_select"] = BUDGET_SELECT_ORACLE
+UNREGISTERED_SAMPLING_QUERIES["q_pps_sample"] = q_pps_sample
+UNREGISTERED_SAMPLING_ORACLES["q_pps_sample"] = PPS_SAMPLE_ORACLE

@@ -340,3 +340,26 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+def test_round5_session_ops_stay_jvm_side(spark, sf_dir):
+    """Same JVM-only lint for the round-5 session additions: the
+    composed corpus funnel (registered), its per-doc drop attribution,
+    the two-phase budget selection, and integer-exact PPS sampling —
+    all pure relational plans, no Python eval nodes anywhere."""
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        q_corpus_funnel,
+        q_funnel_explain,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_budget_select,
+        q_pps_sample,
+    )
+
+    for fn in (q_corpus_funnel, q_funnel_explain, q_budget_select, q_pps_sample):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__

@@ -3052,6 +3052,124 @@ def test_corpus_funnel_relation_matches_written_shards(spark, sf_dir, tmp_path):
     assert written == rel and len(rel) > 0
 
 
+@pytest.mark.parametrize(
+    "which", ["q_funnel_explain", "q_budget_select", "q_pps_sample"]
+)
+def test_round5_session_ops_oracle_parity(which, spark, sf_dir):
+    """Driver-grade DuckDB parity for the round-5 session additions:
+    per-doc funnel drop attribution, token-budget greedy selection,
+    and integer-exact Poisson PPS sampling."""
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        UNREGISTERED_CORPUS_ORACLES,
+        UNREGISTERED_CORPUS_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        UNREGISTERED_SAMPLING_ORACLES,
+        UNREGISTERED_SAMPLING_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    qs = {**UNREGISTERED_CORPUS_QUERIES, **UNREGISTERED_SAMPLING_QUERIES}
+    os_ = {**UNREGISTERED_CORPUS_ORACLES, **UNREGISTERED_SAMPLING_ORACLES}
+    con = duckdb_con(sf_dir)
+    try:
+        compare(qs[which](spark, sf_dir), con, os_[which])
+    finally:
+        con.close()
+
+
+def test_funnel_explain_reconciles_with_report(spark, sf_dir, tmp_path):
+    """The audit relation must reconcile EXACTLY with the funnel it
+    explains: per-stage drop counts equal the report's stage deltas,
+    and the kept set equals the written corpus's doc set."""
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        build_training_corpus,
+        q_funnel_explain,
+    )
+
+    out = str(tmp_path / "explain_shards")
+    rep = build_training_corpus(spark, sf_dir, out)
+    rows = q_funnel_explain(spark, sf_dir).collect()
+    by_stage = Counter(r["stage"] for r in rows)
+    n_docs = len(rows)
+    assert n_docs - by_stage["eval_holdout"] == rep["input"]
+    assert rep["input"] - by_stage["exact_dup"] == rep["after_exact"]
+    assert rep["after_exact"] - by_stage["near_dup"] == rep["after_near"]
+    assert rep["after_near"] - by_stage["low_quality"] == rep["after_quality"]
+    assert (
+        rep["after_quality"] - by_stage["contaminated"]
+        == rep["after_decontam"]
+    )
+    assert (
+        rep["after_decontam"] - by_stage["zero_copies"] == by_stage["kept"]
+    )
+    kept_ids = {r["doc_id"] for r in rows if r["kept"]}
+    written_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert kept_ids == written_ids
+
+
+def test_budget_select_greedy_prefix_invariants(spark, sf_dir):
+    """budget_select's two-phase rank/cumsum must behave exactly like
+    the serial greedy: sel_rank is a dense permutation in quality-desc
+    order, cum_tokens is the running sum along it, and the selected
+    set is precisely the maximal prefix within budget."""
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_budget_select,
+    )
+
+    rows = sorted(
+        q_budget_select(spark, sf_dir).collect(), key=lambda r: r["sel_rank"]
+    )
+    assert [r["sel_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    qualities = [r["quality"] for r in rows]
+    assert qualities == sorted(qualities, reverse=True)
+    cum = 0
+    budget = None
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+    total = cum
+    budget = total // 3
+    for r in rows:
+        assert r["selected"] == (r["cum_tokens"] <= budget)
+    n_sel = sum(r["selected"] for r in rows)
+    assert 0 < n_sel < len(rows)  # the budget actually bites
+
+
+def test_pps_sample_integer_predicate_and_size(spark, sf_dir):
+    """The PPS predicate is exact integer arithmetic (replayed in
+    Python bigints here) and the realized sample size sits near the
+    expected k for non-degenerate weights."""
+    import hashlib
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        PPS_K,
+        SHUFFLE_SEED,
+        q_pps_sample,
+    )
+
+    rows = q_pps_sample(spark, sf_dir).collect()
+    W = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        u = int(
+            hashlib.md5(f"{SHUFFLE_SEED}:{r['doc_id']}".encode()).hexdigest()[
+                :8
+            ],
+            16,
+        )
+        assert r["u32"] == u
+        assert r["selected"] == (u * W < (2**32) * PPS_K * r["n_tokens"])
+    n_sel = sum(r["selected"] for r in rows)
+    # Poisson with mean ~PPS_K (docs where the cap binds only push the
+    # realized size BELOW k): wide deterministic sanity band
+    assert 0 < n_sel <= 3 * PPS_K
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
