@@ -145,6 +145,13 @@ HEADLINE = [
     # corpus inline to score the same batch (O(corpus))
     "q_lm_batch_inline",
     "q_lm_batch_model",
+    # round-5 session additions: corpus-funnel audit, token-budget
+    # greedy selection, integer-exact PPS sampling, and the trained
+    # prose classifier probed from its persisted frozen weights
+    "q_funnel_explain",
+    "q_budget_select",
+    "q_pps_sample",
+    "q_classifier_score_model",
 ]
 
 
@@ -302,6 +309,24 @@ def _extra_queries():
             spark, sf_dir, built[sf_dir]
         )
 
+    clf_built: dict = {}
+
+    def _classifier_from_model(spark, sf_dir):
+        # same build-once discipline for the trained text classifier:
+        # the Newton/IRLS training is the build step, the benched
+        # number is pure scoring (one corpus scan + broadcast weights)
+        from data_ingestion_api_system_loop_ai_spark.operators import (
+            classifier as clf,
+        )
+
+        if sf_dir not in clf_built:
+            p = os.path.join(
+                ix_root, "clf_" + os.path.basename(sf_dir.rstrip("/"))
+            )
+            clf.build_classifier_model(spark, sf_dir, p)
+            clf_built[sf_dir] = p
+        return clf.q_classifier_from_model(spark, sf_dir, clf_built[sf_dir])
+
     def _semdedup_from_model(spark, sf_dir):
         # same build-once discipline for the k-means cluster model
         if sf_dir not in km_built:
@@ -321,6 +346,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
         UNREGISTERED_SAMPLING_QUERIES,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        UNREGISTERED_CORPUS_QUERIES,
+    )
 
     return {
         # round-5 rotation evictions — still benched from their
@@ -329,7 +357,11 @@ def _extra_queries():
         "q_stream_sliding": UNREGISTERED_TIMESERIES_QUERIES["q_stream_sliding"],
         "q_watermark_late": UNREGISTERED_TIMESERIES_QUERIES["q_watermark_late"],
         "q_corpus_shuffle": UNREGISTERED_SAMPLING_QUERIES["q_corpus_shuffle"],
+        "q_budget_select": UNREGISTERED_SAMPLING_QUERIES["q_budget_select"],
+        "q_pps_sample": UNREGISTERED_SAMPLING_QUERIES["q_pps_sample"],
+        "q_funnel_explain": UNREGISTERED_CORPUS_QUERIES["q_funnel_explain"],
         "q_semdedup_model": _semdedup_from_model,
+        "q_classifier_score_model": _classifier_from_model,
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,
         "q_knn_graph": q_knn_graph,
@@ -546,6 +578,9 @@ def main() -> None:
         "overwrite"
     ).save()
     fns["q_lm_score_model"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    fns["q_classifier_score_model"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -148,6 +148,169 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def _gif_palette() -> list[tuple[int, int, int]]:
+    """Deterministic 256-entry palette (index -> RGB) shared by the
+    encoder, the decoder's pixel checksum, and the golden tests."""
+    return [((j * 7 + 1) % 256, (j * 13 + 5) % 256, (j * 29 + 11) % 256)
+            for j in range(256)]
+
+
+def _gif_indices(width: int, height: int, seed: int) -> bytes:
+    """Palette indices of the fixture image — the shared generator
+    family (seed*31 + i*7 mod 256), one index per pixel."""
+    return bytes((seed * 31 + i * 7) % 256 for i in range(width * height))
+
+
+class _LZWBitWriter:
+    """LSB-first bit packer (the GIF bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_compress(indices: bytes, mcs: int = 8) -> bytes:
+    """REAL GIF-flavor LZW: growing dictionary, variable code width
+    (mcs+1 .. 12 bits, LSB-first), clear-code reset when the table
+    fills. The encoder tracks the CANONICAL DECODER's table size and
+    widens the code width exactly when that decoder will — interop by
+    construction, pinned by roundtrip tests that force 12-bit growth
+    and mid-stream resets."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bw = _LZWBitWriter()
+
+    def reset():
+        return (
+            {bytes([c]): c for c in range(clear)},  # enc dictionary
+            end + 1,  # enc next_code
+            end + 1,  # the decoder's table size after this point
+            mcs + 1,  # code width
+        )
+
+    d, next_code, dec_size, width = reset()
+    bw.put(clear, width)
+    w = b""
+    n_emitted = 0  # emissions since the last clear
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in d:
+            w = wk
+            continue
+        bw.put(d[w], width)
+        n_emitted += 1
+        # the canonical decoder adds one entry per code read EXCEPT the
+        # first after a clear; it then widens when its table hits the
+        # width limit — mirror that exactly
+        if n_emitted >= 2:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+        d[wk] = next_code
+        next_code += 1
+        if next_code == 4096:
+            bw.put(clear, width)
+            d, next_code, dec_size, width = reset()
+            n_emitted = 0
+        w = bytes([b])
+    if w:
+        bw.put(d[w], width)
+        n_emitted += 1
+        if n_emitted >= 2:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+    bw.put(end, width)
+    return bw.done()
+
+
+def lzw_decompress(data: bytes, mcs: int = 8) -> bytes:
+    """The canonical GIF LZW decoder loop (giflib-shape): LSB-first
+    variable-width codes, clear resets, the ``code == table size``
+    just-defined special case, table-size-keyed width growth."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: int | None = None
+    acc = nbits = pos = 0
+
+    def reset_table() -> list[bytes]:
+        return [bytes([c]) for c in range(clear)] + [b"", b""]
+
+    table = reset_table()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without end code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW code {code} out of table")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"LZW code {code} out of table")
+        out += entry
+        table.append(table[prev] + entry[:1])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = code
+
+
+def encode_gif(width: int, height: int, seed: int = 0) -> bytes:
+    """REAL GIF89a: logical screen descriptor, 256-color global color
+    table, a graphic-control extension (exercises the decoder's
+    extension-skip path), one image descriptor, and the pixel indices
+    LZW-compressed (the SECOND hand-rolled entropy codec next to PNG's
+    DEFLATE — LZW has no stdlib implementation) split into <=255-byte
+    sub-blocks."""
+    import struct
+
+    pal = b"".join(bytes(rgb) for rgb in _gif_palette())
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-col GCT
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    idesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    z = _lzw_compress(_gif_indices(width, height, seed))
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(z), 255):
+        chunk = z[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return b"GIF89a" + lsd + pal + gce + idesc + bytes(blocks) + b"\x3b"
+
+
 def encode_wav(
     sample_rate: int, n_samples: int, n_channels: int = 1, bits: int = 16,
     seed: int = 0,
@@ -258,6 +421,78 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
             "width": w, "height": h, "duration_s": 0.0,
             "n_frames": 1, "sample_rate": None, "px_sum": px_sum,
         }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            w, h, flags = struct.unpack("<HHB", payload[6:11])
+            pos = 13
+            palette = None
+            if flags & 0x80:
+                gct_len = 3 * (2 << (flags & 7))
+                palette = payload[pos : pos + gct_len]
+                if len(palette) < gct_len:
+                    raise ValueError("torn GIF color table")
+                pos += gct_len
+            px_sum = None
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF stream ended without trailer")
+                marker = payload[pos]
+                pos += 1
+                if marker == 0x3B:  # trailer
+                    break
+                if marker == 0x21:  # extension: label + sub-blocks
+                    pos += 1
+                    while payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                    continue
+                if marker != 0x2C:
+                    raise ValueError(f"GIF bad block marker {marker:#x}")
+                _l, _t, iw, ih, iflags = struct.unpack(
+                    "<HHHHB", payload[pos : pos + 9]
+                )
+                pos += 9
+                if iflags & 0x40:
+                    raise ValueError("unsupported interlaced GIF")
+                pal = palette
+                if iflags & 0x80:
+                    lct_len = 3 * (2 << (iflags & 7))
+                    pal = payload[pos : pos + lct_len]
+                    if len(pal) < lct_len:
+                        raise ValueError("torn GIF color table")
+                    pos += lct_len
+                if pal is None:
+                    raise ValueError("GIF image without color table")
+                mcs = payload[pos]
+                pos += 1
+                z = bytearray()
+                while payload[pos] != 0:
+                    size = payload[pos]
+                    chunk = payload[pos + 1 : pos + 1 + size]
+                    if len(chunk) < size:
+                        raise ValueError("torn GIF data sub-block")
+                    z += chunk
+                    pos += 1 + size
+                pos += 1
+                indices = lzw_decompress(bytes(z), mcs)
+                if len(indices) != iw * ih:
+                    raise ValueError(
+                        f"GIF pixel count {len(indices)} != {iw * ih}"
+                    )
+                if max(indices) * 3 + 3 > len(pal):
+                    raise ValueError("GIF index outside color table")
+                px_sum = sum(
+                    pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]
+                    for i in indices
+                )
+            if px_sum is None:
+                raise ValueError("GIF has no image block")
+            return {
+                "width": w, "height": h, "duration_s": 0.0,
+                "n_frames": 1, "sample_rate": None, "px_sum": px_sum,
+            }
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"torn GIF stream: {exc}") from exc
     if payload[:2] == b"P6":
         # header tokens: P6, width, height, maxval; `#` comments legal
         toks: list[bytes] = []
@@ -342,12 +577,13 @@ def _real_spec(doc_id: int) -> tuple[str, dict]:
     """Deterministic per-doc media spec for the REAL-format fixtures —
     the single source of truth the golden tests recompute against."""
     if doc_id % 3 == 0:
-        # images alternate PNG (the entropy-coded path) and PPM (the
-        # raw-raster path): doc_id % 6 == 0 -> png, == 3 -> ppm
+        # images rotate through the three image codecs: PNG (DEFLATE
+        # entropy path), GIF (LZW entropy path), PPM (raw raster) —
+        # doc_id % 9 == 0 -> png, == 3 -> gif, == 6 -> ppm
         return "image", {
             "width": 16 + (doc_id * 7) % 64,
             "height": 16 + doc_id % 64,
-            "fmt": "png" if doc_id % 6 == 0 else "ppm",
+            "fmt": {0: "png", 3: "gif", 6: "ppm"}[doc_id % 9],
         }
     if doc_id % 3 == 1:
         return "audio", {
@@ -373,7 +609,8 @@ def _synthesize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             did = int(did)
             kind, spec = _real_spec(did)
             if kind == "image":
-                enc = encode_png if spec["fmt"] == "png" else encode_ppm
+                enc = {"png": encode_png, "gif": encode_gif,
+                       "ppm": encode_ppm}[spec["fmt"]]
                 p = enc(spec["width"], spec["height"], seed=did)
             elif kind == "audio":
                 p = encode_wav(spec["sample_rate"], spec["n_samples"], seed=did)

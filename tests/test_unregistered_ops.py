@@ -1545,6 +1545,60 @@ def test_decode_real_png_entropy_path_goldens():
         decode_real(bad)
 
 
+def test_decode_real_gif_lzw_goldens():
+    """GIF is the SECOND hand-rolled entropy codec (LZW has no stdlib
+    decoder): variable-width LSB-first codes, table-size-keyed width
+    growth to 12 bits, clear-code resets, the code==table-size
+    just-defined case, extension skipping, palette-mapped checksums.
+    Interop is pinned by an EXTERNAL vector (the classic 1x1
+    white-pixel GIF bitstream, produced by other encoders), not just
+    encode->decode self-consistency."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        _lzw_compress,
+        decode_real,
+        encode_gif,
+        lzw_decompress,
+    )
+
+    pal = _gif_palette()
+    # sizes chosen to cross the 4096-entry table (12-bit widths + a
+    # mid-stream clear reset) on the larger images
+    for w, h, seed in [(1, 1, 0), (16, 16, 3), (33, 11, 42), (120, 120, 9)]:
+        d = decode_real(encode_gif(w, h, seed))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+        assert d["px_sum"] == sum(
+            sum(pal[i]) for i in _gif_indices(w, h, seed)
+        )
+
+    # raw LZW roundtrip incl. the maximal-run pathology
+    data = bytes((i * 31) % 256 for i in range(20000))
+    assert lzw_decompress(_lzw_compress(data)) == data
+    rep = bytes([7]) * 20000
+    assert lzw_decompress(_lzw_compress(rep)) == rep
+
+    # external vector: GIF89a 1x1, 2-color table, mcs=2, stream
+    # "44 01" = (clear, index 0, end) — white pixel
+    onepx = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "21f9040000000000"
+        "2c000000000100010000"
+        "0202440100"
+        "3b"
+    )
+    d = decode_real(onepx)
+    assert (d["width"], d["height"], d["px_sum"]) == (1, 1, 765)
+
+    p = encode_gif(24, 24, 5)
+    for torn in (p[:30], p[:-1], p[: len(p) // 2]):
+        with _pytest.raises(ValueError):
+            decode_real(torn)
+
+
 def test_media_decode_pipeline_goldens(spark, sf_dir):
     """q_media_decode end to end: every non-torn asset decodes to the
     exact values its _real_spec implies, torn assets (doc_id % 97 == 0)
@@ -1580,6 +1634,17 @@ def test_media_decode_pipeline_goldens(spark, sf_dir):
                 expected = sum(
                     sum(_png_pixel_row(spec["width"], did, y))
                     for y in range(spec["height"])
+                )
+            elif spec["fmt"] == "gif":
+                from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+                    _gif_indices,
+                    _gif_palette,
+                )
+
+                pal = _gif_palette()
+                expected = sum(
+                    sum(pal[i])
+                    for i in _gif_indices(spec["width"], spec["height"], did)
                 )
             else:
                 expected = sum((did * 31 + i * 7) % 256 for i in range(n))
@@ -3168,6 +3233,120 @@ def test_pps_sample_integer_predicate_and_size(spark, sf_dir):
     # Poisson with mean ~PPS_K (docs where the cap binds only push the
     # realized size BELOW k): wide deterministic sanity band
     assert 0 < n_sel <= 3 * PPS_K
+
+
+def test_classifier_first_gd_step_matches_duckdb(spark, sf_dir):
+    """The classifier's reference semantics (one full-batch gradient
+    step from zero weights) are DuckDB-pinned BIT-FOR-BIT: with w = 0
+    the sigmoid is exactly 1/2, so no transcendental survives and the
+    decimal gradient arithmetic must agree to all 12 places on every
+    one of the HASH_DIM+1 weights."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        classifier as C,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    from .oracle_utils import duckdb_con
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    feats = C.feature_rel(train_docs)
+    labels = C.prose_labels(train_docs).join(
+        feats.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    n = labels.count()
+    spark_w = {
+        r["feat"]: r["w"]
+        for r in C.gd_step(feats, labels, C.zero_weights(spark), n).collect()
+    }
+    con = duckdb_con(sf_dir)
+    try:
+        duck_w = {r[0]: r[1] for r in con.execute(C.FIRST_STEP_ORACLE).fetchall()}
+    finally:
+        con.close()
+    assert len(spark_w) == C.HASH_DIM + 1 == len(duck_w)
+    assert spark_w == duck_w
+    assert any(w != 0 for w in spark_w.values())
+
+
+def test_classifier_training_deterministic_and_descends(spark, sf_dir):
+    """Newton/IRLS training must be bit-deterministic under re-execution
+    (every cross-row sum is decimal-exact) and the logloss must descend
+    monotonically to convergence."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        classifier as C,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    labels = C.prose_labels(train_docs)
+    w1, losses = C.train_classifier(
+        spark, train_docs, labels, n_iters=3, track_loss=True
+    )
+    w2, _ = C.train_classifier(spark, train_docs, labels, n_iters=3)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    assert all(b <= a + 1e-12 for a, b in zip(losses, losses[1:]))
+    assert losses[-1] < losses[0] - 0.05  # moved substantially
+
+
+def test_classifier_learns_heldout_prose_labels(spark, sf_dir):
+    """Learnability proof: trained on 80% of the corpus, the classifier
+    must recover the prose label on the UNSEEN 20% — the weights have
+    to rediscover the stopword feature buckets, not memorize docs."""
+    from data_ingestion_api_system_loop_ai_spark.operators.classifier import (
+        q_text_classifier,
+    )
+
+    rows = q_text_classifier(spark, sf_dir).collect()
+    hold = [r for r in rows if r["holdout"]]
+    train = [r for r in rows if not r["holdout"]]
+    assert len(hold) > 0 and len(train) > 0
+    hold_acc = sum(r["predicted"] == (r["y"] == 1.0) for r in hold) / len(hold)
+    train_acc = (
+        sum(r["predicted"] == (r["y"] == 1.0) for r in train) / len(train)
+    )
+    assert train_acc >= 0.95
+    assert hold_acc >= 0.90
+    assert all(0.0 <= r["p"] <= 1.0 for r in rows)
+
+
+def test_classifier_frozen_model_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted classifier is the same build/probe contract as
+    every other trained artifact here: from-model scores bit-identical
+    to in-memory scoring, torn builds (no marker) refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        classifier as C,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    mp = str(tmp_path / "clf_model")
+    with _pytest.raises(Exception, match="classifier model"):
+        C.q_classifier_from_model(spark, sf_dir, mp).collect()
+    C.build_classifier_model(spark, sf_dir, mp)
+    frozen = sorted(
+        map(tuple, C.q_classifier_from_model(spark, sf_dir, mp).collect())
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    weights, _ = C.train_classifier(
+        spark, train_docs, C.prose_labels(train_docs)
+    )
+    inline = sorted(map(tuple, C.score_documents(docs, weights).collect()))
+    assert frozen == inline and len(frozen) > 0
 
 
 def test_pack_assignments_order_col_drives_layout(spark):
