@@ -152,6 +152,8 @@ HEADLINE = [
     "q_budget_select",
     "q_pps_sample",
     "q_classifier_score_model",
+    # KMV/theta distinct set algebra (cross-segment overlap)
+    "q_kmv_overlap",
 ]
 
 
@@ -212,6 +214,7 @@ def _extra_queries():
         q_cms_topk,
         q_hist_quantiles,
         q_hist_quantiles_grouped,
+        q_kmv_overlap,
         q_sketch_rollup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
@@ -364,6 +367,7 @@ def _extra_queries():
         "q_classifier_score_model": _classifier_from_model,
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,
+        "q_kmv_overlap": q_kmv_overlap,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

@@ -171,6 +171,66 @@ def cmd_build_corpus(args) -> int:
     return 0
 
 
+def cmd_explain_funnel(args) -> int:
+    """Per-stage drop attribution for the corpus funnel: prints the
+    stage histogram (counts reconcile exactly with build-corpus's
+    report) and, with --docs, the first N dropped doc ids per stage
+    (`operators/corpus_pipeline.py q_funnel_explain`)."""
+    from pyspark.sql import functions as F
+
+    from .operators.corpus_pipeline import q_funnel_explain
+
+    spark = _spark("cli-explain-funnel")
+    rel = q_funnel_explain(spark, args.sf_dir)
+    hist = {
+        r["stage"]: r["n"]
+        for r in rel.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({"stages": hist}))
+    if args.docs:
+        for stage in sorted(hist):
+            if stage == "kept":
+                continue
+            ids = [
+                r["doc_id"]
+                for r in rel.filter(F.col("stage") == stage)
+                .orderBy("doc_id")
+                .limit(args.docs)
+                .collect()
+            ]
+            print(json.dumps({"stage": stage, "first_doc_ids": ids}))
+    return 0
+
+
+def cmd_train_classifier(args) -> int:
+    """Train the prose classifier (IRLS over hashed bag-of-words) and
+    persist the frozen weight relation under the commit marker
+    (`operators/classifier.py build_classifier_model`)."""
+    from .operators.classifier import build_classifier_model
+
+    spark = _spark("cli-train-classifier")
+    build_classifier_model(spark, args.sf_dir, args.model, n_iters=args.iters)
+    print(json.dumps({"model": args.model, "iters": args.iters}))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Score documents against a persisted frozen classifier; prints
+    the first N (doc_id, p, predicted) rows and the predicted-positive
+    count (`operators/classifier.py q_classifier_from_model`)."""
+    from .operators.classifier import q_classifier_from_model
+
+    spark = _spark("cli-classify")
+    scored = q_classifier_from_model(spark, args.sf_dir, args.model)
+    rows = scored.orderBy("doc_id").limit(args.limit).collect()
+    n_pos = scored.filter("predicted").count()
+    for r in rows:
+        print(json.dumps({"doc_id": r["doc_id"], "p": r["p"],
+                          "predicted": bool(r["predicted"])}))
+    print(json.dumps({"n_predicted_positive": n_pos}))
+    return 0
+
+
 def cmd_rollup(args) -> int:
     """Maintain an incremental aggregate rollup table
     (``sources/rollup.py``): ``--refresh`` partial-aggregates only
@@ -409,6 +469,24 @@ def build_parser() -> argparse.ArgumentParser:
     pu.add_argument("--current", action="store_true")
     pu.add_argument("--vacuum", action="store_true")
     pu.set_defaults(fn=cmd_rollup)
+
+    pef = sub.add_parser("explain-funnel")
+    pef.add_argument("sf_dir")
+    pef.add_argument("--docs", type=int, default=0,
+                     help="also print the first N dropped doc ids per stage")
+    pef.set_defaults(fn=cmd_explain_funnel)
+
+    ptc = sub.add_parser("train-classifier")
+    ptc.add_argument("sf_dir")
+    ptc.add_argument("model")
+    ptc.add_argument("--iters", type=int, default=6)
+    ptc.set_defaults(fn=cmd_train_classifier)
+
+    pcl = sub.add_parser("classify")
+    pcl.add_argument("sf_dir")
+    pcl.add_argument("model")
+    pcl.add_argument("--limit", type=int, default=10)
+    pcl.set_defaults(fn=cmd_classify)
 
     pa = sub.add_parser("analyze")
     pa.add_argument("path")

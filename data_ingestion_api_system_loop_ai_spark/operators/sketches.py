@@ -418,3 +418,198 @@ WHERE cum.grp = t.grp AND cum.cum >= (t.q * t.n + 99) // 100
 GROUP BY t.grp, t.q
 ORDER BY t.grp, t.q
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches — SET ALGEBRA over distinct counts, the
+# capability HLL does not expose: two corpus segments' sketches can be
+# UNIONED *and* INTERSECTED, giving distinct-overlap / Jaccard
+# estimates between 100 TB corpora from KB-sized state (cross-corpus
+# contamination rate, crawl-vs-crawl novelty, vocabulary overlap) —
+# the K-minimum-values estimator (Bar-Yossef et al. 2002) in the theta
+# framework (Dasgupta et al., the DataSketches theta design).
+#
+# Everything is DETERMINISTIC integer state: the sketch is the K
+# smallest 32-bit md5 hashes of the segment's distinct items, so —
+# unlike the HLL binary — a DuckDB twin reproduces the whole relation
+# hash-for-hash and the estimates to the rounded digit. Estimators:
+#   distinct(seg)  = (K-1) / theta_seg        (theta = K-th value/2^32)
+#   inter(A,B)     = |{h in both, h < theta}| / theta,
+#                    theta = min(theta_A, theta_B)
+#   jaccard        = inter / union            (union = KMV of merged)
+# Segments with fewer than K distinct items degrade to EXACT counts
+# (theta = 1), so small groups cost nothing in accuracy.
+#
+# Scale: the sketch build is a distinct + per-segment k-smallest
+# (K-bounded output per segment); set ops touch only the K-row
+# sketches. A production build would pre-prune with a static theta
+# before the per-segment sort; at the test scale the windowed rank is
+# the honest shape.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_SPACE = float(2**32)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group..., h, rnk): the k smallest distinct 32-bit item hashes
+    per group, rank-ordered — the mergeable sketch relation."""
+    from pyspark.sql.window import Window as W
+
+    hashed = df.select(
+        *group_cols, token_hash(F.col(item_col), 8).alias("h")
+    ).distinct()
+    w = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """(group..., n_kept, theta, est): distinct-count estimate per
+    group — (k-1)/theta when the sketch is full, exact n otherwise."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("h_max")
+    )
+    full = F.col("n_kept") >= k
+    theta = F.when(full, F.col("h_max") / _KMV_SPACE).otherwise(F.lit(1.0))
+    est = F.when(full, (k - 1) / theta).otherwise(F.col("n_kept"))
+    return agg.select(
+        *group_cols, "n_kept",
+        F.round(theta, 9).alias("theta"),
+        F.round(est, 6).alias("est"),
+    )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram overlap between two corpus segments (even/odd
+    numeric source id) via KMV theta sketches: one row with each
+    segment's distinct estimate, the union and intersection estimates,
+    and the Jaccard estimate — the cross-corpus overlap readout.
+    (Unregistered — 50-slot cap; exact DuckDB parity — the sketch is
+    deterministic integer state — plus accuracy-vs-exact invariants in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("seg"),
+        tokenize(F.col("text")).alias("toks"),
+    )
+    grams = docs.select(
+        "seg",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+                " (t, i) -> concat(t, ' ', toks[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    sk = kmv_sketch(grams, ["seg"], "gram")
+    est = kmv_estimate(sk, ["seg"])
+    a = est.filter("seg = 0").select(
+        F.col("est").alias("n_a_est"), F.col("theta").alias("_ta")
+    )
+    b = est.filter("seg = 1").select(
+        F.col("est").alias("n_b_est"), F.col("theta").alias("_tb")
+    )
+    # union sketch: k smallest of the merged distinct hash sets —
+    # reuse the rank directly on the already-hashed rows
+    from pyspark.sql.window import Window as W
+
+    merged = sk.select("h").distinct().select(
+        F.lit(0).alias("g"), "h"
+    )
+    uw = W.partitionBy("g").orderBy("h")
+    usk = merged.withColumn("rnk", F.row_number().over(uw)).filter(
+        F.col("rnk") <= KMV_K
+    )
+    uest = kmv_estimate(usk, ["g"]).select(F.col("est").alias("union_est"))
+    common = (
+        sk.filter("seg = 0")
+        .select("h")
+        .join(sk.filter("seg = 1").select("h"), "h", "left_semi")
+    )
+    theta_min = F.least(F.col("_ta"), F.col("_tb"))
+    inter = (
+        common.crossJoin(F.broadcast(a.crossJoin(b)))
+        .filter(F.col("h") / _KMV_SPACE < theta_min)
+        .agg(
+            F.round(F.count("*") / F.first(theta_min), 6).alias("inter_est")
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n_a_est", "n_b_est", "union_est",
+            F.coalesce("inter_est", F.lit(0.0)).alias("inter_est"),
+            F.round(
+                F.coalesce("inter_est", F.lit(0.0)) / F.col("union_est"), 6
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+_G2U = "toks[i] || ' ' || toks[i+1]"
+
+KMV_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT CAST(substr(source, 4) AS INT) % 2 AS seg,
+         {sql_tokens('text')} AS toks
+  FROM documents
+),
+grams AS (
+  SELECT seg, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1), i -> {_G2U})) AS gram
+  FROM toks
+),
+hashed AS (
+  SELECT DISTINCT seg, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+  FROM grams
+),
+sk AS (
+  SELECT seg, h FROM (
+    SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rnk
+    FROM hashed
+  ) WHERE rnk <= {KMV_K}
+),
+se AS (SELECT seg, count(*) AS n_kept, max(h) AS h_max FROM sk GROUP BY seg),
+est AS (
+  SELECT seg,
+         CASE WHEN n_kept >= {KMV_K}
+              THEN round(h_max / {_KMV_SPACE}, 9) ELSE 1.0 END AS theta,
+         CASE WHEN n_kept >= {KMV_K}
+              THEN round(({KMV_K} - 1) / (h_max / {_KMV_SPACE}), 6)
+              ELSE CAST(n_kept AS DOUBLE) END AS est
+  FROM se
+),
+a AS (SELECT est AS n_a_est, theta AS ta FROM est WHERE seg = 0),
+b AS (SELECT est AS n_b_est, theta AS tb FROM est WHERE seg = 1),
+usk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rnk
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rnk <= {KMV_K}
+),
+ue AS (SELECT count(*) AS n_kept, max(h) AS h_max FROM usk),
+uest AS (
+  SELECT CASE WHEN n_kept >= {KMV_K}
+              THEN round(({KMV_K} - 1) / (h_max / {_KMV_SPACE}), 6)
+              ELSE CAST(n_kept AS DOUBLE) END AS union_est
+  FROM ue
+),
+ie AS (
+  SELECT round(count(*) / any_value(t), 6) AS inter_est
+  FROM (
+    SELECT h, least(ta, tb) AS t
+    FROM (SELECT h FROM sk WHERE seg = 0
+          AND h IN (SELECT h FROM sk WHERE seg = 1)), a, b
+  ) WHERE h / {_KMV_SPACE} < t
+)
+SELECT n_a_est, n_b_est, union_est,
+       coalesce(inter_est, 0.0) AS inter_est,
+       round(coalesce(inter_est, 0.0) / union_est, 6) AS jaccard_est
+FROM a, b, uest, ie
+"""

@@ -240,3 +240,33 @@ def test_cli_index_and_dedup_roundtrip(spark, sf_dir, tmp_path, capsys):
     by_id = {r["doc_id"]: r for r in lines}
     assert by_id[9000]["status"] == "exact_dup" and by_id[9000]["matched_id"] == 9
     assert by_id[9001]["status"] == "kept"
+
+
+def test_cli_explain_funnel_reconciles(spark, sf_dir, capsys):
+    """explain-funnel's stage histogram must account for every input
+    document exactly once (first-drop attribution is a partition)."""
+    assert main(["explain-funnel", sf_dir, "--docs", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    hist = json.loads(lines[0])["stages"]
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    assert sum(hist.values()) == load_table(spark, sf_dir, "documents").count()
+    assert hist.get("kept", 0) > 0
+    # one line of sample doc ids per non-kept stage
+    assert len(lines) == 1 + sum(1 for s in hist if s != "kept")
+
+
+def test_cli_train_and_classify(spark, sf_dir, tmp_path, capsys):
+    """train-classifier persists a frozen model; classify scores from
+    it and reports the positive count."""
+    mp = str(tmp_path / "cli_clf")
+    assert main(["train-classifier", sf_dir, mp, "--iters", "3"]) == 0
+    assert json.loads(capsys.readouterr().out.splitlines()[-1])["iters"] == 3
+    assert main(["classify", sf_dir, mp, "--limit", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == 3  # 2 docs + the summary line
+    assert all(0.0 <= r["p"] <= 1.0 for r in rows[:-1])
+    assert rows[-1]["n_predicted_positive"] >= 0

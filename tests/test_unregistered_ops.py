@@ -3349,6 +3349,89 @@ def test_classifier_frozen_model_matches_inline(spark, sf_dir, tmp_path):
     assert frozen == inline and len(frozen) > 0
 
 
+def test_kmv_overlap_oracle_parity_and_accuracy(spark, sf_dir):
+    """KMV/theta set algebra: the sketch is deterministic integer
+    state, so the DuckDB twin reproduces the whole relation exactly
+    (driver-grade parity); the estimates must sit within KMV error of
+    the exact distinct counts; and the union sketch built from the two
+    SEGMENT SKETCHES must equal the sketch of the merged raw data —
+    the mergeability property that makes KB-sized cross-corpus overlap
+    possible at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        KMV_K,
+        KMV_OVERLAP_ORACLE,
+        kmv_sketch,
+        q_kmv_overlap,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_kmv_overlap(spark, sf_dir), con, KMV_OVERLAP_ORACLE)
+        exact_a, exact_b, exact_u = con.execute(
+            """
+            WITH toks AS (SELECT CAST(substr(source,4) AS INT)%2 AS seg,
+              list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'),
+                          t -> t <> '') AS toks FROM documents),
+            grams AS (SELECT seg, unnest(list_transform(
+              range(1, greatest(len(toks)-1,0)+1),
+              i -> toks[i] || ' ' || toks[i+1])) AS gram FROM toks)
+            SELECT count(DISTINCT CASE WHEN seg=0 THEN gram END),
+                   count(DISTINCT CASE WHEN seg=1 THEN gram END),
+                   count(DISTINCT gram) FROM grams"""
+        ).fetchone()
+    finally:
+        con.close()
+    row = q_kmv_overlap(spark, sf_dir).collect()[0]
+    rse = 3.0 / (KMV_K ** 0.5)  # 3-sigma KMV band
+    for est, exact in [
+        (row["n_a_est"], exact_a),
+        (row["n_b_est"], exact_b),
+        (row["union_est"], exact_u),
+    ]:
+        assert abs(est - exact) <= rse * exact, (est, exact)
+    assert 0.0 <= row["jaccard_est"] <= 1.0
+    assert row["inter_est"] <= row["union_est"] * (1 + rse)
+
+    # mergeability pin: k-smallest of the two segment sketches' union
+    # == k-smallest over ALL distinct hashes (exact equality)
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.substring("source", 4, 10).cast("int") % 2).alias("seg"),
+        F.col("text"),
+    )
+    from data_ingestion_api_system_loop_ai_spark.functions.text import (
+        tokenize,
+    )
+
+    grams = docs.select(
+        "seg", tokenize(F.col("text")).alias("tokens")
+    ).select(
+        "seg",
+        F.explode(
+            F.expr(
+                "transform(slice(tokens, 1, greatest(size(tokens)-1, 0)),"
+                " (t, i) -> concat(t, ' ', tokens[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    seg_sk = kmv_sketch(grams, ["seg"], "gram")
+    merged_from_sketches = sorted(
+        r["h"]
+        for r in seg_sk.select("h").distinct().orderBy("h").limit(KMV_K).collect()
+    )
+    global_sk = kmv_sketch(
+        grams.select(F.lit(0).alias("g"), "gram"), ["g"], "gram"
+    )
+    global_k = sorted(r["h"] for r in global_sk.select("h").collect())
+    assert merged_from_sketches == global_k
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
