@@ -110,14 +110,14 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     # the shuffle rank DRIVES pack layout (ADVICE r04): without
     # order_col the packer's internal window would re-order each shard
-    # by doc_id, silently undoing the seeded shuffle for adjacency
-    packs = pack_assignments(
-        ordered, "doc_id", "n_tokens", order_col="shuffle_pos"
+    # by doc_id, silently undoing the seeded shuffle for adjacency.
+    # carry_cols threads the row payload through the pack windows in
+    # ONE pass — the earlier layout-then-self-join shape recomputed the
+    # whole upstream funnel twice (measured 2x at sf0.1).
+    stages["final"] = pack_assignments(
+        ordered, "doc_id", "n_tokens", order_col="shuffle_pos",
+        carry_cols=True,
     ).select(
-        "doc_id", "shard", "seq_in_shard", "start_off", "pack_seq",
-        "crosses_boundary",
-    )
-    stages["final"] = ordered.join(packs, "doc_id").select(
         "doc_id", "text", "lang", "source", "n_tokens", "n_copies",
         "shuffle_pos", "shard", "seq_in_shard", "start_off", "pack_seq",
         "crosses_boundary",
@@ -309,9 +309,27 @@ def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("contaminated")
         .select("doc_id", F.lit(True).alias("_contam"))
     )
+    # ONE flag-joined relation serves both the attribution chain and
+    # the survivor set the temperature mix is fit on — the verdict
+    # subtrees appear once per use with identical shapes, so the
+    # physical planner's exchange reuse applies (the earlier form
+    # recomputed every verdict through funnel_stages' separate
+    # semi/anti joins)
+    flagged = (
+        docs.join(keep_exact, "doc_id", "left")
+        .join(drop_near, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    surv = flagged.filter(
+        ~(F.col("doc_id") % EVAL_MOD == EVAL_REM)
+        & F.col("_exact_keep").isNotNull()
+        & F.col("_near_drop").isNull()
+        & F.col("_qual_keep").isNotNull()
+        & F.col("_contam").isNull()
+    ).select("doc_id", "lang")
     # the temperature mix is fit on the funnel's ACTUAL survivor set
     # (post-decontamination), exactly as build_training_corpus runs it
-    surv = funnel_stages(spark, sf_dir)["after_decontam"]
     mixed = temperature_mix(surv, "lang", "doc_id").select(
         "doc_id", "n_copies"
     )
@@ -324,16 +342,9 @@ def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_copies") < 1, "zero_copies")
         .otherwise("kept")
     )
-    return (
-        docs.join(keep_exact, "doc_id", "left")
-        .join(drop_near, "doc_id", "left")
-        .join(qual, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-        .join(mixed, "doc_id", "left")
-        .select(
-            "doc_id", "lang", stage.alias("stage"),
-            (stage == "kept").alias("kept"),
-        )
+    return flagged.join(mixed, "doc_id", "left").select(
+        "doc_id", "lang", stage.alias("stage"),
+        (stage == "kept").alias("kept"),
     )
 
 

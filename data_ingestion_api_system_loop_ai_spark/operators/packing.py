@@ -69,6 +69,7 @@ def pack_assignments(
     budget: int = PACK_BUDGET,
     nshards: int = NSHARDS,
     order_col: str | None = None,
+    carry_cols: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk layout over any (key, token_count) relation.
 
@@ -90,12 +91,25 @@ def pack_assignments(
     stage MUST pass its shuffle rank here (ADVICE r04): ordering by key
     would pack consecutive doc_ids adjacently, partially preserving
     the source/crawl locality the shuffle exists to break.
+
+    ``carry_cols=True`` passes every OTHER input column through the
+    pack windows, so a caller that wants the layout alongside its row
+    payload gets it in ONE pass — without it the caller must self-join
+    the layout back on ``key_col``, which recomputes the entire
+    upstream plan a second time (the corpus funnel's original shape:
+    measured 2x the whole dedup+quality+decontam pipeline at sf0.1).
     """
     key, toks = F.col(key_col), F.col(tokens_col)
     order = [order_col, key_col] if order_col else [key_col]
+    carry = (
+        [c for c in df.columns if c not in (key_col, tokens_col, order_col)]
+        if carry_cols
+        else []
+    )
     sharded = df.filter(toks > 0).select(
         key_col,
         *([order_col] if order_col else []),
+        *carry,
         toks.cast("long").alias("n_tokens"),
         portable_shard(key, nshards).alias("shard"),
     )
@@ -109,6 +123,8 @@ def pack_assignments(
     start = (cum - F.col("n_tokens")).alias("start_off")
     return sharded.select(
         key_col,
+        *([order_col] if order_col and carry_cols else []),
+        *carry,
         "shard",
         F.row_number().over(w).cast("long").alias("seq_in_shard"),
         "n_tokens",
