@@ -154,6 +154,8 @@ HEADLINE = [
     "q_classifier_score_model",
     # KMV/theta distinct set algebra (cross-segment overlap)
     "q_kmv_overlap",
+    # int8 per-dim scalar quantization damage report
+    "q_embedding_quantize",
 ]
 
 
@@ -176,6 +178,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
         q_embedding_outliers,
+        q_embedding_quantize,
         q_tfidf_source,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
@@ -368,6 +371,7 @@ def _extra_queries():
         "q_dedup_prefix": q_dedup_prefix,
         "q_hist_quantiles": q_hist_quantiles,
         "q_kmv_overlap": q_kmv_overlap,
+        "q_embedding_quantize": q_embedding_quantize,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

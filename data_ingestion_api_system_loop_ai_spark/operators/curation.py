@@ -188,3 +188,144 @@ FROM (
   FROM tf JOIN dfr USING (token) CROSS JOIN tot
 ) WHERE rnk <= {TFIDF_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension int8 embedding quantization — the storage decision a
+# 100 TB embedding corpus forces (4x smaller vectors; the standard
+# scalar-quantization baseline under PQ): per-dim (min, max) from ONE
+# map-side-combinable stats pass, codes = round((v - min)/scale) in
+# [0, 255] with scale = (max - min)/255, reconstruction v̂ = min +
+# code·scale. The query scores the DAMAGE: per-vector reconstruction
+# MSE, max absolute error, and the cosine between original and
+# reconstructed vector (what retrieval actually feels). Everything is
+# in-row double arithmetic off a 1-row broadcast stats relation —
+# deterministic fold order, identical on any engine.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def dim_stats(e: DataFrame) -> DataFrame:
+    """1-row (mins, maxs): per-dimension min/max as sorted arrays —
+    the quantizer parameters (exact: min/max have no summation
+    order)."""
+    return (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                lambda s: s["mx"],
+            ).alias("maxs"),
+        )
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, mse, max_abs_err, cos_recon): int8 per-dim scalar
+    quantization damage report over ``embeddings``. (Unregistered —
+    50-slot cap; driver-grade DuckDB parity + fidelity invariants in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = dim_stats(e)
+    # NOTE: Spark SQL's arr[i] is 0-BASED (element_at is the 1-based
+    # accessor) and transform's i is 0-based, so the index lines up
+    recon = F.expr(
+        f"""transform(embedding, (v, i) ->
+          CASE WHEN maxs[i] = mins[i] THEN mins[i]
+               ELSE mins[i]
+                    + least(CAST({QUANT_LEVELS} AS DOUBLE),
+                            round((CAST(v AS DOUBLE) - mins[i])
+                                  / ((maxs[i] - mins[i])
+                                     / {QUANT_LEVELS})))
+                      * ((maxs[i] - mins[i]) / {QUANT_LEVELS})
+          END)"""
+    )
+    q = e.crossJoin(F.broadcast(stats)).withColumn("recon", recon)
+    errs = F.zip_with(
+        "embedding", "recon", lambda v, r: r - v.cast("double")
+    )
+    mse = F.aggregate(
+        errs, F.lit(0.0), lambda acc, x: acc + x * x
+    ) / F.size("embedding")
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "recon", lambda v, r: v.cast("double") * r
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(dot_expr("embedding", "embedding"))
+    n2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("recon", "recon", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round(mse, 9).alias("mse"),
+        F.round(
+            F.array_max(F.transform(errs, lambda x: F.abs(x))), 6
+        ).alias("max_abs_err"),
+        F.round(dot / (n1 * n2), 6).alias("cos_recon"),
+    )
+
+
+_EQ_RECON = f"""list_transform(range(1, len(embedding) + 1), i ->
+  CASE WHEN maxs[i] = mins[i] THEN mins[i]
+       ELSE mins[i]
+            + least(CAST({QUANT_LEVELS} AS DOUBLE),
+                    round((CAST(embedding[i] AS DOUBLE) - mins[i])
+                          / ((maxs[i] - mins[i]) / {QUANT_LEVELS})))
+              * ((maxs[i] - mins[i]) / {QUANT_LEVELS})
+  END)"""
+
+EMBEDDING_QUANTIZE_ORACLE = f"""
+WITH dims AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, LATERAL (
+    SELECT unnest(range(1, len(embedding) + 1)) AS i
+  )
+  GROUP BY i
+),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM dims
+),
+r AS (
+  SELECT vec_id, embedding, {_EQ_RECON} AS recon
+  FROM embeddings, stats
+),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> (recon[i] - CAST(embedding[i] AS DOUBLE))
+                * (recon[i] - CAST(embedding[i] AS DOUBLE))))
+           / len(embedding) AS mse,
+         list_max(list_transform(range(1, len(embedding) + 1),
+           i -> abs(recon[i] - CAST(embedding[i] AS DOUBLE)))) AS mae,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE) * recon[i])) AS d,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * CAST(embedding[i] AS DOUBLE)))) AS n1,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+           i -> recon[i] * recon[i]))) AS n2
+  FROM r
+)
+SELECT vec_id, round(mse, 9) AS mse, round(mae, 6) AS max_abs_err,
+       round(d / (n1 * n2), 6) AS cos_recon
+FROM scored
+"""

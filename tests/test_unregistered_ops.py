@@ -3432,6 +3432,44 @@ def test_kmv_overlap_oracle_parity_and_accuracy(spark, sf_dir):
     assert merged_from_sketches == global_k
 
 
+def test_embedding_quantize_parity_and_fidelity(spark, sf_dir):
+    """int8 per-dim scalar quantization: DuckDB parity (in-row double
+    arithmetic off the exact min/max stats — engine-identical), plus
+    the fidelity bar that makes the 4x storage cut usable: cosine
+    between original and reconstructed vector stays >= 0.999 for every
+    vector and the reconstruction error is bounded by half a step."""
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        EMBEDDING_QUANTIZE_ORACLE,
+        QUANT_LEVELS,
+        dim_stats,
+        q_embedding_quantize,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_embedding_quantize(spark, sf_dir), con, EMBEDDING_QUANTIZE_ORACLE)
+    finally:
+        con.close()
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["cos_recon"] >= 0.999 for r in rows)
+    # max abs error <= half a quantization step of the widest dim
+    st = dim_stats(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).collect()[0]
+    widest = max(
+        mx - mn for mn, mx in zip(st["mins"], st["maxs"])
+    )
+    assert all(
+        r["max_abs_err"] <= widest / QUANT_LEVELS / 2 + 1e-9 for r in rows
+    )
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
