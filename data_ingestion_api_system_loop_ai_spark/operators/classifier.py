@@ -473,3 +473,35 @@ FROM range({HASH_DIM + 1}) r
 CROSS JOIN n_docs
 LEFT JOIN grads g ON g.feat = r.range
 """
+
+
+def classifier_stream_writer(
+    spark: SparkSession, model_path: str, out_path: str
+):
+    """A ``foreachBatch`` callable scoring every arriving micro-batch
+    of (doc_id, text) rows against the PERSISTED frozen classifier and
+    landing (doc_id, p, predicted) under a batch-keyed partition — the
+    streaming face of the build/probe split: ingest-time quality
+    scoring with ZERO training work per batch (the drift-log /
+    dedup-stream-writer shape). Append-idempotence rides the
+    deterministic batch id: a replayed batch overwrites its own
+    ``batch=<id>`` directory, never duplicating scored rows. The
+    weight relation is read ONCE at writer construction (frozen by the
+    commit marker) and broadcast into every batch's scoring join."""
+    import os
+
+    commit_protocol.require_marker(
+        model_path, what="classifier model", builder="build_classifier_model"
+    )
+    weights = spark.read.parquet(os.path.join(model_path, "weights"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        score_documents(
+            batch_df.select("doc_id", "text"), weights
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    return write_batch

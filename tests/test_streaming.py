@@ -1091,3 +1091,72 @@ def test_drift_stream_monitor_scores_batches_against_frozen_reference(
     # its partition, leaving the log row count unchanged
     writer(spark.read.parquet(os.path.join(src, "f0.parquet")), low[1])
     assert spark.read.parquet(log).count() == 3
+
+
+def test_classifier_stream_scorer_matches_batch_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming face of the classifier's build/probe split: arriving
+    document batches are scored against the frozen persisted model;
+    the streamed scores must EQUAL batch scoring of the same docs with
+    the same model, and a replayed batch id must overwrite its own
+    partition (no duplicates). Torn models are refused at writer
+    construction."""
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.classifier import (
+        build_classifier_model,
+        classifier_stream_writer,
+        q_classifier_from_model,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    mp = str(tmp_path / "clf_stream_model")
+    with _pytest.raises(Exception, match="classifier model"):
+        classifier_stream_writer(spark, mp, str(tmp_path / "x"))
+    build_classifier_model(spark, sf_dir, mp, n_iters=3)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "clf_src")
+    os.makedirs(src)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src + "/.t0")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(src + "/.t1")
+    for i in range(2):
+        f = glob.glob(src + f"/.t{i}/*.parquet")[0]
+        shutil.move(f, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(src + f"/.t{i}")
+
+    out = str(tmp_path / "clf_scores")
+    writer = classifier_stream_writer(spark, mp, out)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option(
+            "checkpointLocation", str(tmp_path / "clf_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(out).select(
+            "doc_id", "p", "predicted").collect())
+    )
+    batch = sorted(
+        map(tuple, q_classifier_from_model(spark, sf_dir, mp).select(
+            "doc_id", "p", "predicted").collect())
+    )
+    assert streamed == batch and len(streamed) > 0
+
+    # replay idempotence: re-invoking the writer for an already-seen
+    # batch id overwrites its partition, row count unchanged
+    n_before = spark.read.parquet(out).count()
+    writer(docs.filter("doc_id % 2 = 0"), 0)
+    assert spark.read.parquet(out).count() == n_before
