@@ -156,6 +156,8 @@ HEADLINE = [
     "q_kmv_overlap",
     # int8 per-dim scalar quantization damage report
     "q_embedding_quantize",
+    # overlapping token-window chunking (retrieval/long-context splits)
+    "q_chunk_overlap",
 ]
 
 
@@ -180,6 +182,9 @@ def _extra_queries():
         q_embedding_outliers,
         q_embedding_quantize,
         q_tfidf_source,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        q_chunk_overlap,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
         q_collocations,
@@ -372,6 +377,7 @@ def _extra_queries():
         "q_hist_quantiles": q_hist_quantiles,
         "q_kmv_overlap": q_kmv_overlap,
         "q_embedding_quantize": q_embedding_quantize,
+        "q_chunk_overlap": q_chunk_overlap,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

@@ -174,3 +174,89 @@ SELECT doc_id, shard, seq_in_shard, n_tokens,
 FROM laid
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking — the OTHER document-splitting
+# discipline next to concat-and-chunk: retrieval corpora and
+# long-context eval sets split each document into fixed windows with a
+# stride overlap (context is preserved across cut points; every token
+# appears in >= 1 chunk). Pure per-row array math — explode bounded by
+# n/stride chunks per doc, ZERO shuffles, the whole operator is one
+# projection over the scan.
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(key, chunk_id, start_tok, n_chunk_tokens, chunk_text): token
+    windows of ``window`` tokens every ``stride`` (trailing partial
+    window kept — every token lands in at least one chunk; a doc
+    shorter than one window is one chunk)."""
+    toks = tokenize(F.col(text_col))
+    d = df.select(
+        key_col, toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_chunks = (
+        F.floor(
+            (F.greatest(F.col("_n") - window, F.lit(0)) + stride - 1)
+            / stride
+        )
+        + 1
+    ).cast("int")
+    d = d.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).withColumn("start_tok", (F.col("chunk_id") * stride).cast("long"))
+    piece = F.slice(F.col("_toks"), F.col("start_tok") + 1, window)
+    return d.select(
+        key_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "start_tok",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking of ``documents`` (64-token windows,
+    stride 48). (Unregistered — 50-slot cap; driver-grade DuckDB
+    parity + coverage/overlap invariants in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_overlap(docs, "doc_id", "text")
+
+
+CHUNK_OVERLAP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+),
+d AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+  FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, t, n,
+         unnest(range(0,
+           (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE} - 1)
+             // {CHUNK_STRIDE} + 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW},
+                                 n))) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(
+         list_slice(t, chunk_id * {CHUNK_STRIDE} + 1,
+                    least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n)),
+         ' ') AS chunk_text
+FROM chunks
+"""

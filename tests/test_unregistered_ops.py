@@ -3470,6 +3470,66 @@ def test_embedding_quantize_parity_and_fidelity(spark, sf_dir):
     )
 
 
+def test_chunk_overlap_parity_and_coverage(spark, sf_dir):
+    """Overlapping-window chunking: DuckDB parity, then the coverage
+    contract — every token of every doc appears in >= 1 chunk, interior
+    chunks are exactly WINDOW tokens with STRIDE spacing, and stitching
+    each chunk's non-overlapping tail reproduces the document's token
+    stream exactly."""
+    from collections import defaultdict
+
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        CHUNK_OVERLAP_ORACLE,
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        q_chunk_overlap,
+    )
+    from data_ingestion_api_system_loop_ai_spark.functions.text import (
+        tokenize,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_chunk_overlap(spark, sf_dir), con, CHUNK_OVERLAP_ORACLE)
+    finally:
+        con.close()
+
+    chunks = defaultdict(list)
+    for r in q_chunk_overlap(spark, sf_dir).collect():
+        chunks[r["doc_id"]].append(r)
+    docs = {
+        r["doc_id"]: r["toks"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .collect()
+    }
+    assert set(chunks) == set(docs)
+    for did, toks in docs.items():
+        cs = sorted(chunks[did], key=lambda r: r["chunk_id"])
+        assert [c["start_tok"] for c in cs] == [
+            i * CHUNK_STRIDE for i in range(len(cs))
+        ]
+        # last chunk reaches the end of the doc; all cover every token
+        last = cs[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == len(toks)
+        stitched = list(
+            cs[0]["chunk_text"].split(" ") if cs[0]["chunk_text"] else []
+        )
+        for c in cs[1:]:
+            piece = c["chunk_text"].split(" ")
+            stitched.extend(piece[CHUNK_WINDOW - CHUNK_STRIDE:])
+        assert stitched == toks
+        for c in cs[:-1]:
+            assert c["n_chunk_tokens"] == CHUNK_WINDOW
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
