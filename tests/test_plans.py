@@ -350,12 +350,23 @@ def test_round5_session_ops_stay_jvm_side(spark, sf_dir):
         q_corpus_funnel,
         q_funnel_explain,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        q_embedding_quantize,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.packing import (
+        q_chunk_overlap,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
         q_budget_select,
         q_pps_sample,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        q_kmv_overlap,
+    )
 
-    for fn in (q_corpus_funnel, q_funnel_explain, q_budget_select, q_pps_sample):
+    for fn in (q_corpus_funnel, q_funnel_explain, q_budget_select,
+               q_pps_sample, q_kmv_overlap, q_embedding_quantize,
+               q_chunk_overlap):
         plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
