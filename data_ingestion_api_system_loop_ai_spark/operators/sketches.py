@@ -484,19 +484,15 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = KMV_K) -> Da
     )
 
 
-def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-bigram overlap between two corpus segments (even/odd
-    numeric source id) via KMV theta sketches: one row with each
-    segment's distinct estimate, the union and intersection estimates,
-    and the Jaccard estimate — the cross-corpus overlap readout.
-    (Unregistered — 50-slot cap; exact DuckDB parity — the sketch is
-    deterministic integer state — plus accuracy-vs-exact invariants in
-    tests/test_unregistered_ops.py.)"""
+def segment_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seg, gram): the two corpus segments' (even/odd numeric source
+    id) adjacent-token bigrams — the item relation the overlap
+    sketches summarize."""
     docs = load_table(spark, sf_dir, "documents").select(
         (F.substring("source", 4, 10).cast("int") % 2).alias("seg"),
         tokenize(F.col("text")).alias("toks"),
     )
-    grams = docs.select(
+    return docs.select(
         "seg",
         F.explode(
             F.expr(
@@ -505,7 +501,13 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    sk = kmv_sketch(grams, ["seg"], "gram")
+
+
+def kmv_overlap_from_sketch(sk: DataFrame) -> DataFrame:
+    """The overlap readout from a (seg, h, rnk) sketch relation —
+    shared by the inline query and the persisted-sketch probe (the
+    whole point of the sketch: this function touches ONLY the K-row
+    sketches, never the corpora)."""
     est = kmv_estimate(sk, ["seg"])
     a = est.filter("seg = 0").select(
         F.col("est").alias("n_a_est"), F.col("theta").alias("_ta")
@@ -549,6 +551,52 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("inter_est", F.lit(0.0)) / F.col("union_est"), 6
             ).alias("jaccard_est"),
         )
+    )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram overlap between two corpus segments (even/odd
+    numeric source id) via KMV theta sketches: one row with each
+    segment's distinct estimate, the union and intersection estimates,
+    and the Jaccard estimate — the cross-corpus overlap readout.
+    (Unregistered — 50-slot cap; exact DuckDB parity — the sketch is
+    deterministic integer state — plus accuracy-vs-exact invariants in
+    tests/test_unregistered_ops.py.)"""
+    return kmv_overlap_from_sketch(
+        kmv_sketch(segment_grams(spark, sf_dir), ["seg"], "gram")
+    )
+
+
+def build_kmv_sketches(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the per-segment KMV sketches (one corpus scan) under the
+    shared commit marker — the artifact every future overlap probe
+    reads INSTEAD of the corpora (two 100 TB crawls compare via two
+    KB-sized parquet files)."""
+    import os
+
+    from ..sources import commit_protocol
+
+    kmv_sketch(segment_grams(spark, sf_dir), ["seg"], "gram").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "sketches"))
+    commit_protocol.write_marker(path)
+
+
+def q_kmv_overlap_from_sketches(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The overlap readout from PERSISTED sketches — zero corpus work
+    per probe (pinned bit-identical to the inline form); torn builds
+    refused."""
+    import os
+
+    from ..sources import commit_protocol
+
+    commit_protocol.require_marker(
+        path, what="KMV sketch set", builder="build_kmv_sketches"
+    )
+    return kmv_overlap_from_sketch(
+        spark.read.parquet(os.path.join(path, "sketches"))
     )
 
 

@@ -3530,6 +3530,30 @@ def test_chunk_overlap_parity_and_coverage(spark, sf_dir):
             assert c["n_chunk_tokens"] == CHUNK_WINDOW
 
 
+def test_kmv_persisted_sketches_match_inline(spark, sf_dir, tmp_path):
+    """The persisted-sketch probe is the artifact's point: two corpora
+    compare via KB-sized sketch files with zero corpus work. From-
+    sketch readout pinned bit-identical to inline; torn builds
+    refused."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
+        build_kmv_sketches,
+        q_kmv_overlap,
+        q_kmv_overlap_from_sketches,
+    )
+
+    p = str(tmp_path / "kmv_sketches")
+    with _pytest.raises(FileNotFoundError, match="KMV sketch set"):
+        q_kmv_overlap_from_sketches(spark, sf_dir, p).collect()
+    build_kmv_sketches(spark, sf_dir, p)
+    frozen = sorted(
+        map(tuple, q_kmv_overlap_from_sketches(spark, sf_dir, p).collect())
+    )
+    inline = sorted(map(tuple, q_kmv_overlap(spark, sf_dir).collect()))
+    assert frozen == inline and len(frozen) == 1
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
