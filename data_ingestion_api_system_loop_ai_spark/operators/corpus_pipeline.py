@@ -99,6 +99,16 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     s = s.join(contaminated, "doc_id", "left_anti")
     stages["after_decontam"] = s
 
+    # STAGE BOUNDARY: the two-phase rank helpers each reference their
+    # input twice (local rank + bucket offsets), so the mix -> shuffle
+    # -> pack chain would re-instantiate the whole verdict pipeline
+    # 2x2x2 = 8 times (measured: 112 documents-scan leaves in the
+    # funnel plan vs 14 across the stages). One lazy localCheckpoint
+    # materializes the survivor set on first action; everything
+    # downstream re-reads the materialized blocks — exactly the
+    # checkpoint a 100 TB production funnel would place here.
+    s = s.localCheckpoint(eager=False)
+
     mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
 
     keyed = mixed.withColumn(
@@ -320,7 +330,10 @@ def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drop_near, "doc_id", "left")
         .join(qual, "doc_id", "left")
         .join(contam, "doc_id", "left")
-    )
+    ).localCheckpoint(eager=False)  # same stage boundary as the funnel:
+    # flagged feeds both the attribution chain and the survivor set the
+    # mix is fit on; without materialization every verdict pipeline
+    # would re-instantiate per reference
     surv = flagged.filter(
         ~(F.col("doc_id") % EVAL_MOD == EVAL_REM)
         & F.col("_exact_keep").isNotNull()
