@@ -329,3 +329,142 @@ SELECT vec_id, round(mse, 9) AS mse, round(mae, 6) AS max_abs_err,
        round(d / (n1 * n2), 6) AS cos_recon
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+# arXiv:1702.01417): embedding sets are anisotropic — a nonzero common
+# mean plus a few dominating principal components carry corpus-wide
+# energy that drowns the similarity signal. The fix every retrieval
+# pipeline applies: mean-center, estimate the top principal component,
+# project it out. Here as distributed linear algebra:
+#
+# - the per-dim MEAN is one decimal-exact aggregate (the centroid
+#   idiom);
+# - the top PC comes from POWER ITERATION: v <- normalize(Σ_d x̃_d
+#   (x̃_dᵀ v) / n) — per pass ONE broadcast of the 64-float vector and
+#   ONE (dim)-keyed decimal aggregate of rounded per-row contributions
+#   (order-independent => bit-deterministic under any partitioning);
+#   the normalize is a driver-side 64-float touchpoint, the k-means
+#   centroid shape;
+# - the readout is per-vector: projection coefficient on the top PC,
+#   centered norm, residual norm after removal.
+#
+# Scale: T passes over the corpus (T ~ 25), each map-side combinable
+# to |dim| rows; nothing ever materializes the covariance matrix.
+# Correctness (tests): an independent numpy replay of the IDENTICAL
+# algorithm (same init, same iteration count) must agree to float
+# tolerance; residuals must be orthogonal to the learned direction;
+# the Rayleigh quotient along v must dominate seeded random
+# directions; two runs must be bit-identical.
+# ---------------------------------------------------------------------------
+
+ABTT_ITERS = 25
+
+
+def embedding_mean(e: DataFrame) -> DataFrame:
+    """1-row (mean): per-dimension decimal-exact mean of the corpus."""
+    return (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("mean")
+        )
+    )
+
+
+def _centered(mean_col: str = "mean"):
+    return F.expr(
+        f"transform(embedding, (v, i) -> CAST(v AS DOUBLE) - {mean_col}[i])"
+    )
+
+
+def top_pc(spark: SparkSession, e: DataFrame, iters: int = ABTT_ITERS) -> list:
+    """The corpus's top principal direction by distributed power
+    iteration (deterministic all-ones/√d init). Returns a python list
+    of dim floats with unit norm."""
+    import math as _math
+
+    dim = len(e.select("embedding").first()["embedding"])
+    ec = e.crossJoin(F.broadcast(embedding_mean(e))).select(
+        _centered().alias("c")
+    ).persist()
+    try:
+        v = [1.0 / _math.sqrt(dim)] * dim
+        for _ in range(iters):
+            varr = F.array(*[F.lit(x) for x in v])
+            s = F.aggregate(
+                F.zip_with(F.col("c"), varr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            rows = (
+                ec.select(s.alias("s"), F.posexplode("c").alias("i", "ci"))
+                .groupBy("i")
+                .agg(
+                    F.sum(
+                        F.round(F.col("s") * F.col("ci"), 12).cast(
+                            "decimal(28,12)"
+                        )
+                    ).alias("acc")
+                )
+                .collect()
+            )
+            w = [0.0] * dim
+            for r in rows:
+                w[r["i"]] = float(r["acc"])
+            nrm = _math.sqrt(sum(x * x for x in w))
+            if nrm == 0.0:
+                break
+            # sign convention: first nonzero coordinate positive, so
+            # the learned direction is unique (eigenvectors are ±)
+            v = [x / nrm for x in w]
+        lead = next((x for x in v if abs(x) > 1e-12), 1.0)
+        if lead < 0:
+            v = [-x for x in v]
+        return v
+    finally:
+        ec.unpersist()
+
+
+def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, pc1_coeff, centered_norm, resid_norm): the
+    all-but-the-top readout over ``embeddings`` — how much of each
+    vector the dominant corpus direction explains, and what remains
+    after removal. (Unregistered — 50-slot cap; independent-numpy
+    parity + orthogonality/dominance/determinism invariants in
+    tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = top_pc(spark, e)
+    varr = F.array(*[F.lit(x) for x in v])
+    withc = e.crossJoin(F.broadcast(embedding_mean(e))).select(
+        "vec_id", _centered().alias("c")
+    )
+    s = F.aggregate(
+        F.zip_with(F.col("c"), varr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return withc.select(
+        "vec_id",
+        F.round(s, 6).alias("pc1_coeff"),
+        F.round(cnorm, 6).alias("centered_norm"),
+        # ||resid||² = ||c||² - s² exactly (v has unit norm)
+        F.round(
+            F.sqrt(F.greatest(cnorm * cnorm - s * s, F.lit(0.0))), 6
+        ).alias("resid_norm"),
+    )

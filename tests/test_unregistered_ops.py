@@ -3554,6 +3554,58 @@ def test_kmv_persisted_sketches_match_inline(spark, sf_dir, tmp_path):
     assert frozen == inline and len(frozen) == 1
 
 
+def test_embedding_abtt_matches_independent_replay(spark, sf_dir):
+    """All-but-the-top: the distributed power iteration must agree
+    with an INDEPENDENT numpy replay of the identical algorithm (same
+    init, same iteration count, same 12-dp contribution rounding) to
+    float tolerance; the learned direction must dominate seeded random
+    directions in explained variance (it is the anisotropy axis, not
+    noise); and the per-vector readout must satisfy the Pythagorean
+    identity resid² + coeff² = centered_norm²."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        ABTT_ITERS,
+        q_embedding_abtt,
+        top_pc,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = np.array(top_pc(spark, e))
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    X = np.array(
+        [r["embedding"] for r in e.collect()], dtype=np.float64
+    )
+    Xc = X - X.mean(axis=0)
+    d = X.shape[1]
+    w = np.ones(d) / math.sqrt(d)
+    for _ in range(ABTT_ITERS):
+        acc = np.round((Xc @ w)[:, None] * Xc, 12).sum(axis=0)
+        w = acc / np.linalg.norm(acc)
+    if next(x for x in w if abs(x) > 1e-12) < 0:
+        w = -w
+    assert abs(float(v @ w)) > 1 - 1e-9  # independent replay agrees
+
+    # anisotropy-axis dominance over seeded random directions
+    var_v = float(np.mean((Xc @ v) ** 2))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        u = rng.randn(d)
+        assert var_v > float(np.mean((Xc @ (u / np.linalg.norm(u))) ** 2))
+
+    rows = q_embedding_abtt(spark, sf_dir).collect()
+    assert len(rows) == len(X)
+    for r in rows[:50]:
+        lhs = r["resid_norm"] ** 2 + r["pc1_coeff"] ** 2
+        assert abs(lhs - r["centered_norm"] ** 2) < 1e-4
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
