@@ -231,6 +231,32 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_overlap(args) -> int:
+    """Cross-segment distinct-overlap readout via KMV/theta sketches;
+    with --sketches the per-segment sketches are persisted (built on
+    first use) and the probe reads ONLY the KB-sized sketch files
+    (`operators/sketches.py q_kmv_overlap`)."""
+    spark = _spark("cli-overlap")
+    from .operators.sketches import (
+        build_kmv_sketches,
+        q_kmv_overlap,
+        q_kmv_overlap_from_sketches,
+    )
+
+    if args.sketches:
+        import os
+
+        from .sources.commit_protocol import BUILD_MARKER
+
+        if not os.path.exists(os.path.join(args.sketches, BUILD_MARKER)):
+            build_kmv_sketches(spark, args.sf_dir, args.sketches)
+        df = q_kmv_overlap_from_sketches(spark, args.sf_dir, args.sketches)
+    else:
+        df = q_kmv_overlap(spark, args.sf_dir)
+    print(json.dumps(df.collect()[0].asDict()))
+    return 0
+
+
 def cmd_rollup(args) -> int:
     """Maintain an incremental aggregate rollup table
     (``sources/rollup.py``): ``--refresh`` partial-aggregates only
@@ -487,6 +513,12 @@ def build_parser() -> argparse.ArgumentParser:
     pcl.add_argument("model")
     pcl.add_argument("--limit", type=int, default=10)
     pcl.set_defaults(fn=cmd_classify)
+
+    pov = sub.add_parser("overlap")
+    pov.add_argument("sf_dir")
+    pov.add_argument("--sketches", default=None,
+                     help="persisted sketch dir (built on first use)")
+    pov.set_defaults(fn=cmd_overlap)
 
     pa = sub.add_parser("analyze")
     pa.add_argument("path")

@@ -270,3 +270,20 @@ def test_cli_train_and_classify(spark, sf_dir, tmp_path, capsys):
     assert len(rows) == 3  # 2 docs + the summary line
     assert all(0.0 <= r["p"] <= 1.0 for r in rows[:-1])
     assert rows[-1]["n_predicted_positive"] >= 0
+
+
+def test_cli_overlap_builds_and_probes_sketches(spark, sf_dir, tmp_path, capsys):
+    """overlap: inline and persisted-sketch probes emit the same
+    readout; the sketch build happens on first use."""
+    assert main(["overlap", sf_dir]) == 0
+    inline = json.loads(capsys.readouterr().out.splitlines()[-1])
+    sk = str(tmp_path / "cli_kmv")
+    assert main(["overlap", sf_dir, "--sketches", sk]) == 0
+    frozen = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert frozen == inline
+    assert set(inline) == {
+        "n_a_est", "n_b_est", "union_est", "inter_est", "jaccard_est"
+    }
+    import os
+
+    assert os.path.exists(os.path.join(sk, "_COMMITTED"))

@@ -236,3 +236,85 @@ def test_bpe_matches_python_reference_on_adversarial_corpora(spark, words):
     assert merges == want_merges
     got = {r["word"]: r["symbols"] for r in final.collect()}
     assert got == {w: syms for w, (syms, _n) in want_words.items()}
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+)
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    """Property: GIF-flavor LZW decompress(compress(x)) == x for
+    arbitrary byte strings — covers empty input, single symbols,
+    high-repetition runs the shrinker finds, and code-width
+    transitions."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _lzw_compress,
+        lzw_decompress,
+    )
+
+    assert lzw_decompress(_lzw_compress(data)) == data
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_and_gif_decode_roundtrip_property(w, h, seed):
+    """Property: both entropy codecs decode their own encodings to the
+    generator's exact pixel checksum at arbitrary geometry/seed."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        _png_pixel_row,
+        decode_real,
+        encode_gif,
+        encode_png,
+    )
+
+    d = decode_real(encode_png(w, h, seed))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["px_sum"] == sum(sum(_png_pixel_row(w, seed, y)) for y in range(h))
+
+    pal = _gif_palette()
+    g = decode_real(encode_gif(w, h, seed))
+    assert (g["width"], g["height"]) == (w, h)
+    assert g["px_sum"] == sum(sum(pal[i]) for i in _gif_indices(w, h, seed))
+
+
+@given(
+    toks=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=60
+    ),
+    budget_frac=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_budget_select_matches_serial_greedy_model(toks, budget_frac):
+    """Property (pure-python model): the two-phase budget_select
+    semantics — quality-desc greedy prefix under a token budget — match
+    a serial reference on arbitrary score/token multisets. (The Spark
+    twin is pinned separately; this guards the MODEL the oracle
+    encodes, incl. tie handling by key.)"""
+    # deterministic pseudo-scores in [0,1] with collisions
+    rows = [
+        (i, round(((i * 37) % 7) / 7.0, 6), t) for i, t in enumerate(toks)
+    ]
+    total = sum(t for _, _, t in rows)
+    budget = total // budget_frac
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, selected = 0, set()
+    for key, _, t in order:
+        cum += t
+        if cum <= budget:
+            selected.add(key)
+    # the selected set is exactly the maximal prefix within budget
+    cum2, prefix_ok = 0, True
+    for key, _, t in order:
+        cum2 += t
+        in_prefix = cum2 <= budget
+        assert (key in selected) == in_prefix
+        if not in_prefix:
+            prefix_ok = False
+        else:
+            assert prefix_ok  # no gaps: once over budget, never back in
