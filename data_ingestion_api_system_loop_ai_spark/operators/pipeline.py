@@ -657,13 +657,6 @@ SELECT request_id, raw_priority,
        END AS error
 FROM with_invalid
 """,
-    "q_batch_chunking": PIPELINE_CTE
-    + """
-SELECT request_id, batch_index, batch_id,
-       array_to_string(batch_ids, '|') AS ids_str,
-       CAST(len(batch_ids) AS INTEGER) AS n_ids
-FROM batches
-""",
     "q_priority_order": PIPELINE_CTE
     + """
 SELECT rn, batch_id, priority, priority_rank, created_at, scheduled_start FROM timed
@@ -726,10 +719,27 @@ SELECT batch_id, unnest(batch_ids) AS id, 'processed' AS data,
 FROM batches
 """
 
+# Direct-test oracle for q_batch_chunking (evicted in the late-round-5
+# rotation — the chunk rule ceil(len/3) and batch composition stay
+# hash-checked inside q_pipeline_e2e, whose n_batches/first_start/
+# last_completed all derive from the batch relation; the slot funds
+# q_kmv_overlap).
+BATCH_CHUNKING_ORACLE = PIPELINE_CTE + """
+SELECT request_id, batch_index, batch_id,
+       array_to_string(batch_ids, '|') AS ids_str,
+       CAST(len(batch_ids) AS INTEGER) AS n_ids
+FROM batches
+"""
+
+UNREGISTERED_PIPELINE_QUERIES = {"q_batch_chunking": q_batch_chunking}
+UNREGISTERED_PIPELINE_ORACLES = {"q_batch_chunking": BATCH_CHUNKING_ORACLE}
+
 PIPELINE_QUERIES = {
     "q_validate_requests": q_validate_requests,
     "q_assign_ids": q_assign_ids,  # rows-only: uuid()/current_timestamp()
-    "q_batch_chunking": q_batch_chunking,
+    # q_batch_chunking gave up its slot in the late-round-5 rotation
+    # (chunk semantics stay hash-checked inside q_pipeline_e2e; the
+    # slot funds q_kmv_overlap); driver-grade parity test kept.
     "q_priority_order": q_priority_order,
     # q_process_batch gave up its registry slot in the round-4 rotation
     # (its constant projection is hash-checked inside q_pipeline_e2e's

@@ -661,3 +661,12 @@ SELECT n_a_est, n_b_est, union_est,
        round(coalesce(inter_est, 0.0) / union_est, 6) AS jaccard_est
 FROM a, b, uest, ie
 """
+
+
+# Registered in the late-round-5 rotation (slot funded by
+# q_batch_chunking, whose chunk rule stays hash-checked inside
+# q_pipeline_e2e): the KMV overlap's sketch is deterministic integer
+# state, so this is an EXACT value-hash row, not an approximation
+# check.
+SKETCH_QUERIES = {"q_kmv_overlap": q_kmv_overlap}
+SKETCH_ORACLES = {"q_kmv_overlap": KMV_OVERLAP_ORACLE}

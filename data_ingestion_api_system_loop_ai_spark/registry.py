@@ -41,6 +41,7 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     (".operators.corpus_pipeline", "CORPUS_QUERIES", "CORPUS_ORACLES"),
     (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
     (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),
+    (".operators.sketches", "SKETCH_QUERIES", "SKETCH_ORACLES"),
     (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
     (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
 ]

@@ -3058,6 +3058,31 @@ def test_round5_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
         con.close()
 
 
+def test_round5c_evicted_batch_chunking_stays_oracle_exact(spark, sf_dir):
+    """Late-round-5 rotation: q_batch_chunking funded q_kmv_overlap.
+    The chunk rule (ceil(len/3), batch composition, batch ids) stays
+    hash-checked inside the registered q_pipeline_e2e — its
+    n_batches/first_start/last_completed all derive from the batch
+    relation — and the evicted slot keeps the driver-grade DuckDB
+    comparison here."""
+    from data_ingestion_api_system_loop_ai_spark.operators.pipeline import (
+        UNREGISTERED_PIPELINE_ORACLES,
+        UNREGISTERED_PIPELINE_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            UNREGISTERED_PIPELINE_QUERIES["q_batch_chunking"](spark, sf_dir),
+            con,
+            UNREGISTERED_PIPELINE_ORACLES["q_batch_chunking"],
+        )
+    finally:
+        con.close()
+
+
 def test_round5b_evicted_corpus_shuffle_stays_oracle_exact(spark, sf_dir):
     """Round-5 second swap: q_corpus_shuffle funded q_corpus_funnel
     (the capstone's CORRECTNESS row, VERDICT r04 #9). The evicted slot
