@@ -197,3 +197,71 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_occurrences").desc(), F.col("symbol"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BPE model — the tokenizer-family build/probe split (the
+# same contract as the ANN index / k-means model / text models /
+# classifier weights): the merge table is trained ONCE per tokenizer
+# release and every encode pass afterwards is a map-only fold over the
+# stored merges — no pair-count aggregation ever again. At 100 TB the
+# training corpus sample and the encode corpus are different things;
+# the persisted model is what separates them.
+# ---------------------------------------------------------------------------
+
+
+def build_bpe_model(
+    spark: SparkSession, sf_dir: str, model_path: str,
+    n_merges: int = BPE_MERGES,
+) -> None:
+    """Train the merge list on ``documents`` and persist it (rank
+    order IS the model); marker written last — readers refuse a torn
+    build."""
+    import os
+
+    from ..sources import commit_protocol
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _words = bpe_train(docs, n_merges)
+    spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(model_path, "merges")
+    )
+    commit_protocol.write_marker(model_path)
+
+
+def load_bpe_merges(
+    spark: SparkSession, model_path: str
+) -> list[tuple[str, str, int]]:
+    """The frozen merge list, in training rank order."""
+    import os
+
+    from ..sources import commit_protocol
+
+    commit_protocol.require_marker(
+        model_path, what="BPE model", builder="build_bpe_model"
+    )
+    rows = (
+        spark.read.parquet(os.path.join(model_path, "merges"))
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+
+
+def q_bpe_encode_from_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """Encode ``documents`` against a persisted frozen BPE model:
+    (doc_id, n_bpe_tokens, bpe_tokens) with ZERO training work — the
+    merge fold is the only computation (pinned bit-identical to
+    encoding with a freshly trained in-memory merge list)."""
+    merges = load_bpe_merges(spark, model_path)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "bpe_tokens",
+    )

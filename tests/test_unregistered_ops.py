@@ -3631,6 +3631,45 @@ def test_embedding_abtt_matches_independent_replay(spark, sf_dir):
         assert abs(lhs - r["centered_norm"] ** 2) < 1e-4
 
 
+def test_bpe_frozen_model_matches_inline_encode(spark, sf_dir, tmp_path):
+    """The persisted BPE model completes the tokenizer-family
+    build/probe split: encoding against the frozen merge table must be
+    bit-identical to encoding with a freshly trained in-memory merge
+    list; torn builds refused."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        build_bpe_model,
+        load_bpe_merges,
+        q_bpe_encode_from_model,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    mp = str(tmp_path / "bpe_model")
+    with _pytest.raises(FileNotFoundError, match="BPE model"):
+        load_bpe_merges(spark, mp)
+    build_bpe_model(spark, sf_dir, mp)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_train(load_table(spark, sf_dir, "documents"))
+    assert load_bpe_merges(spark, mp) == merges  # the stored model IS the training output
+    inline = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in bpe_encode(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    )
+    frozen = sorted(
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in q_bpe_encode_from_model(spark, sf_dir, mp).collect()
+    )
+    assert frozen == inline and len(frozen) > 0
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
