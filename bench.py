@@ -158,6 +158,9 @@ HEADLINE = [
     "q_embedding_quantize",
     # overlapping token-window chunking (retrieval/long-context splits)
     "q_chunk_overlap",
+    # KS drift (binning-free complement to PSI) + Heaps-law vocab curve
+    "q_ks_drift",
+    "q_vocab_growth",
 ]
 
 
@@ -186,6 +189,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.packing import (
         q_chunk_overlap,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        q_vocab_growth,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
         q_collocations,
     )
@@ -193,6 +199,7 @@ def _extra_queries():
         q_embedding_clusters,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        q_ks_drift,
         q_psi_drift,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.quality import (
@@ -378,6 +385,8 @@ def _extra_queries():
         "q_kmv_overlap": q_kmv_overlap,
         "q_embedding_quantize": q_embedding_quantize,
         "q_chunk_overlap": q_chunk_overlap,
+        "q_ks_drift": q_ks_drift,
+        "q_vocab_growth": q_vocab_growth,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

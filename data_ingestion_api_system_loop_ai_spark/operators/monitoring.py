@@ -285,3 +285,112 @@ def drift_stream_writer(
 # PSI drift over the events stream, known-shift fixtures in tests.
 MONITORING_QUERIES = {"q_psi_drift": q_psi_drift}
 MONITORING_ORACLES = {"q_psi_drift": PSI_DRIFT_ORACLE}
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov drift — the binning-free complement to PSI: the
+# max gap between the two halves' empirical CDFs over the exact
+# value-cent domain. PSI needs a bucket width and smoothing constants;
+# KS is parameter-free and catches location shifts PSI's coarse bins
+# can blur. Per group: exact integer counts per distinct cent value,
+# one group-partitioned running-sum window over the (group, value)
+# relation (bounded by the quantized value domain, never corpus-sized
+# rows per partition beyond it), max |ΔCDF| as a plain max aggregate —
+# order-independent, so no fold pinning is needed.
+# ---------------------------------------------------------------------------
+
+
+def ks_drift(
+    df: DataFrame, group_col: str, value_col: str, ts_col: str
+) -> DataFrame:
+    """(event_type, n_ref, n_cur, ks): two-sample KS statistic of
+    ``value_col`` between the first and second half of ``ts_col``'s
+    span, per group."""
+    from pyspark.sql.window import Window as W
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        cents.alias("c"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+        ).alias("us"),
+    )
+    stats = base.agg(
+        F.expr("min(us) + (max(us) - min(us)) div 2").alias("mid")
+    )
+    counted = (
+        base.crossJoin(F.broadcast(stats))
+        .select("grp", "c", (F.col("us") <= F.col("mid")).alias("is_ref"))
+        .groupBy("grp", "c")
+        .agg(
+            F.count_if("is_ref").alias("nr"),
+            F.count_if(~F.col("is_ref")).alias("nc"),
+        )
+    )
+    run = (
+        W.partitionBy("grp")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = counted.groupBy("grp").agg(
+        F.sum("nr").alias("Nr"), F.sum("nc").alias("Nc")
+    )
+    cum = counted.select(
+        "grp",
+        F.sum("nr").over(run).alias("cr"),
+        F.sum("nc").over(run).alias("cc"),
+    )
+    gap = F.abs(
+        F.col("cr") / F.col("Nr") - F.col("cc") / F.col("Nc")
+    )
+    return (
+        cum.join(tot, "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("Nr").alias("n_ref"),
+            F.max("Nc").alias("n_cur"),
+            F.round(F.max(gap), 6).alias("ks"),
+        )
+        .select(F.col("grp").alias("event_type"), "n_ref", "n_cur", "ks")
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift of ``value`` per event_type between the events table's
+    time halves. (Unregistered — 50-slot cap; driver-grade DuckDB
+    parity + known-shift fixtures in tests/test_unregistered_ops.py.)"""
+    return ks_drift(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "ts"
+    ).orderBy("event_type")
+
+
+KS_DRIFT_ORACLE = """
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) AS us
+  FROM events
+),
+stats AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM base),
+counted AS (
+  SELECT grp, c,
+         sum(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN us <= mid THEN 0 ELSE 1 END) AS nc
+  FROM base, stats GROUP BY 1, 2
+),
+tot AS (SELECT grp, sum(nr) AS Nr, sum(nc) AS Nc FROM counted GROUP BY grp),
+cum AS (
+  SELECT grp,
+         sum(nr) OVER w AS cr, sum(nc) OVER w AS cc
+  FROM counted
+  WINDOW w AS (PARTITION BY grp ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT grp AS event_type, max(Nr) AS n_ref, max(Nc) AS n_cur,
+       round(max(abs(CAST(cr AS DOUBLE) / Nr - CAST(cc AS DOUBLE) / Nc)), 6)
+         AS ks
+FROM cum JOIN tot USING (grp)
+GROUP BY grp
+ORDER BY grp
+"""

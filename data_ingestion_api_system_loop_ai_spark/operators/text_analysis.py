@@ -314,3 +314,104 @@ DOC_FINGERPRINT_ORACLE = (
 SELECT fp.doc_id, fingerprint, simhash FROM fp JOIN sh ON fp.doc_id = sh.doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law audit) — how the distinct-token
+# vocabulary grows as the corpus accumulates: the curve every tokenizer
+# sizing / dedup-health review reads (sub-linear growth is healthy;
+# near-linear growth means unbounded noise vocabulary — OCR garbage,
+# ids, boilerplate explosions). Checkpoints are VALUE-bucKeted doc_id
+# deciles off a 1-row broadcast min/max — no global sort, no ntile
+# single-partition window; each token contributes once at its FIRST
+# decile (min doc_id), and the 10-row cumulative walk is driver-trivial.
+# ---------------------------------------------------------------------------
+
+VOCAB_DECILES = 10
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, cum_docs, cum_token_instances, vocab): cumulative
+    document count, token instances, and DISTINCT vocabulary after
+    each doc_id-value decile of ``documents``. (Unregistered — 50-slot
+    cap; driver-grade DuckDB parity + monotone-growth/final-total
+    invariants in tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    stats = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    dec = F.least(
+        F.lit(VOCAB_DECILES),
+        (
+            (F.col("doc_id") - F.col("mn"))
+            * VOCAB_DECILES
+            / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long")
+        + 1,
+    )
+    d = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "toks", dec.alias("decile")
+    )
+    per_doc = d.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tok"),
+    )
+    firsts = (
+        d.select("decile", F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.min("decile").alias("fdec"))
+        .groupBy("fdec")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    from pyspark.sql.window import Window as W
+
+    run = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_doc.join(
+            firsts.withColumnRenamed("fdec", "decile"), "decile", "left"
+        )
+        .select(
+            "decile",
+            F.sum("n_docs").over(run).cast("long").alias("cum_docs"),
+            F.sum("n_tok").over(run).cast("long").alias("cum_token_instances"),
+            F.sum(F.coalesce("new_vocab", F.lit(0)))
+            .over(run)
+            .cast("long")
+            .alias("vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+VOCAB_GROWTH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+stats AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM docs),
+d AS (
+  SELECT doc_id, toks,
+         least({VOCAB_DECILES},
+               (doc_id - mn) * {VOCAB_DECILES} // (mx - mn + 1) + 1) AS decile
+  FROM docs, stats
+),
+per_doc AS (
+  SELECT decile, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tok
+  FROM d GROUP BY decile
+),
+firsts AS (
+  SELECT fdec AS decile, count(*) AS new_vocab FROM (
+    SELECT t, min(decile) AS fdec
+    FROM (SELECT decile, unnest(toks) AS t FROM d) GROUP BY t
+  ) GROUP BY fdec
+)
+SELECT decile,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tok) OVER w AS BIGINT) AS cum_token_instances,
+       CAST(sum(coalesce(new_vocab, 0)) OVER w AS BIGINT) AS vocab
+FROM per_doc LEFT JOIN firsts USING (decile)
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY decile
+"""

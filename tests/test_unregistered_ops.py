@@ -3670,6 +3670,103 @@ def test_bpe_frozen_model_matches_inline_encode(spark, sf_dir, tmp_path):
     assert frozen == inline and len(frozen) > 0
 
 
+def test_ks_drift_parity_and_known_shift(spark, sf_dir):
+    """KS drift: DuckDB parity on the events split, then the
+    known-shift fixture — identical halves score ~0, a location-shifted
+    half crosses the classic two-sample threshold; KS is bounded in
+    [0, 1] by construction."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.monitoring import (
+        KS_DRIFT_ORACLE,
+        ks_drift,
+        q_ks_drift,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_ks_drift(spark, sf_dir), con, KS_DRIFT_ORACLE)
+    finally:
+        con.close()
+    rows = q_ks_drift(spark, sf_dir).collect()
+    assert all(0.0 <= r["ks"] <= 1.0 for r in rows)
+
+    # fixture: ref half = values 0..999 at t=0..999s; cur half equal
+    # (ks ~ 0) vs cur half shifted +5.0 (ks = 1 for full separation)
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    same = [
+        ("g", i / 100.0, t0 + datetime.timedelta(seconds=s))
+        for s in range(2)
+        for i in range(500)
+    ]
+    df_same = spark.createDataFrame(
+        same, "event_type string, value double, ts timestamp_ntz"
+    )
+    r = ks_drift(df_same, "event_type", "value", "ts").collect()[0]
+    assert r["ks"] <= 0.01
+    shifted = [
+        ("g", i / 100.0 + (5.0 if s == 1 else 0.0),
+         t0 + datetime.timedelta(seconds=s))
+        for s in range(2)
+        for i in range(500)
+    ]
+    df_sh = spark.createDataFrame(
+        shifted, "event_type string, value double, ts timestamp_ntz"
+    )
+    r2 = ks_drift(df_sh, "event_type", "value", "ts").collect()[0]
+    assert r2["ks"] == 1.0  # disjoint supports: full CDF separation
+
+
+def test_vocab_growth_parity_and_monotonicity(spark, sf_dir):
+    """Vocabulary growth: DuckDB parity plus the Heaps-curve
+    invariants — all three cumulative columns are non-decreasing, the
+    final row equals the corpus totals, and vocab never exceeds token
+    instances."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.functions.text import (
+        tokenize,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        VOCAB_GROWTH_ORACLE,
+        q_vocab_growth,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import (
+        load_table,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_vocab_growth(spark, sf_dir), con, VOCAB_GROWTH_ORACLE)
+    finally:
+        con.close()
+    rows = sorted(q_vocab_growth(spark, sf_dir).collect(),
+                  key=lambda r: r["decile"])
+    for col in ("cum_docs", "cum_token_instances", "vocab"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokenize(F.col("text")).alias("toks")
+    )
+    totals = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("toks")).alias("ti"),
+    ).collect()[0]
+    vocab_true = (
+        docs.select(F.explode("toks").alias("t")).distinct().count()
+    )
+    last = rows[-1]
+    assert last["cum_docs"] == totals["n"]
+    assert last["cum_token_instances"] == totals["ti"]
+    assert last["vocab"] == vocab_true <= last["cum_token_instances"]
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
