@@ -161,6 +161,8 @@ HEADLINE = [
     # KS drift (binning-free complement to PSI) + Heaps-law vocab curve
     "q_ks_drift",
     "q_vocab_growth",
+    # multi-signal curation verdict (quality+decontam+eval+typicality)
+    "q_curation_verdict",
 ]
 
 
@@ -182,6 +184,7 @@ def _extra_queries():
         q_hybrid_rank,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        q_curation_verdict,
         q_embedding_outliers,
         q_embedding_quantize,
         q_tfidf_source,
@@ -387,6 +390,7 @@ def _extra_queries():
         "q_chunk_overlap": q_chunk_overlap,
         "q_ks_drift": q_ks_drift,
         "q_vocab_growth": q_vocab_growth,
+        "q_curation_verdict": q_curation_verdict,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

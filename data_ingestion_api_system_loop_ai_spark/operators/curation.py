@@ -58,7 +58,7 @@ def label_centroids(e: DataFrame) -> DataFrame:
         .groupBy("label", "i")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(25,12)")).cast("double")
                 / F.count("*")
             ).alias("cv")
         )
@@ -106,7 +106,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBEDDING_OUTLIERS_ORACLE = f"""
 WITH dims AS (
   SELECT label, i,
-         CAST(SUM(CAST(embedding[i] AS DECIMAL(25,12))) AS DOUBLE)
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
            / count(*) AS cv
   FROM embeddings, UNNEST(range(1, {RP_DIM} + 1)) AS g(i)
   GROUP BY label, i
@@ -369,7 +369,7 @@ def embedding_mean(e: DataFrame) -> DataFrame:
         .groupBy("i")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(25,12)")).cast("double")
                 / F.count("*")
             ).alias("m")
         )
@@ -468,3 +468,122 @@ def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.greatest(cnorm * cnorm - s * s, F.lit(0.0))), 6
         ).alias("resid_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal curation verdict — the DECISION LAYER the individual
+# signals exist for: one row per document folding the Gopher quality
+# battery, benchmark decontamination, the eval holdout, and embedding
+# typicality (cosine to the doc's label centroid) into a keep verdict
+# WITH REASONS — the relation a 100 TB curation review actually reads
+# ("why did we drop it" next to "did we drop it"). Signals join on
+# doc_id (tiny verdict relations / broadcast centroids); the fold is
+# one when-array projection.
+# ---------------------------------------------------------------------------
+
+TYPICALITY_FLOOR = 0.0  # centroid cosine below 0 = pointing away
+
+
+def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cos_centroid, reasons, keep): composed curation
+    verdict over ``documents`` (embedding typicality joined by
+    vec_id = doc_id where an embedding exists; docs without one skip
+    that check). (Unregistered — 50-slot cap; composed DuckDB oracle +
+    reason/verdict consistency invariants in
+    tests/test_unregistered_ops.py.)"""
+    from .contamination import EVAL_MOD, EVAL_REM, q_decontaminate
+    from .quality import quality_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    qual = quality_profile(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("keep").alias("_q"))
+    contam = (
+        q_decontaminate(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id", F.lit(True).alias("_ct"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    cos = (
+        e.join(F.broadcast(label_centroids(e)), "label")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot_expr("embedding", "centroid")
+                / (norm_expr("embedding") * norm_expr("centroid")),
+                6,
+            ).alias("cos_centroid"),
+        )
+    )
+    joined = (
+        docs.join(qual, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(cos, "doc_id", "left")
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(
+                F.col("cos_centroid") < TYPICALITY_FLOOR,
+                "atypical_embedding",
+            ),
+            F.when(F.col("_ct").isNotNull(), "contaminated"),
+            F.when(F.col("doc_id") % EVAL_MOD == EVAL_REM, "eval_holdout"),
+            F.when(
+                F.col("_q").isNull() | ~F.col("_q"), "low_quality"
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        "cos_centroid",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
+from .contamination import CONTAMINATION_ORACLES as _CONTAM_O
+from .quality import QUALITY_ORACLES as _QUAL_O
+
+CURATION_VERDICT_ORACLE = f"""
+WITH qual AS (
+  SELECT doc_id, keep AS q FROM ({_QUAL_O['q_quality_filter']})
+),
+contam AS (
+  SELECT doc_id FROM ({_CONTAM_O['q_decontaminate']}) WHERE contaminated
+),
+dims AS (
+  SELECT label, i,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+           / count(*) AS cv
+  FROM embeddings, UNNEST(range(1, {RP_DIM} + 1)) AS g(i)
+  GROUP BY label, i
+),
+cent AS (SELECT label, list(cv ORDER BY i) AS centroid FROM dims GROUP BY label),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_sum(list_transform(range(1, {RP_DIM} + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+         / (sqrt(list_sum(list_transform(range(1, {RP_DIM} + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, {RP_DIM} + 1),
+               i -> c.centroid[i] * c.centroid[i])))), 6) AS cos_centroid
+  FROM embeddings e JOIN cent c USING (label)
+),
+folded AS (
+  SELECT d.doc_id, cos.cos_centroid,
+         list_filter([
+           CASE WHEN cos.cos_centroid < {TYPICALITY_FLOOR}
+                THEN 'atypical_embedding' END,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM contam)
+                THEN 'contaminated' END,
+           CASE WHEN d.doc_id % 20 = 7 THEN 'eval_holdout' END,
+           CASE WHEN coalesce(
+             (SELECT q FROM qual WHERE qual.doc_id = d.doc_id), false
+           ) = false THEN 'low_quality' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM documents d LEFT JOIN cos USING (doc_id)
+)
+SELECT doc_id, cos_centroid, reasons, len(reasons) = 0 AS keep
+FROM folded
+"""

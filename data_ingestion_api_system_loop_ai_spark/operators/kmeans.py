@@ -101,7 +101,7 @@ def _recompute(e: DataFrame, asg: DataFrame) -> DataFrame:
         .groupBy("cell", "i")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(25,12)")).cast("double")
                 / F.count("*")
             ).alias("cv")
         )

@@ -194,7 +194,7 @@ def ivf_centroids(asg: DataFrame) -> DataFrame:
         .groupBy("cell", "i")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(25,12)")).cast("double")
+                F.sum(F.col("v").cast("double").cast("decimal(25,12)")).cast("double")
                 / F.count("*")
             ).alias("cv")
         )
@@ -361,7 +361,7 @@ flat AS (
 ),
 centf AS (
   SELECT cell, s.i AS i,
-         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+         CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
   FROM flat GROUP BY cell, s.i
 ),
 cent AS (
@@ -649,7 +649,7 @@ def pq_codebooks(e: DataFrame, subs: DataFrame | None = None) -> DataFrame:
         .groupBy("m", "c", "i")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(25,12)")).cast("double") / F.count("*")
+                F.sum(F.col("v").cast("double").cast("decimal(25,12)")).cast("double") / F.count("*")
             ).alias("cv")
         )
         .groupBy("m", "c")
@@ -878,7 +878,7 @@ flat AS (
 ),
 rfe AS (
   SELECT m, c, s.i AS i,
-         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+         CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
   FROM flat GROUP BY m, c, s.i
 ),
 ref AS (
@@ -1041,7 +1041,7 @@ flat AS (
 ),
 centf AS (
   SELECT cell, s.i AS i,
-         CAST(SUM(CAST(s.v AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
+         CAST(SUM(CAST(CAST(s.v AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS cv
   FROM flat GROUP BY cell, s.i
 ),
 cent AS (

@@ -3767,6 +3767,41 @@ def test_vocab_growth_parity_and_monotonicity(spark, sf_dir):
     assert last["vocab"] == vocab_true <= last["cum_token_instances"]
 
 
+def test_curation_verdict_parity_and_consistency(spark, sf_dir):
+    """Multi-signal curation verdict: composed DuckDB parity, then
+    consistency — keep iff the reasons array is empty, every reason is
+    from the closed vocabulary, reasons are deduplicated, and each
+    reason agrees with its source signal (eval by id rule; atypical by
+    the cosine column itself)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.curation import (
+        CURATION_VERDICT_ORACLE,
+        TYPICALITY_FLOOR,
+        q_curation_verdict,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_curation_verdict(spark, sf_dir), con, CURATION_VERDICT_ORACLE)
+    finally:
+        con.close()
+    rows = q_curation_verdict(spark, sf_dir).collect()
+    vocab = {"atypical_embedding", "contaminated", "eval_holdout", "low_quality"}
+    n_kept = 0
+    for r in rows:
+        rs = list(r["reasons"])
+        assert set(rs) <= vocab and len(rs) == len(set(rs))
+        assert r["keep"] == (len(rs) == 0)
+        assert ("eval_holdout" in rs) == (r["doc_id"] % 20 == 7)
+        if r["cos_centroid"] is not None:
+            assert ("atypical_embedding" in rs) == (
+                r["cos_centroid"] < TYPICALITY_FLOOR
+            )
+        n_kept += r["keep"]
+    assert 0 < n_kept < len(rows)
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
