@@ -163,6 +163,8 @@ HEADLINE = [
     "q_vocab_growth",
     # multi-signal curation verdict (quality+decontam+eval+typicality)
     "q_curation_verdict",
+    # trailing repetition-loop (degenerate-text) detector
+    "q_repetition_loops",
 ]
 
 
@@ -207,6 +209,7 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.quality import (
         q_compression_ratio,
+        q_repetition_loops,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.behavior import (
         q_cohort_retention,
@@ -391,6 +394,7 @@ def _extra_queries():
         "q_ks_drift": q_ks_drift,
         "q_vocab_growth": q_vocab_growth,
         "q_curation_verdict": q_curation_verdict,
+        "q_repetition_loops": q_repetition_loops,
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_index": _knn_from_index,
         "q_pit_join": q_pit_join,

@@ -234,3 +234,114 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-loop detection — the degenerate-text signal the Gopher
+# battery's global dup-2gram fraction can miss: a document that ENDS in
+# "... the cat the cat the cat" (model-generated loops, boilerplate
+# stutters, OCR echo). For each period p in [1, LOOP_MAX_PERIOD], the
+# trailing match length m_p = length of the maximal suffix where
+# token[i] == token[i-p]; the doc's loop is the (period, repeats)
+# maximizing repeats (ties -> shortest period). Pure per-row array
+# math over the let-bound token array — shuffle-free, one projection;
+# the per-period relation explodes only LOOP_MAX_PERIOD rows per doc.
+# ---------------------------------------------------------------------------
+
+LOOP_MAX_PERIOD = 8
+
+
+def q_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, period, n_repeats, tail_frac): the strongest trailing
+    token loop per document — n_repeats >= 2 means the suffix really
+    repeats; tail_frac is the fraction of the document the loop
+    covers. (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    constructed-loop goldens in tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
+    d = (
+        docs.select("doc_id", "toks", F.size("toks").alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "p", F.explode(F.sequence(F.lit(1), F.lit(LOOP_MAX_PERIOD)))
+        )
+        .filter(F.col("n") > F.col("p"))
+    )
+    # m = trailing match length for period p: first j (1-based, from
+    # the end) where toks[n+1-j] != toks[n+1-j-p]; none -> n-p
+    m = F.expr(
+        """CASE WHEN array_position(
+             transform(sequence(1, n - p),
+                       j -> element_at(toks, n + 1 - j)
+                            = element_at(toks, n + 1 - j - p)), false) = 0
+           THEN n - p
+           ELSE array_position(
+             transform(sequence(1, n - p),
+                       j -> element_at(toks, n + 1 - j)
+                            = element_at(toks, n + 1 - j - p)), false) - 1
+           END"""
+    )
+    per_p = d.select(
+        "doc_id", "n", "p", m.alias("m")
+    ).select(
+        "doc_id", "n", "p", "m",
+        (F.floor(F.col("m") / F.col("p")) + 1).cast("long").alias("reps"),
+    )
+    best = (
+        per_p.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("reps"), (-F.col("p")).alias("negp"),
+                    F.col("p"), F.col("m"), F.col("n"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.p").cast("int").alias("period"),
+        F.col("b.reps").alias("n_repeats"),
+        F.round(
+            F.least(F.col("b.m") + F.col("b.p"), F.col("b.n")) / F.col("b.n"),
+            6,
+        ).alias("tail_frac"),
+    )
+
+
+REPETITION_LOOPS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, toks, len(toks) AS n, p
+  FROM docs, unnest(range(1, {LOOP_MAX_PERIOD} + 1)) AS g(p)
+  WHERE len(toks) > p
+),
+per_p AS (
+  SELECT doc_id, n, p,
+         CASE WHEN list_position(
+                list_transform(range(1, n - p + 1),
+                               j -> toks[n + 1 - j] = toks[n + 1 - j - p]),
+                false) IS NULL
+              THEN n - p
+              ELSE list_position(
+                list_transform(range(1, n - p + 1),
+                               j -> toks[n + 1 - j] = toks[n + 1 - j - p]),
+                false) - 1
+         END AS m
+  FROM d
+),
+scored AS (
+  SELECT doc_id, n, p, m, m // p + 1 AS reps FROM per_p
+)
+SELECT doc_id, period, n_repeats, tail_frac FROM (
+  SELECT doc_id, CAST(p AS INTEGER) AS period,
+         CAST(reps AS BIGINT) AS n_repeats,
+         round(CAST(least(m + p, n) AS DOUBLE) / n, 6) AS tail_frac,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY reps DESC, p ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""

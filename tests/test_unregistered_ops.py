@@ -3802,6 +3802,52 @@ def test_curation_verdict_parity_and_consistency(spark, sf_dir):
     assert 0 < n_kept < len(rows)
 
 
+def test_repetition_loops_parity_and_constructed_goldens(spark, sf_dir, tmp_path):
+    """Repetition-loop detection: DuckDB parity over the corpus, then
+    hand-computable fixtures — a doc ending in k copies of a p-token
+    phrase must report exactly (p, k) with the right tail fraction; a
+    loop-free doc reports n_repeats 1; a whole-doc single-token run is
+    period 1 covering everything."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.operators.quality import (
+        REPETITION_LOOPS_ORACLE,
+        q_repetition_loops,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_repetition_loops(spark, sf_dir), con, REPETITION_LOOPS_ORACLE)
+    finally:
+        con.close()
+
+    fixtures = [
+        # (doc_id, text, expected period, repeats, tail_frac)
+        (1, "alpha beta gamma " + "the cat " * 4, 2, 4, 8 / 11),
+        (2, "one two three four five six seven", 6, 1, 7 / 7),
+        (3, "spam " * 6, 1, 6, 1.0),
+        (4, "x y " + "loop " * 3 + "end", 4, 1, None),  # loop broken by tail
+    ]
+    tmp_sf = str(tmp_path / "loop_sf")
+    os.makedirs(tmp_sf)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t, *_ in fixtures],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(tmp_sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in q_repetition_loops(spark, tmp_sf).collect()
+    }
+    assert (got[1]["period"], got[1]["n_repeats"]) == (2, 4)
+    assert abs(got[1]["tail_frac"] - 8 / 11) < 1e-5
+    assert got[2]["n_repeats"] == 1  # loop-free
+    assert (got[3]["period"], got[3]["n_repeats"], got[3]["tail_frac"]) == (
+        1, 6, 1.0,
+    )
+    assert got[4]["n_repeats"] == 1  # the trailing 'end' breaks the loop
+
+
 def test_pack_assignments_order_col_drives_layout(spark):
     """ADVICE r04 (medium): the funnel's seeded shuffle rank must drive
     pack layout. With an order column that reverses key order, the
