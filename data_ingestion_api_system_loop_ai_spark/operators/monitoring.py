@@ -166,7 +166,8 @@ contrib AS (
          t.Nr AS Nr, t.Nc AS Nc
   FROM counted c JOIN tot t USING (grp)
 )
-SELECT grp AS event_type, max(Nr) AS n_ref, max(Nc) AS n_cur,
+SELECT grp AS event_type,
+       CAST(max(Nr) AS BIGINT) AS n_ref, CAST(max(Nc) AS BIGINT) AS n_cur,
        round(list_sum(list(term ORDER BY bucket)), 6) AS psi
 FROM contrib
 GROUP BY grp
@@ -387,7 +388,8 @@ cum AS (
   WINDOW w AS (PARTITION BY grp ORDER BY c
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT grp AS event_type, max(Nr) AS n_ref, max(Nc) AS n_cur,
+SELECT grp AS event_type,
+       CAST(max(Nr) AS BIGINT) AS n_ref, CAST(max(Nc) AS BIGINT) AS n_cur,
        round(max(abs(CAST(cr AS DOUBLE) / Nr - CAST(cc AS DOUBLE) / Nc)), 6)
          AS ks
 FROM cum JOIN tot USING (grp)

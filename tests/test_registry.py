@@ -47,3 +47,51 @@ def test_absent_module_is_skipped_with_warning(monkeypatch):
     with pytest.warns(UserWarning, match="absent"):
         registry._optional_modules()
     assert registry.QUERIES == {}
+
+
+# ---------------------------------------------------------------------------
+# Oracle output-type lint (VERDICT r05 #2). Three cross-engine type traps
+# have shipped so far (NTZ-micros, FLOAT->DECIMAL, HUGEINT-from-sum);
+# this executes DESCRIBE on every registered oracle in DuckDB and asserts
+# each output column lands in the Spark/Arrow-portable set. A DuckDB
+# HUGEINT (what integer sum() widens to) degrades to float64 through the
+# driver's Arrow/pandas fetch and silently breaks the value hash even
+# when both engines agree value-for-value.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_BASE_TYPES = {
+    "BOOLEAN",
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "FLOAT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+}
+
+
+def _is_portable(duck_type: str) -> bool:
+    t = duck_type.strip().upper()
+    while t.endswith("[]"):  # one or more list levels of a portable leaf
+        t = t[:-2].strip()
+    if t.startswith("DECIMAL("):
+        return True  # explicitly declared precision is a deliberate choice
+    return t in _PORTABLE_BASE_TYPES
+
+
+def test_every_oracle_output_type_is_portable(sf_dir):
+    from tests.oracle_utils import duckdb_con
+
+    con = duckdb_con(sf_dir)
+    offenders = []
+    for name, sql in registry.ORACLES.items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if not _is_portable(typ):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracles emit non-portable DuckDB types (HUGEINT etc. degrade to "
+        f"float64 in the driver's Arrow fetch and break the hash): {offenders}"
+    )
