@@ -81,6 +81,7 @@ HEADLINE = [
     "q_tpch_q18",
     "q_bm25_rank",
     "q_gap_fill",
+    "q_scd2",
     "q_sketch_rollup",
     "q_lm_score",
     "q_embedding_outliers",
@@ -364,6 +365,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.relational import (
         UNREGISTERED_RELATIONAL_QUERIES,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+        UNREGISTERED_RELATIONAL_EXT_QUERIES,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
         UNREGISTERED_TIMESERIES_QUERIES,
     )
@@ -378,6 +382,10 @@ def _extra_queries():
         # round-5 rotation evictions — still benched from their
         # unregistered dicts (cost profile unchanged by registration)
         "q_window_rank": UNREGISTERED_RELATIONAL_QUERIES["q_window_rank"],
+        # round-6 rotation evictions (funded q_ks_drift/q_scd2/q_gap_fill)
+        "q_join_shuffle": UNREGISTERED_RELATIONAL_QUERIES["q_join_shuffle"],
+        "q_rollup_cube": UNREGISTERED_RELATIONAL_QUERIES["q_rollup_cube"],
+        "q_tpch_q6": UNREGISTERED_RELATIONAL_EXT_QUERIES["q_tpch_q6"],
         "q_stream_sliding": UNREGISTERED_TIMESERIES_QUERIES["q_stream_sliding"],
         "q_watermark_late": UNREGISTERED_TIMESERIES_QUERIES["q_watermark_late"],
         "q_corpus_shuffle": UNREGISTERED_SAMPLING_QUERIES["q_corpus_shuffle"],

@@ -129,8 +129,8 @@ def psi_from_bucket_counts(counted: DataFrame) -> DataFrame:
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI of the ``value`` distribution per event_type between the
     first and second half of the events table's time span.
-    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
-    known-shift fixture tests in tests/test_unregistered_ops.py.)"""
+    (Registered since round 5; known-shift fixture tests in
+    tests/test_unregistered_ops.py.)"""
     return psi_drift(
         load_table(spark, sf_dir, "events"), "event_type", "value", "ts"
     ).orderBy("event_type")
@@ -286,6 +286,8 @@ def drift_stream_writer(
 # PSI drift over the events stream, known-shift fixtures in tests.
 MONITORING_QUERIES = {"q_psi_drift": q_psi_drift}
 MONITORING_ORACLES = {"q_psi_drift": PSI_DRIFT_ORACLE}
+# q_ks_drift joins in the round-6 rotation (funded by q_join_shuffle's
+# slot); it is defined below, so registration happens at module end.
 
 
 # ---------------------------------------------------------------------------
@@ -359,8 +361,9 @@ def ks_drift(
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS drift of ``value`` per event_type between the events table's
-    time halves. (Unregistered — 50-slot cap; driver-grade DuckDB
-    parity + known-shift fixtures in tests/test_unregistered_ops.py.)"""
+    time halves. (Registered in the round-6 rotation, funded by
+    q_join_shuffle's slot; known-shift fixtures stay in
+    tests/test_unregistered_ops.py.)"""
     return ks_drift(
         load_table(spark, sf_dir, "events"), "event_type", "value", "ts"
     ).orderBy("event_type")
@@ -396,3 +399,8 @@ FROM cum JOIN tot USING (grp)
 GROUP BY grp
 ORDER BY grp
 """
+
+# Round-6 rotation: registered after definition (see note at the
+# MONITORING_QUERIES declaration above).
+MONITORING_QUERIES["q_ks_drift"] = q_ks_drift
+MONITORING_ORACLES["q_ks_drift"] = KS_DRIFT_ORACLE

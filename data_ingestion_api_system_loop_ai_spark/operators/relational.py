@@ -450,9 +450,29 @@ UNREGISTERED_RELATIONAL_QUERIES = {
     # et al.): its dense_rank-over-partition shape is subsumed by the
     # registered q_analytic_funcs battery, and the parity test below
     # keeps the driver-grade comparison.
-    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs", "q_window_rank")
+    # q_join_shuffle / q_rollup_cube joined in the round-6 rotation
+    # (funding q_ks_drift / q_scd2): shuffle-join semantics stay
+    # hash-checked inside the registered q_tpch_q3/q5/q21 and
+    # q_join_salted; CUBE is a special case of the registered
+    # q_grouping_sets. Both keep the driver-grade comparison in
+    # tests/test_unregistered_ops.py.
+    for n in (
+        "q_topk_sort_limit",
+        "q_set_ops",
+        "q_scalar_funcs",
+        "q_window_rank",
+        "q_join_shuffle",
+        "q_rollup_cube",
+    )
 }
 UNREGISTERED_RELATIONAL_ORACLES = {
     n: RELATIONAL_ORACLES.pop(n)
-    for n in ("q_topk_sort_limit", "q_set_ops", "q_scalar_funcs", "q_window_rank")
+    for n in (
+        "q_topk_sort_limit",
+        "q_set_ops",
+        "q_scalar_funcs",
+        "q_window_rank",
+        "q_join_shuffle",
+        "q_rollup_cube",
+    )
 }

@@ -397,9 +397,8 @@ def scd2_history(
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 over the events log: each user's ``event_type`` as the
     tracked attribute — intervals of unchanged type, versioned, with
-    the open current row. (Unregistered: the registry is at its
-    50-slot cap; driver-grade DuckDB parity in
-    tests/test_unregistered_ops.py.)"""
+    the open current row. (Registered in the round-6 rotation, funded
+    by q_rollup_cube's slot.)"""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -427,7 +426,7 @@ FROM changes
 """
 
 
-# --- B55: gap fill + linear interpolation (unregistered; 50-slot cap) ---
+# --- B55: gap fill + linear interpolation (registered, round-6 rotation) ---
 
 GAP_FILL_USERS = 50  # user subset keeps the dense grid test-sized
 
@@ -548,6 +547,15 @@ SELECT user_id, h,
   (v IS NOT NULL) AS is_observed
 FROM x
 """
+
+# Round-6 rotation: q_scd2 and q_gap_fill enter the driver's 50-slot
+# registry (funded by q_rollup_cube and q_tpch_q6 — see
+# operators/relational.py / relational_ext.py for where those stay
+# hash-checked). Registered here, after the definitions above.
+TIMESERIES_QUERIES["q_scd2"] = q_scd2
+TIMESERIES_ORACLES["q_scd2"] = SCD2_ORACLE
+TIMESERIES_QUERIES["q_gap_fill"] = q_gap_fill
+TIMESERIES_ORACLES["q_gap_fill"] = GAP_FILL_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -3877,3 +3877,34 @@ def test_pack_assignments_order_col_drives_layout(spark):
         key=lambda r: r["seq_in_shard"],
     )
     assert [r["doc_id"] for r in legacy] == list(range(1, 9))
+
+
+@pytest.mark.parametrize(
+    "which", ["q_join_shuffle", "q_rollup_cube", "q_tpch_q6"]
+)
+def test_round6_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
+    """Round-6 slot swap: q_join_shuffle, q_rollup_cube and q_tpch_q6
+    funded q_ks_drift, q_scd2 and q_gap_fill but keep the driver-grade
+    DuckDB comparison here. Shuffle-join semantics also stay
+    hash-checked inside the registered q_tpch_q3/q5/q21 and
+    q_join_salted; CUBE is a special case of the registered
+    q_grouping_sets; Q6's filtered-scan aggregate shape lives on in
+    the registered q_hash_agg and q_tpch_q14."""
+    from data_ingestion_api_system_loop_ai_spark.operators.relational import (
+        UNREGISTERED_RELATIONAL_ORACLES,
+        UNREGISTERED_RELATIONAL_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+        UNREGISTERED_RELATIONAL_EXT_ORACLES,
+        UNREGISTERED_RELATIONAL_EXT_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    qs = {**UNREGISTERED_RELATIONAL_QUERIES, **UNREGISTERED_RELATIONAL_EXT_QUERIES}
+    os_ = {**UNREGISTERED_RELATIONAL_ORACLES, **UNREGISTERED_RELATIONAL_EXT_ORACLES}
+    con = duckdb_con(sf_dir)
+    try:
+        compare(qs[which](spark, sf_dir), con, os_[which])
+    finally:
+        con.close()
