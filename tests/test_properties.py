@@ -318,3 +318,26 @@ def test_budget_select_matches_serial_greedy_model(toks, budget_frac):
             prefix_ok = False
         else:
             assert prefix_ok  # no gaps: once over budget, never back in
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_decode_roundtrip_property(w, h, seed):
+    """Property: the baseline-JPEG decoder reproduces the independent
+    explicit-formula IDCT replay exactly at arbitrary geometry/seed
+    (lossy codec — the invariant is coefficient-exact reconstruction,
+    not raw-pixel equality)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        decode_real,
+        encode_jpeg,
+    )
+
+    from .test_unregistered_ops import _jpeg_replay_px_sum
+
+    d = decode_real(encode_jpeg(w, h, seed))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["px_sum"] == _jpeg_replay_px_sum(w, h, seed)

