@@ -33,7 +33,17 @@ def test_scan_filter_pushdown(spark, sf_dir):
 
 
 def test_q6_scan_only_needed_columns(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_tpch_q6")
+    # q_tpch_q6 left the registry in the round-6 slot swap (funded
+    # q_gap_fill) but stays API surface; the scan-pruning guarantee is
+    # unchanged
+    from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
+        UNREGISTERED_RELATIONAL_EXT_QUERIES,
+    )
+
+    df = UNREGISTERED_RELATIONAL_EXT_QUERIES["q_tpch_q6"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
