@@ -160,14 +160,43 @@ def cmd_build_corpus(args) -> int:
     """Run the end-to-end training-corpus funnel (exact + near dedup,
     quality filter, decontamination, temperature resample, shuffle
     order, sequence packing) and write loader shards; prints the
-    reconciliation report (`operators/corpus_pipeline.py`)."""
-    from .operators.corpus_pipeline import build_training_corpus
+    reconciliation report (`operators/corpus_pipeline.py`).
 
+    `--curated` adds the trained gates (LM surprisal band, classifier
+    keep, SemDeDup) fitted inline; `--models ROOT` runs the curated
+    funnel FROM the frozen artifacts of `build-artifacts` — the
+    production path with zero training work in the run
+    (`operators/curated_corpus.py`)."""
     spark = _spark("cli-build-corpus")
-    report = build_training_corpus(
-        spark, args.sf_dir, args.out, records_per_file=args.records_per_file
-    )
+    if args.models is not None or args.curated:
+        from .operators.curated_corpus import build_curated_corpus
+
+        report = build_curated_corpus(
+            spark, args.sf_dir, args.out, models=args.models,
+            records_per_file=args.records_per_file,
+        )
+    else:
+        from .operators.corpus_pipeline import build_training_corpus
+
+        report = build_training_corpus(
+            spark, args.sf_dir, args.out,
+            records_per_file=args.records_per_file,
+        )
     print(json.dumps(report))
+    return 0
+
+
+def cmd_build_artifacts(args) -> int:
+    """Build every persisted model artifact (text models, classifier,
+    k-means, ANN index, dedup fingerprint index) in dependency order
+    under ROOT and print the manifest with per-artifact build seconds
+    (`operators/curated_corpus.py build_corpus_artifacts`)."""
+    from .operators.curated_corpus import build_corpus_artifacts
+
+    spark = _spark("cli-build-artifacts")
+    skip = tuple(s for s in (args.skip or "").split(",") if s)
+    manifest = build_corpus_artifacts(spark, args.sf_dir, args.root, skip=skip)
+    print(json.dumps(manifest))
     return 0
 
 
@@ -482,7 +511,27 @@ def build_parser() -> argparse.ArgumentParser:
     pbc.add_argument("sf_dir")
     pbc.add_argument("out")
     pbc.add_argument("--records-per-file", type=int, default=10000)
+    pbc.add_argument(
+        "--models", default=None,
+        help="frozen artifact root from build-artifacts: run the "
+        "curated funnel from persisted models (no training in the run)",
+    )
+    pbc.add_argument(
+        "--curated", action="store_true",
+        help="add the trained gates (LM band, classifier, SemDeDup) "
+        "fitted inline",
+    )
     pbc.set_defaults(fn=cmd_build_corpus)
+
+    pba = sub.add_parser("build-artifacts")
+    pba.add_argument("sf_dir")
+    pba.add_argument("root")
+    pba.add_argument(
+        "--skip", default=None,
+        help="comma-separated artifact families to omit "
+        "(text_models,classifier,kmeans,ann,dedup_index)",
+    )
+    pba.set_defaults(fn=cmd_build_artifacts)
 
     pu = sub.add_parser("rollup")
     pu.add_argument("path")

@@ -57,6 +57,39 @@ from .quality import QUALITY_ORACLES, quality_profile
 from .sampling import SHUFFLE_SEED, _seeded_hex, temperature_mix
 
 
+def layout_stage(s: DataFrame) -> DataFrame:
+    """The funnel's LAYOUT TAIL — temperature resample, seeded global
+    shuffle, shuffle-ordered sequence packing — over a survivor
+    relation carrying (doc_id, text, lang, source, n_tokens). Shared
+    verbatim by the heuristic funnel below and the model-augmented
+    curated funnel (``operators/curated_corpus.py``), so a curated
+    build packs shards with the exact layout the registered
+    ``q_corpus_funnel`` hash-checks."""
+    mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
+
+    keyed = mixed.withColumn(
+        "_h", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED)
+    ).withColumn("_hb", F.substring("_h", 1, 2))
+    ordered = global_row_number(
+        keyed, ["_hb"], ["_h", "doc_id"], rn_col="shuffle_pos"
+    ).drop("_h", "_hb")
+
+    # the shuffle rank DRIVES pack layout (ADVICE r04): without
+    # order_col the packer's internal window would re-order each shard
+    # by doc_id, silently undoing the seeded shuffle for adjacency.
+    # carry_cols threads the row payload through the pack windows in
+    # ONE pass — the earlier layout-then-self-join shape recomputed the
+    # whole upstream funnel twice (measured 2x at sf0.1).
+    return pack_assignments(
+        ordered, "doc_id", "n_tokens", order_col="shuffle_pos",
+        carry_cols=True,
+    ).select(
+        "doc_id", "text", "lang", "source", "n_tokens", "n_copies",
+        "shuffle_pos", "shard", "seq_in_shard", "start_off", "pack_seq",
+        "crosses_boundary",
+    )
+
+
 def funnel_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The funnel as NAMED STAGE RELATIONS — the single source both the
     shard-writing build and the registered ``q_corpus_funnel`` query
@@ -109,29 +142,7 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # checkpoint a 100 TB production funnel would place here.
     s = s.localCheckpoint(eager=False)
 
-    mixed = temperature_mix(s, "lang", "doc_id").filter(F.col("n_copies") >= 1)
-
-    keyed = mixed.withColumn(
-        "_h", _seeded_hex(F.col("doc_id"), SHUFFLE_SEED)
-    ).withColumn("_hb", F.substring("_h", 1, 2))
-    ordered = global_row_number(
-        keyed, ["_hb"], ["_h", "doc_id"], rn_col="shuffle_pos"
-    ).drop("_h", "_hb")
-
-    # the shuffle rank DRIVES pack layout (ADVICE r04): without
-    # order_col the packer's internal window would re-order each shard
-    # by doc_id, silently undoing the seeded shuffle for adjacency.
-    # carry_cols threads the row payload through the pack windows in
-    # ONE pass — the earlier layout-then-self-join shape recomputed the
-    # whole upstream funnel twice (measured 2x at sf0.1).
-    stages["final"] = pack_assignments(
-        ordered, "doc_id", "n_tokens", order_col="shuffle_pos",
-        carry_cols=True,
-    ).select(
-        "doc_id", "text", "lang", "source", "n_tokens", "n_copies",
-        "shuffle_pos", "shard", "seq_in_shard", "start_off", "pack_seq",
-        "crosses_boundary",
-    )
+    stages["final"] = layout_stage(s)
     return stages
 
 

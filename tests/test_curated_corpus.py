@@ -1,0 +1,164 @@
+"""Model-augmented curated funnel (operators/curated_corpus.py): the
+from-models production path must be indistinguishable from the inline
+audit path, the artifact build must commit every family in dependency
+order, and the funnel arithmetic must reconcile with the per-operator
+verdicts it composes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_api_system_loop_ai_spark.cli import main
+from data_ingestion_api_system_loop_ai_spark.operators.curated_corpus import (
+    ARTIFACT_ORDER,
+    build_corpus_artifacts,
+    build_curated_corpus,
+    curated_stages,
+    model_verdicts,
+)
+
+
+@pytest.fixture(scope="module")
+def artifacts(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("artifacts"))
+    manifest = build_corpus_artifacts(spark, sf_dir, root)
+    return root, manifest
+
+
+def test_artifact_manifest_complete_and_committed(artifacts):
+    root, manifest = artifacts
+    assert set(manifest["artifacts"]) == set(ARTIFACT_ORDER)
+    from data_ingestion_api_system_loop_ai_spark.sources.commit_protocol import (
+        committed_units,
+    )
+
+    for name, meta in manifest["artifacts"].items():
+        assert meta["seconds"] >= 0
+        # every family lands under the shared commit protocol: either
+        # the build marker or at least one committed unit marker
+        committed = os.path.exists(
+            os.path.join(meta["path"], "_COMMITTED")
+        ) or len(committed_units(meta["path"])) > 0
+        assert committed, f"{name} left no commit evidence"
+
+
+def test_skip_list_respected(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "partial")
+    manifest = build_corpus_artifacts(
+        spark, sf_dir, root, skip=("ann", "dedup_index")
+    )
+    assert set(manifest["artifacts"]) == {
+        "text_models", "classifier", "kmeans"
+    }
+    assert not os.path.exists(os.path.join(root, "ann"))
+
+
+def test_from_models_equals_inline(spark, sf_dir, artifacts):
+    """THE pin VERDICT r05 #7 asks for: the curated funnel run from
+    frozen artifacts is row-for-row identical to the inline-fit run —
+    every model stage's from-model form composes without drift."""
+    root, _ = artifacts
+    inline = curated_stages(spark, sf_dir, models=None)["final"].drop("text")
+    frozen = curated_stages(spark, sf_dir, models=root)["final"].drop("text")
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_curated_report_monotone_and_reconciles(spark, sf_dir, artifacts, tmp_path):
+    root, _ = artifacts
+    out = str(tmp_path / "shards")
+    report = build_curated_corpus(
+        spark, sf_dir, out, models=root, records_per_file=50
+    )
+    order = [
+        "input", "after_exact", "after_near", "after_quality",
+        "after_decontam", "after_lm", "after_classifier", "after_semdedup",
+    ]
+    counts = [report[k] for k in order]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert report["from_models"] is True
+    assert report["rows_written"] <= report["after_semdedup"]
+    # the model gates reconcile with the corpus-wide verdict relations:
+    # the survivors of each gate are exactly the prior stage's
+    # survivors passing that verdict
+    stages = curated_stages(spark, sf_dir, models=root)
+    v = model_verdicts(spark, sf_dir, models=root)
+    expect_lm = (
+        stages["after_decontam"]
+        .join(v["lm"].filter("lm_keep").select("doc_id"), "doc_id", "left_semi")
+        .count()
+    )
+    assert report["after_lm"] == expect_lm
+    expect_sem = (
+        stages["after_classifier"]
+        .join(v["semantic"], "doc_id", "left_anti")
+        .count()
+    )
+    assert report["after_semdedup"] == expect_sem
+
+
+def test_curated_written_shards_match_final_relation(spark, sf_dir, artifacts, tmp_path):
+    root, _ = artifacts
+    out = str(tmp_path / "shards_eq")
+    build_curated_corpus(
+        spark, sf_dir, out, models=root, records_per_file=50,
+        with_report=False,
+    )
+    written = spark.read.parquet(out).drop("text")
+    final = curated_stages(spark, sf_dir, models=root)["final"].drop("text")
+    assert sorted(map(tuple, written.collect())) == sorted(
+        map(tuple, final.collect())
+    )
+
+
+def test_curated_subset_of_heuristic_funnel(spark, sf_dir):
+    """Pre-layout, the curated funnel only ever REMOVES documents
+    relative to the heuristic funnel — the model gates are filters,
+    not resurrections. (The packed FINAL relations are deliberately
+    not subsets: the temperature mix refits on the smaller curated
+    survivor set, so per-language epoch targets — and therefore which
+    marginal docs get n_copies >= 1 — legitimately differ.)"""
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        funnel_stages,
+    )
+
+    heur = {
+        r["doc_id"]
+        for r in funnel_stages(spark, sf_dir)["after_decontam"]
+        .select("doc_id")
+        .collect()
+    }
+    cur_stages = curated_stages(spark, sf_dir)
+    cur = {
+        r["doc_id"]
+        for r in cur_stages["after_semdedup"].select("doc_id").collect()
+    }
+    assert cur <= heur
+    assert len(cur) > 0
+    # and the gates actually bite on the test corpus
+    assert len(cur) < len(heur)
+
+
+def test_cli_build_artifacts_and_curated_corpus(spark, sf_dir, tmp_path, capsys):
+    root = str(tmp_path / "cli_art")
+    assert main(
+        ["build-artifacts", sf_dir, root, "--skip", "ann,dedup_index"]
+    ) == 0
+    manifest = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert set(manifest["artifacts"]) == {"text_models", "classifier", "kmeans"}
+
+    out = str(tmp_path / "cli_corpus")
+    assert main(
+        ["build-corpus", sf_dir, out, "--models", root,
+         "--records-per-file", "50"]
+    ) == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert report["from_models"] is True
+    assert report["rows_written"] > 0
+    n = spark.read.parquet(out).count()
+    assert n == report["rows_written"]
