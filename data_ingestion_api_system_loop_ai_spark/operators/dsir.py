@@ -1,0 +1,247 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+distribution looks like a TARGET domain.
+
+The published recipe: featurize every document as a bag of hashed
+unigrams+bigrams, fit two bag-of-buckets models — one on the target
+sample, one on the raw pool — and weight each raw document by the
+log importance ratio
+
+    log w(d) = sum_f  tf_d(f) * ( ln p_target[b(f)] - ln p_raw[b(f)] )
+
+then resample by weight. Here the target distribution is the eval
+holdout slice (``doc_id % EVAL_MOD == EVAL_REM`` — the same suite the
+decontamination stage protects: "select training data that looks like
+the benchmark domain"), the bucket models are Laplace-smoothed over
+``N_BUCKETS`` md5 buckets, and selection is the DETERMINISTIC top-k
+variant (rank by weight; the paper's Gumbel-noise resampling replaces
+the rank key with ``log w + Gumbel(seed)`` — same plan shape, but the
+rank-by-weight form is what a cross-engine oracle can pin exactly).
+
+Spark plan (the ``lm_scores`` discipline end to end):
+- per-document (feature, tf) pairs are computed IN-ROW via one
+  let-bound ``F.inline`` generate (tokenize + bigrams evaluated once
+  per doc, no (doc, token) shuffle to build tf);
+- both bucket models are map-side-combinable aggregates that reduce
+  to ``N_BUCKETS`` rows — broadcast joined back to the per-feature
+  relation (never a corpus-by-corpus join);
+- the per-doc sum folds in feature-sorted order (order-independent
+  across partitionings and engines), rounded to 6 dp;
+- the global selection rank is the two-phase ``global_row_number``
+  (no single-partition sort); the rank key is the ROUNDED weight so
+  both engines agree on ties.
+
+Scale: one corpus scan for features, two model-sized shuffles
+(N_BUCKETS rows), one slim (doc_id, weight) rank shuffle. At 100 TB
+the target sample is tiny and the bucket models are 1024 rows — the
+whole selection is scan + broadcast + one top-k rank, exactly the
+DSIR paper's "hashed n-grams make importance weights cheap at scale"
+argument. Reference parity: no counterpart in the reference
+(ItsRudraksh/Data-Ingestion-API-System-Loop-AI); north-star tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import sql_tokens, token_hash, tokenize
+from ..plans.ranking import global_row_number
+from ..sources.loader import load_table
+from .contamination import EVAL_MOD, EVAL_REM
+
+N_BUCKETS = 1024
+_HEX = 8  # md5 hex chars for the bucket hash (portable: conv/::BIGINT)
+SELECT_FRAC_INV = 4  # deterministic top-k keeps 1/4 of the raw pool
+
+
+def _feature_tfs(docs: DataFrame) -> DataFrame:
+    """(doc_id, feature, tf, is_target): per-document hashed-feature
+    term frequencies, computed in-row (one Generate per doc). Features
+    are word unigrams plus space-joined bigrams WITH multiplicity.
+    Token-less documents contribute no rows (and are not selection
+    candidates — pinned in the oracle by the same inner explode)."""
+    toks = tokenize(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    packed = F.transform(
+        F.array(feats),
+        lambda fs: F.transform(
+            F.array_sort(F.array_distinct(fs)),
+            lambda f: F.struct(
+                f.alias("feature"),
+                F.size(F.filter(fs, lambda x: x == f)).alias("tf"),
+            ),
+        ),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.element_at(packed, 1)).alias("e"),
+        )
+        .select(
+            "doc_id",
+            F.col("e.feature").alias("feature"),
+            F.col("e.tf").alias("tf"),
+            (F.col("doc_id") % EVAL_MOD == EVAL_REM).alias("is_target"),
+        )
+    )
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, log_iw, sel_rank, selected) over the RAW pool (target
+    docs are the distribution sample, not candidates). ``selected``
+    keeps the top ``floor(n_raw / SELECT_FRAC_INV)`` by
+    (log_iw DESC, doc_id)."""
+    per_f = _feature_tfs(docs).withColumn(
+        "bucket", token_hash(F.col("feature"), _HEX) % N_BUCKETS
+    )
+
+    def _model(side: DataFrame, cnt_col: str) -> DataFrame:
+        return side.groupBy("bucket").agg(F.sum("tf").alias(cnt_col))
+
+    tgt = _model(per_f.filter("is_target"), "cnt_t")
+    raw = _model(per_f.filter("NOT is_target"), "cnt_r")
+    tot_t = tgt.agg(F.sum("cnt_t").alias("tot_t"))
+    tot_r = raw.agg(F.sum("cnt_r").alias("tot_r"))
+
+    contrib = (
+        per_f.filter("NOT is_target")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .join(F.broadcast(raw), "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "doc_id",
+            "feature",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1))
+                        / (F.col("tot_t") + F.lit(N_BUCKETS))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cnt_r"), F.lit(0)) + F.lit(1))
+                        / (F.col("tot_r") + F.lit(N_BUCKETS))
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("feature", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("log_iw")
+    )
+    n_raw = per_doc.groupBy().agg(
+        F.floor(F.count("*") / SELECT_FRAC_INV).cast("long").alias("k")
+    )
+    # two-phase global rank: coarse integer bucket (a leading prefix of
+    # the total order) keeps the offset relation small; the exact order
+    # key completes inside each bucket
+    ranked = global_row_number(
+        per_doc.withColumn("_neg", -F.col("log_iw")).withColumn(
+            "_negb", F.floor("_neg")
+        ),
+        ["_negb"],
+        ["_neg", "doc_id"],
+        rn_col="sel_rank",
+    ).drop("_neg", "_negb")
+    return ranked.crossJoin(F.broadcast(n_raw)).select(
+        "doc_id",
+        "log_iw",
+        "sel_rank",
+        (F.col("sel_rank") <= F.col("k")).alias("selected"),
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over ``documents`` with the eval holdout as the
+    target domain sample."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_weights(docs)
+
+
+_FEATS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS ts FROM documents
+),
+featl AS (
+  SELECT doc_id,
+         list_concat(
+           ts,
+           list_transform(range(1, len(ts)),
+                          i -> ts[i] || ' ' || ts[i + 1])
+         ) AS fs
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(fs) AS feature FROM featl),
+perf AS (
+  SELECT doc_id, feature, count(*) AS tf,
+         ('0x' || substr(md5(feature), 1, {_HEX}))::BIGINT
+           % {N_BUCKETS} AS bucket,
+         doc_id % {EVAL_MOD} = {EVAL_REM} AS is_target
+  FROM ex GROUP BY doc_id, feature
+),
+tgt AS (
+  SELECT bucket, sum(tf) AS cnt_t FROM perf WHERE is_target GROUP BY bucket
+),
+raw AS (
+  SELECT bucket, sum(tf) AS cnt_r FROM perf WHERE NOT is_target GROUP BY bucket
+),
+tott AS (SELECT sum(cnt_t) AS tot_t FROM tgt),
+totr AS (SELECT sum(cnt_r) AS tot_r FROM raw)
+"""
+
+DSIR_ORACLE = (
+    _FEATS_CTE
+    + f""",
+contrib AS (
+  SELECT p.doc_id, p.feature,
+         p.tf * ( ln((coalesce(t.cnt_t, 0) + 1)
+                     / (tott.tot_t + {N_BUCKETS}))
+                - ln((coalesce(r.cnt_r, 0) + 1)
+                     / (totr.tot_r + {N_BUCKETS})) ) AS c
+  FROM perf p
+  LEFT JOIN tgt t USING (bucket)
+  LEFT JOIN raw r USING (bucket)
+  CROSS JOIN tott CROSS JOIN totr
+  WHERE NOT p.is_target
+),
+perdoc AS (
+  SELECT doc_id,
+         round(list_sum(list(c ORDER BY feature)), 6) AS log_iw
+  FROM contrib GROUP BY doc_id
+),
+k AS (SELECT CAST(count(*) // {SELECT_FRAC_INV} AS BIGINT) AS k FROM perdoc),
+ranked AS (
+  SELECT doc_id, log_iw,
+         CAST(row_number() OVER (ORDER BY log_iw DESC, doc_id)
+              AS BIGINT) AS sel_rank
+  FROM perdoc
+)
+SELECT doc_id, log_iw, sel_rank, sel_rank <= k.k AS selected
+FROM ranked CROSS JOIN k
+"""
+)
+
+DSIR_QUERIES = {"q_dsir_select": q_dsir_select}
+DSIR_ORACLES = {"q_dsir_select": DSIR_ORACLE}
