@@ -166,6 +166,14 @@ HEADLINE = [
     "q_curation_verdict",
     # trailing repetition-loop (degenerate-text) detector
     "q_repetition_loops",
+    # round-8 rotation addition: DSIR importance-resampling selection
+    "q_dsir_select",
+    # the whole model-augmented curated funnel, both forms (VERDICT r07
+    # #7): inline fits every model inside the query (the audit path),
+    # the _models form probes the frozen build_corpus_artifacts root
+    # (the production path — its build seconds land in "builds")
+    "q_curated_funnel",
+    "q_curated_funnel_models",
 ]
 
 
@@ -234,7 +242,6 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.sketches import (
         q_cms_topk,
-        q_hist_quantiles,
         q_hist_quantiles_grouped,
         q_kmv_overlap,
         q_sketch_rollup,
@@ -246,8 +253,12 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sdd
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        UNREGISTERED_DEDUP_QUERIES,
         q_dedup_containment,
         q_dedup_prefix,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        curated_corpus as ccorp,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
         q_nn_descent,
@@ -362,6 +373,26 @@ def _extra_queries():
             km_built[sf_dir] = p
         return sdd.q_semdedup_from_model(spark, sf_dir, km_built[sf_dir])
 
+    curated_built: dict = {}
+
+    def _curated_funnel_models(spark, sf_dir):
+        # build/probe split for the WHOLE funnel: the three model
+        # families the curated gates probe are built once per sf_dir
+        # (outside the timed runs — the warm-up pass executes first),
+        # so this number is the production-path funnel: zero training,
+        # every gate a broadcast-verdict semi/anti join
+        if sf_dir not in curated_built:
+            p = os.path.join(
+                ix_root, "curated_" + os.path.basename(sf_dir.rstrip("/"))
+            )
+            ccorp.build_corpus_artifacts(
+                spark, sf_dir, p, skip=("ann", "dedup_index")
+            )
+            curated_built[sf_dir] = p
+        return ccorp.curated_stages(spark, sf_dir, curated_built[sf_dir])[
+            "final"
+        ].drop("text")
+
     from data_ingestion_api_system_loop_ai_spark.operators.relational import (
         UNREGISTERED_RELATIONAL_QUERIES,
     )
@@ -392,10 +423,17 @@ def _extra_queries():
         "q_budget_select": UNREGISTERED_SAMPLING_QUERIES["q_budget_select"],
         "q_pps_sample": UNREGISTERED_SAMPLING_QUERIES["q_pps_sample"],
         "q_funnel_explain": UNREGISTERED_CORPUS_QUERIES["q_funnel_explain"],
+        # round-8 rotation evictions (funded q_dsir_select /
+        # q_hist_quantiles); q_hist_quantiles itself moved to the
+        # registry and is benched from there
+        "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
+        "q_domain_mix": UNREGISTERED_SAMPLING_QUERIES["q_domain_mix"],
+        # whole-funnel build/probe split (VERDICT r07 #7)
+        "q_curated_funnel": ccorp.q_curated_funnel,
+        "q_curated_funnel_models": _curated_funnel_models,
         "q_semdedup_model": _semdedup_from_model,
         "q_classifier_score_model": _classifier_from_model,
         "q_dedup_prefix": q_dedup_prefix,
-        "q_hist_quantiles": q_hist_quantiles,
         "q_kmv_overlap": q_kmv_overlap,
         "q_embedding_quantize": q_embedding_quantize,
         "q_chunk_overlap": q_chunk_overlap,
@@ -618,6 +656,7 @@ def main() -> None:
         "q_semdedup_model",
         "q_lm_score_model",
         "q_classifier_score_model",
+        "q_curated_funnel_models",
     ):
         t0 = time.monotonic()
         fns[probe](spark, sf_dir).write.format("noop").mode(

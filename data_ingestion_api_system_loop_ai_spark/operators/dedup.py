@@ -726,10 +726,6 @@ DEDUP_QUERIES = {
     # The function stays API surface with a direct recall test.
     "q_dedup_minhash_banded": q_dedup_minhash_banded,
     "q_dedup_embedding": q_dedup_embedding,
-    # Registered in the round-4 rotation (slot funded by
-    # q_process_batch, whose projection stays hash-checked inside
-    # q_pipeline_e2e).
-    "q_dedup_spans": q_dedup_spans,
     # Registered in the late-round-4 rotation (slot funded by
     # q_media_pipeline, which keeps its driver-grade parity test): the
     # exact AllPairs/PPJoin similarity join, whose oracle is the
@@ -885,6 +881,19 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
   FROM pairs
 ) WHERE rnk <= {EMBED_PAIRS_PER_CELL}
 """,
+}
+
+# Evicted in the round-8 rotation (slot funds q_dsir_select): the
+# winner-take-first-occurrence idiom stays hash-checked inside the
+# registered q_dedup_exact (same min-keyed claim shape at doc rather
+# than span granularity), and the evicted slot keeps the driver-grade
+# DuckDB comparison plus the independent driver-side model and
+# Hypothesis reconstruction tests in tests/test_unregistered_ops.py /
+# tests/test_properties.py.
+UNREGISTERED_DEDUP_QUERIES = {
+    "q_dedup_spans": q_dedup_spans,
+}
+UNREGISTERED_DEDUP_ORACLES = {
     "q_dedup_spans": SPAN_DEDUP_ORACLE,
 }
 

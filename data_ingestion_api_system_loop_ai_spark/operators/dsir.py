@@ -39,6 +39,10 @@ whole selection is scan + broadcast + one top-k rank, exactly the
 DSIR paper's "hashed n-grams make importance weights cheap at scale"
 argument. Reference parity: no counterpart in the reference
 (ItsRudraksh/Data-Ingestion-API-System-Loop-AI); north-star tier.
+
+Registered in the round-8 rotation (slot funded by q_dedup_spans);
+selection semantics and the run-length tf shape are pinned in
+tests/test_dsir.py, parity by the driver's hash gate each round.
 """
 
 from __future__ import annotations
@@ -61,7 +65,19 @@ def _feature_tfs(docs: DataFrame) -> DataFrame:
     term frequencies, computed in-row (one Generate per doc). Features
     are word unigrams plus space-joined bigrams WITH multiplicity.
     Token-less documents contribute no rows (and are not selection
-    candidates — pinned in the oracle by the same inner explode)."""
+    candidates — pinned in the oracle by the same inner explode).
+
+    The tf is a SORT + RUN-LENGTH shape, not the unigram in-row
+    ``F.filter(fs, x == f)`` tree: DSIR features include bigrams,
+    which are nearly all distinct within a document, so the filter
+    tree degenerates to O(L^2) struct compares per row (the same
+    reasoning that sent ``lm2_scores`` to an exploded aggregation —
+    ``lm_score.py``). Here: sort the feature array once (O(L log L)),
+    find run starts by comparing each sorted element with its
+    predecessor (O(L) — ``element_at`` on an array literal-indexed
+    inside a lambda is O(1)), and read each run's tf as the gap to
+    the next run start. Still zero shuffle to build tf — one Generate
+    per document, like the rest of the ``lm_scores`` discipline."""
     toks = tokenize(F.col("text"))
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -73,20 +89,52 @@ def _feature_tfs(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)
+    # let ss = sorted features (evaluated once), st = run-start indices
+    # plus an L+1 sentinel (evaluated once): entry j is
+    # (feature = ss[st[j]], tf = st[j+1] - st[j]).
     packed = F.transform(
-        F.array(feats),
-        lambda fs: F.transform(
-            F.array_sort(F.array_distinct(fs)),
-            lambda f: F.struct(
-                f.alias("feature"),
-                F.size(F.filter(fs, lambda x: x == f)).alias("tf"),
+        F.array(F.array_sort(feats)),
+        lambda ss: F.transform(
+            F.array(
+                F.concat(
+                    F.when(
+                        F.size(ss) > 0,
+                        F.filter(
+                            F.sequence(F.lit(1), F.size(ss)),
+                            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                                F.element_at(ss, i)
+                                != F.element_at(ss, i - F.lit(1))
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<int>")),
+                    F.array(F.size(ss) + 1),
+                )
+            ),
+            # size(st) == 1 means the sentinel alone (token-less doc):
+            # guard it — Spark's sequence(1, 0) steps DOWNWARD.
+            lambda st: F.when(
+                F.size(st) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(st) - 1),
+                    lambda j: F.struct(
+                        F.element_at(ss, F.element_at(st, j)).alias("feature"),
+                        (
+                            F.element_at(st, j + F.lit(1))
+                            - F.element_at(st, j)
+                        ).cast("int").alias("tf"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<feature:string,tf:int>>")
             ),
         ),
     )
     return (
         docs.select(
             "doc_id",
-            F.explode(F.element_at(packed, 1)).alias("e"),
+            F.explode(
+                F.element_at(F.element_at(packed, 1), 1)
+            ).alias("e"),
         )
         .select(
             "doc_id",

@@ -205,20 +205,26 @@ _MIX_CASE_DEN = "CASE lang " + " ".join(
     f"WHEN '{d}' THEN {den}" for d, (_, den) in MIX_WEIGHTS.items()
 ) + " ELSE 1 END"
 
-SAMPLING_QUERIES = {
+SAMPLING_QUERIES = {}
+
+# q_corpus_shuffle: evicted in the round-5 rotation (slot funds
+# q_corpus_funnel, whose shuffle_pos stage hash-checks this same
+# seeded-md5 two-phase global rank over the funnel's survivor set).
+# q_domain_mix: evicted in the round-8 rotation (slot funds
+# q_hist_quantiles) — the integer boundary-crossing keep rule stays
+# hash-checked inside the registered q_temperature_mix (same
+# ``(r*num) div den > ((r-1)*num) div den`` predicate over the same
+# seeded per-domain rank, with temperature-derived weights) and inside
+# the registered q_corpus_funnel's mix stage. Both keep driver-grade
+# DuckDB comparisons in tests/test_unregistered_ops.py.
+UNREGISTERED_SAMPLING_QUERIES = {
+    "q_corpus_shuffle": q_corpus_shuffle,
     "q_domain_mix": q_domain_mix,
 }
 
-# Evicted in the round-5 rotation (slot funds q_corpus_funnel, whose
-# shuffle_pos stage hash-checks this same seeded-md5 two-phase global
-# rank over the funnel's survivor set); keeps the driver-grade DuckDB
-# comparison in tests/test_unregistered_ops.py.
-UNREGISTERED_SAMPLING_QUERIES = {
-    "q_corpus_shuffle": q_corpus_shuffle,
-}
+SAMPLING_ORACLES = {}
 
-SAMPLING_ORACLES = {
-    "q_domain_mix": f"""
+_DOMAIN_MIX_ORACLE = f"""
 WITH ranked AS (
   SELECT doc_id, lang, source,
          CAST(row_number() OVER (
@@ -231,8 +237,7 @@ WITH ranked AS (
 SELECT doc_id, lang, source, r AS rank_in_lang
 FROM ranked
 WHERE (r * num) // den > ((r - 1) * num) // den
-""",
-}
+"""
 
 UNREGISTERED_SAMPLING_ORACLES = {
     "q_corpus_shuffle": f"""
@@ -242,6 +247,7 @@ SELECT doc_id,
        ) AS BIGINT) AS shuffle_pos
 FROM documents
 """,
+    "q_domain_mix": _DOMAIN_MIX_ORACLE,
 }
 
 

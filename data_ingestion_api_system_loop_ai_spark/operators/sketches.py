@@ -266,8 +266,9 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket whose cumulative count reaches ceil(q*n/100), and the
     bucket's [lo, hi] cent range brackets the true percentile
     (within-one-bucket guarantee, pinned by test).
-    (Unregistered — 50-slot cap; driver-grade DuckDB parity + merge
-    and bracket invariants in tests/test_unregistered_ops.py.)"""
+    (Registered in the round-8 rotation — slot funded by q_domain_mix;
+    merge and bracket invariants stay in
+    tests/test_unregistered_ops.py.)"""
     from pyspark.sql import Window as W
 
     sketch = price_hist_cells(spark, sf_dir)
@@ -668,5 +669,14 @@ FROM a, b, uest, ie
 # q_pipeline_e2e): the KMV overlap's sketch is deterministic integer
 # state, so this is an EXACT value-hash row, not an approximation
 # check.
-SKETCH_QUERIES = {"q_kmv_overlap": q_kmv_overlap}
-SKETCH_ORACLES = {"q_kmv_overlap": KMV_OVERLAP_ORACLE}
+SKETCH_QUERIES = {
+    "q_kmv_overlap": q_kmv_overlap,
+    # Registered in the round-8 rotation (slot funded by q_domain_mix,
+    # whose boundary-crossing keep rule stays hash-checked inside the
+    # registered q_temperature_mix and the funnel's mix stage).
+    "q_hist_quantiles": q_hist_quantiles,
+}
+SKETCH_ORACLES = {
+    "q_kmv_overlap": KMV_OVERLAP_ORACLE,
+    "q_hist_quantiles": HIST_QUANTILES_ORACLE,
+}

@@ -42,6 +42,10 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     (".operators.timeseries", "TIMESERIES_QUERIES", "TIMESERIES_ORACLES"),
     (".operators.udfs", "UDF_QUERIES", "UDF_ORACLES"),
     (".operators.sketches", "SKETCH_QUERIES", "SKETCH_ORACLES"),
+    # Round-8 rotation: DSIR importance-resampling selection (slot
+    # funded by q_dedup_spans, whose winner-take-first idiom stays
+    # hash-checked inside q_dedup_exact).
+    (".operators.dsir", "DSIR_QUERIES", "DSIR_ORACLES"),
     (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
     (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
 ]

@@ -4009,3 +4009,32 @@ def test_jpeg_decode_independent_idct_replay_goldens():
     # scan data references a Huffman table that was never defined
     with _pytest.raises(ValueError):
         decode_real(p.replace(b"\xff\xc4", b"\xff\xef", 1))
+
+
+@pytest.mark.parametrize("which", ["q_dedup_spans", "q_domain_mix"])
+def test_round8_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
+    """Round-8 slot swap: q_dedup_spans and q_domain_mix funded
+    q_dsir_select and q_hist_quantiles but keep the driver-grade
+    DuckDB comparison here. Span dedup's winner-take-first-occurrence
+    idiom stays hash-checked inside the registered q_dedup_exact (the
+    same min-keyed claim at doc granularity); domain_mix's integer
+    boundary-crossing keep rule stays hash-checked inside the
+    registered q_temperature_mix and the funnel's mix stage."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        UNREGISTERED_DEDUP_ORACLES,
+        UNREGISTERED_DEDUP_QUERIES,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        UNREGISTERED_SAMPLING_ORACLES,
+        UNREGISTERED_SAMPLING_QUERIES,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    qs = {**UNREGISTERED_DEDUP_QUERIES, **UNREGISTERED_SAMPLING_QUERIES}
+    os_ = {**UNREGISTERED_DEDUP_ORACLES, **UNREGISTERED_SAMPLING_ORACLES}
+    con = duckdb_con(sf_dir)
+    try:
+        compare(qs[which](spark, sf_dir), con, os_[which])
+    finally:
+        con.close()
