@@ -168,12 +168,14 @@ def cmd_build_corpus(args) -> int:
     production path with zero training work in the run
     (`operators/curated_corpus.py`)."""
     spark = _spark("cli-build-corpus")
+    with_report = not args.no_report
     if args.models is not None or args.curated:
         from .operators.curated_corpus import build_curated_corpus
 
         report = build_curated_corpus(
             spark, args.sf_dir, args.out, models=args.models,
             records_per_file=args.records_per_file,
+            with_report=with_report,
         )
     else:
         from .operators.corpus_pipeline import build_training_corpus
@@ -181,6 +183,7 @@ def cmd_build_corpus(args) -> int:
         report = build_training_corpus(
             spark, args.sf_dir, args.out,
             records_per_file=args.records_per_file,
+            with_report=with_report,
         )
     print(json.dumps(report))
     return 0
@@ -204,13 +207,22 @@ def cmd_explain_funnel(args) -> int:
     """Per-stage drop attribution for the corpus funnel: prints the
     stage histogram (counts reconcile exactly with build-corpus's
     report) and, with --docs, the first N dropped doc ids per stage
-    (`operators/corpus_pipeline.py q_funnel_explain`)."""
+    (`operators/corpus_pipeline.py q_funnel_explain`). `--curated` /
+    `--models ROOT` explain the CURATED funnel instead — the chain
+    extends through the lm_filtered / classifier_rejected /
+    semantic_dup gates (`operators/curated_corpus.py
+    curated_explain`), matching build-corpus's curated forms."""
     from pyspark.sql import functions as F
 
-    from .operators.corpus_pipeline import q_funnel_explain
-
     spark = _spark("cli-explain-funnel")
-    rel = q_funnel_explain(spark, args.sf_dir)
+    if args.models is not None or args.curated:
+        from .operators.curated_corpus import curated_explain
+
+        rel = curated_explain(spark, args.sf_dir, models=args.models)
+    else:
+        from .operators.corpus_pipeline import q_funnel_explain
+
+        rel = q_funnel_explain(spark, args.sf_dir)
     hist = {
         r["stage"]: r["n"]
         for r in rel.groupBy("stage").agg(F.count("*").alias("n")).collect()
@@ -521,6 +533,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="add the trained gates (LM band, classifier, SemDeDup) "
         "fitted inline",
     )
+    pbc.add_argument(
+        "--no-report", action="store_true",
+        help="skip the per-stage reconciliation counts (each is an "
+        "extra corpus pass) — the production setting RUNBOOK_100TB.md "
+        "prescribes",
+    )
     pbc.set_defaults(fn=cmd_build_corpus)
 
     pba = sub.add_parser("build-artifacts")
@@ -549,6 +567,15 @@ def build_parser() -> argparse.ArgumentParser:
     pef.add_argument("sf_dir")
     pef.add_argument("--docs", type=int, default=0,
                      help="also print the first N dropped doc ids per stage")
+    pef.add_argument(
+        "--models", default=None,
+        help="frozen artifact root: explain the curated funnel from "
+        "persisted models (adds the three model-gate stages)",
+    )
+    pef.add_argument(
+        "--curated", action="store_true",
+        help="explain the curated funnel with inline-fitted models",
+    )
     pef.set_defaults(fn=cmd_explain_funnel)
 
     ptc = sub.add_parser("train-classifier")

@@ -295,21 +295,18 @@ CORPUS_QUERIES = {"q_corpus_funnel": q_corpus_funnel}
 CORPUS_ORACLES = {"q_corpus_funnel": CORPUS_FUNNEL_ORACLE}
 
 
-def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DROP ATTRIBUTION for the corpus funnel — the audit
-    relation a production run needs when 'why did my corpus shrink 40%'
-    comes up: one row per input document with the FIRST stage that
-    removed it (``eval_holdout`` / ``exact_dup`` / ``near_dup`` /
-    ``low_quality`` / ``contaminated`` / ``zero_copies``) or ``kept``.
-    Stage order matches the funnel's join order, so
-    ``count(*) GROUP BY stage`` reconciles exactly with
-    ``build_training_corpus``'s report deltas.
-
-    Scale: the verdict relations are the same tiny doc_id sets the
-    funnel already computes; attribution is doc_id-keyed left-semi
-    evidence folded with one ``when`` chain — no new corpus pass
-    beyond the stage verdicts themselves. (Unregistered — 50-slot cap;
-    driver-grade DuckDB parity in tests/test_unregistered_ops.py.)"""
+def heuristic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, _exact_keep, _near_drop, _qual_keep, _contam):
+    the heuristic funnel's four verdict relations left-joined onto the
+    corpus as nullable evidence flags. ONE flag-joined relation serves
+    both the attribution chain and the survivor set the temperature mix
+    is fit on — the verdict subtrees appear once per use with identical
+    shapes, so the physical planner's exchange reuse applies (an
+    earlier form recomputed every verdict through funnel_stages'
+    separate semi/anti joins). Shared by ``q_funnel_explain`` and the
+    curated funnel's ``q_curated_explain``
+    (``operators/curated_corpus.py``), which extends the chain with the
+    three model-gate flags."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     keep_exact = q_dedup_exact(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("_exact_keep")
@@ -330,13 +327,7 @@ def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("contaminated")
         .select("doc_id", F.lit(True).alias("_contam"))
     )
-    # ONE flag-joined relation serves both the attribution chain and
-    # the survivor set the temperature mix is fit on — the verdict
-    # subtrees appear once per use with identical shapes, so the
-    # physical planner's exchange reuse applies (the earlier form
-    # recomputed every verdict through funnel_stages' separate
-    # semi/anti joins)
-    flagged = (
+    return (
         docs.join(keep_exact, "doc_id", "left")
         .join(drop_near, "doc_id", "left")
         .join(qual, "doc_id", "left")
@@ -345,6 +336,24 @@ def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flagged feeds both the attribution chain and the survivor set the
     # mix is fit on; without materialization every verdict pipeline
     # would re-instantiate per reference
+
+
+def q_funnel_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DROP ATTRIBUTION for the corpus funnel — the audit
+    relation a production run needs when 'why did my corpus shrink 40%'
+    comes up: one row per input document with the FIRST stage that
+    removed it (``eval_holdout`` / ``exact_dup`` / ``near_dup`` /
+    ``low_quality`` / ``contaminated`` / ``zero_copies``) or ``kept``.
+    Stage order matches the funnel's join order, so
+    ``count(*) GROUP BY stage`` reconciles exactly with
+    ``build_training_corpus``'s report deltas.
+
+    Scale: the verdict relations are the same tiny doc_id sets the
+    funnel already computes; attribution is doc_id-keyed left-semi
+    evidence folded with one ``when`` chain — no new corpus pass
+    beyond the stage verdicts themselves. (Unregistered — 50-slot cap;
+    driver-grade DuckDB parity in tests/test_unregistered_ops.py.)"""
+    flagged = heuristic_flags(spark, sf_dir)
     surv = flagged.filter(
         ~(F.col("doc_id") % EVAL_MOD == EVAL_REM)
         & F.col("_exact_keep").isNotNull()

@@ -70,8 +70,10 @@ from .classifier import (
     score_documents,
     train_classifier,
 )
-from .corpus_pipeline import funnel_stages, layout_stage
+from .contamination import EVAL_MOD, EVAL_REM
+from .corpus_pipeline import funnel_stages, heuristic_flags, layout_stage
 from .lm_score import lm_scores
+from .sampling import temperature_mix
 from .semdedup import (
     SEMDEDUP_TAU,
     build_kmeans_model,
@@ -119,6 +121,12 @@ def build_corpus_artifacts(
         ANN_DIR: "similarity / kNN / cluster probes",
         DEDUP_INDEX_DIR: "incremental ingest dedup (day-2 probe)",
     }
+    unknown = set(skip) - set(ARTIFACT_ORDER)
+    if unknown:
+        raise ValueError(
+            f"unknown artifact families in skip: {sorted(unknown)} "
+            f"(valid: {list(ARTIFACT_ORDER)})"
+        )
     manifest: dict = {"root": root, "artifacts": {}}
     for name in ARTIFACT_ORDER:
         if name in skip:
@@ -282,4 +290,83 @@ def q_curated_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_stages(spark, sf_dir)["final"].drop("text")
 
 
-UNREGISTERED_CURATED_QUERIES = {"q_curated_funnel": q_curated_funnel}
+def curated_explain(
+    spark: SparkSession, sf_dir: str, models: str | None = None
+) -> DataFrame:
+    """Per-document FIRST-DROP attribution for the CURATED funnel
+    (VERDICT r07 #3) — ``q_funnel_explain`` extended through the three
+    model gates, so a production curated run explains every removed
+    document: (doc_id, lang, stage, kept) where stage is the first of
+    ``eval_holdout`` / ``exact_dup`` / ``near_dup`` / ``low_quality`` /
+    ``contaminated`` / ``lm_filtered`` / ``classifier_rejected`` /
+    ``semantic_dup`` / ``zero_copies`` or ``kept``. Stage order matches
+    ``curated_stages``' join order, so ``count(*) GROUP BY stage``
+    reconciles exactly with ``build_curated_corpus``'s report deltas
+    (pinned in tests/test_curated_corpus.py).
+
+    Scale: the three model verdicts are the same corpus-wide relations
+    the funnel's gates already broadcast; the attribution adds three
+    more doc_id-keyed left joins onto the shared heuristic flag
+    relation and one ``when`` chain — no new corpus pass."""
+    flagged = heuristic_flags(spark, sf_dir)
+    v = model_verdicts(spark, sf_dir, models)
+    lm_keep = (
+        v["lm"].filter("lm_keep")
+        .select("doc_id", F.lit(True).alias("_lm_keep"))
+    )
+    cls_keep = (
+        v["classifier"].filter("cls_keep")
+        .select("doc_id", F.lit(True).alias("_cls_keep"))
+    )
+    sem_drop = v["semantic"].withColumn("_sem_drop", F.lit(True))
+    flagged = (
+        flagged.join(lm_keep, "doc_id", "left")
+        .join(cls_keep, "doc_id", "left")
+        .join(sem_drop, "doc_id", "left")
+    ).localCheckpoint(eager=False)  # the widened flag relation feeds
+    # the attribution chain AND the survivor set the mix is fit on
+    surv = flagged.filter(
+        ~(F.col("doc_id") % EVAL_MOD == EVAL_REM)
+        & F.col("_exact_keep").isNotNull()
+        & F.col("_near_drop").isNull()
+        & F.col("_qual_keep").isNotNull()
+        & F.col("_contam").isNull()
+        & F.col("_lm_keep").isNotNull()
+        & F.col("_cls_keep").isNotNull()
+        & F.col("_sem_drop").isNull()
+    ).select("doc_id", "lang")
+    # the temperature mix is fit on the CURATED survivor set, exactly
+    # as layout_stage runs it inside build_curated_corpus
+    mixed = temperature_mix(surv, "lang", "doc_id").select(
+        "doc_id", "n_copies"
+    )
+    stage = (
+        F.when(F.col("doc_id") % EVAL_MOD == EVAL_REM, "eval_holdout")
+        .when(F.col("_exact_keep").isNull(), "exact_dup")
+        .when(F.col("_near_drop").isNotNull(), "near_dup")
+        .when(F.col("_qual_keep").isNull(), "low_quality")
+        .when(F.col("_contam").isNotNull(), "contaminated")
+        .when(F.col("_lm_keep").isNull(), "lm_filtered")
+        .when(F.col("_cls_keep").isNull(), "classifier_rejected")
+        .when(F.col("_sem_drop").isNotNull(), "semantic_dup")
+        .when(F.col("n_copies") < 1, "zero_copies")
+        .otherwise("kept")
+    )
+    return flagged.join(mixed, "doc_id", "left").select(
+        "doc_id", "lang", stage.alias("stage"),
+        (stage == "kept").alias("kept"),
+    )
+
+
+def q_curated_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-fit form of :func:`curated_explain` (non-SQL-expressible
+    end to end — the classifier IRLS loop and k-means fit iterate —
+    so unregistered; the reconciliation test is the correctness
+    gate)."""
+    return curated_explain(spark, sf_dir)
+
+
+UNREGISTERED_CURATED_QUERIES = {
+    "q_curated_funnel": q_curated_funnel,
+    "q_curated_explain": q_curated_explain,
+}

@@ -287,3 +287,41 @@ def test_cli_overlap_builds_and_probes_sketches(spark, sf_dir, tmp_path, capsys)
     import os
 
     assert os.path.exists(os.path.join(sk, "_COMMITTED"))
+
+
+def test_cli_build_corpus_no_report(spark, sf_dir, tmp_path, capsys):
+    """`--no-report` (ADVICE r07: the RUNBOOK production setting must
+    be reachable from the entrypoint) skips every per-stage count —
+    the extra corpus passes — but still writes and counts shards."""
+    out_dir = str(tmp_path / "shards_nr")
+    assert main(
+        ["build-corpus", sf_dir, out_dir, "--records-per-file", "200",
+         "--no-report"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] is None and rep["after_exact"] is None
+    assert rep["rows_written"] > 0
+
+
+def test_cli_explain_funnel_curated_stages(spark, sf_dir, capsys):
+    """`explain-funnel --curated` reports the model-gate stages the
+    heuristic form does not have."""
+    assert main(["explain-funnel", sf_dir, "--curated"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "classifier_rejected" in out["stages"]
+    assert "semantic_dup" in out["stages"]
+
+
+def test_build_artifacts_rejects_unknown_skip(spark, sf_dir, tmp_path):
+    """A typo'd --skip family must fail loudly, not silently build the
+    expensive artifact anyway (ADVICE r07)."""
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.curated_corpus import (
+        build_corpus_artifacts,
+    )
+
+    with pytest.raises(ValueError, match="anns"):
+        build_corpus_artifacts(
+            spark, sf_dir, str(tmp_path / "r"), skip=("anns",)
+        )

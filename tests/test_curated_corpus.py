@@ -162,3 +162,59 @@ def test_cli_build_artifacts_and_curated_corpus(spark, sf_dir, tmp_path, capsys)
     assert report["rows_written"] > 0
     n = spark.read.parquet(out).count()
     assert n == report["rows_written"]
+
+
+def test_curated_explain_reconciles_with_report(spark, sf_dir, artifacts, tmp_path):
+    """VERDICT r07 #3: the curated audit relation must explain every
+    removed document — per-stage first-drop counts equal the curated
+    report's stage deltas (now INCLUDING the three model gates), and
+    the kept set equals the written corpus's doc set."""
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators.curated_corpus import (
+        curated_explain,
+    )
+
+    root, _ = artifacts
+    out = str(tmp_path / "explain_shards")
+    rep = build_curated_corpus(
+        spark, sf_dir, out, models=root, records_per_file=50
+    )
+    rows = curated_explain(spark, sf_dir, models=root).collect()
+    by_stage = Counter(r["stage"] for r in rows)
+    assert set(by_stage) <= {
+        "eval_holdout", "exact_dup", "near_dup", "low_quality",
+        "contaminated", "lm_filtered", "classifier_rejected",
+        "semantic_dup", "zero_copies", "kept",
+    }
+    assert len(rows) - by_stage["eval_holdout"] == rep["input"]
+    assert rep["input"] - by_stage["exact_dup"] == rep["after_exact"]
+    assert rep["after_exact"] - by_stage["near_dup"] == rep["after_near"]
+    assert rep["after_near"] - by_stage["low_quality"] == rep["after_quality"]
+    assert (
+        rep["after_quality"] - by_stage["contaminated"]
+        == rep["after_decontam"]
+    )
+    assert rep["after_decontam"] - by_stage["lm_filtered"] == rep["after_lm"]
+    assert (
+        rep["after_lm"] - by_stage["classifier_rejected"]
+        == rep["after_classifier"]
+    )
+    assert (
+        rep["after_classifier"] - by_stage["semantic_dup"]
+        == rep["after_semdedup"]
+    )
+    assert (
+        rep["after_semdedup"] - by_stage["zero_copies"] == by_stage["kept"]
+    )
+    # the model gates actually bite on this corpus — the new stages
+    # are exercised, not vacuously reconciled (at the test SF the LM
+    # band keeps every post-decontam survivor, so the classifier and
+    # SemDeDup gates carry the bite check)
+    assert by_stage["classifier_rejected"] > 0
+    assert by_stage["semantic_dup"] > 0
+    kept_ids = {r["doc_id"] for r in rows if r["kept"]}
+    written_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert kept_ids == written_ids

@@ -1,23 +1,42 @@
-"""Scaling-exponent probe for the graph family (VERDICT r05 #4).
+"""Scaling-exponent probe (VERDICT r05 #4, extended r08 per r07 #5).
 
-The four most expensive bench queries are the embedding-graph
-operators (kNN build, CC clustering, NN-Descent). Their claimed cost
-shapes are ~n^1.5 for the kNN cell join (sqrt(n)-cell IVF quantizer →
-~2·n·sqrt(n) pair evaluations), kNN cost + O(diameter) label rounds
-for CC, and ~n·k² per round for NN-Descent. This tool MEASURES the
-growth instead of asserting it: it synthesizes embeddings tables at n,
-4n, 16n under /tmp (testdata is read-only), runs each query at every
-size, and fits the log-log slope.
+The most expensive bench queries carry explicit cost-shape claims:
 
-Synthesis is deterministic (fixed numpy PCG64 seed): vector i is the
-base vector i % n_base plus N(0, JITTER²) noise — jitter keeps copies
-off the exact-duplicate path (which the cell cap would truncate) while
-preserving the base corpus's cluster structure, so cell occupancy
-scales realistically rather than degenerating into one dense cell.
+- graph family (embeddings table): ~n^1.5 for the kNN cell join
+  (sqrt(n)-cell IVF quantizer → ~2·n·sqrt(n) pair evaluations), kNN
+  cost + O(diameter) label rounds for CC, ~n·k² per round for
+  NN-Descent;
+- dedup/funnel family (documents table): near-linear for banded
+  MinHash (band-bucket join with LSH_BUCKET_CAP), superlinear but
+  candidate-bounded for the AllPairs prefix join (df-sorted prefix
+  pruning), and the funnel composition of both plus the linear
+  stages.
+
+This tool MEASURES the growth instead of asserting it: it synthesizes
+tables at n, 4n, 16n under /tmp (testdata is read-only), runs each
+query at every size, and fits the log-log slope.
+
+Synthesis is deterministic (fixed numpy PCG64 seed, encoded in the
+cache dir name so edited constants can never silently reuse stale
+data — ADVICE r07):
+
+- embeddings: vector i is base vector i % n_base plus N(0, JITTER²)
+  noise — jitter keeps copies off the exact-duplicate path (which the
+  cell cap would truncate) while preserving the base corpus's cluster
+  structure, so cell occupancy scales realistically rather than
+  degenerating into one dense cell.
+- documents: doc i is base doc i % n_base with each token replaced by
+  a random base-vocabulary token with probability TOKEN_JITTER —
+  copies stay off the exact-sha path but remain shingle-similar to
+  their base doc, so shingle/band/prefix occupancy scales like a real
+  crawl (near-dup families grow with n) instead of collapsing into
+  exact-dup groups or diverging into all-distinct noise.
 
 Usage:  python tools/scaling_probe.py [--reps 3] [--out SCALING.json]
-Writes one JSON file: per-query [n, median_sec] points + fitted
-exponent; the SURVEY §6 table is transcribed from this output.
+        [--queries q_knn_graph,...]
+Merges into the JSON file if it exists: per-query [n, median_sec]
+points + fitted exponent; the SURVEY §6 table is transcribed from this
+output.
 """
 
 from __future__ import annotations
@@ -26,27 +45,32 @@ import argparse
 import json
 import math
 import os
-import shutil
 import time
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-BASE = "/root/testdata/sf0.1/embeddings.parquet"
+EMB_BASE = "/root/testdata/sf0.1/embeddings.parquet"
+DOC_BASE = "/root/testdata/sf0.01/documents.parquet"
 WORK = "/tmp/spark_graft_scaling"
 SEED = 20260814
 JITTER = 0.05
+TOKEN_JITTER = 0.15
+
+DOC_QUERIES = {"q_dedup_minhash_banded", "q_dedup_prefix", "q_corpus_funnel"}
 
 
 def synth_dir(n: int) -> str:
-    """Materialize an sf-style dir with an n-row embeddings.parquet."""
-    d = os.path.join(WORK, f"n{n}")
+    """Materialize an sf-style dir with an n-row embeddings.parquet.
+    The seed/jitter are part of the cache key: editing them invalidates
+    the cached synthesis instead of silently reusing it."""
+    d = os.path.join(WORK, f"n{n}_s{SEED}_j{JITTER}")
     out = os.path.join(d, "embeddings.parquet")
     if os.path.exists(out):
         return d
     os.makedirs(d, exist_ok=True)
-    base = pq.read_table(BASE)
+    base = pq.read_table(EMB_BASE)
     emb = np.array(base.column("embedding").to_pylist(), dtype=np.float64)
     labels = np.array(base.column("label").to_pylist())
     nb, dim = emb.shape
@@ -71,23 +95,81 @@ def synth_dir(n: int) -> str:
     return d
 
 
+def synth_docs_dir(n: int) -> str:
+    """Materialize an sf-style dir with an n-row documents.parquet:
+    base docs tiled with token-level jitter (see module docstring)."""
+    d = os.path.join(WORK, f"docs_n{n}_s{SEED}_p{TOKEN_JITTER}")
+    out = os.path.join(d, "documents.parquet")
+    if os.path.exists(out):
+        return d
+    os.makedirs(d, exist_ok=True)
+    base = pq.read_table(DOC_BASE)
+    texts = base.column("text").to_pylist()
+    langs = base.column("lang").to_pylist()
+    sources = base.column("source").to_pylist()
+    nb = len(texts)
+    vocab = sorted({t for s in texts for t in s.split()})
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    new_texts, new_langs, new_sources = [], [], []
+    for i in range(n):
+        b = i % nb
+        toks = texts[b].split()
+        if i >= nb and toks:  # the first copy IS the base corpus
+            mask = rng.random(len(toks)) < TOKEN_JITTER
+            draws = rng.integers(0, len(vocab), size=int(mask.sum()))
+            j = 0
+            for k, hit in enumerate(mask):
+                if hit:
+                    toks[k] = vocab[draws[j]]
+                    j += 1
+        new_texts.append(" ".join(toks))
+        new_langs.append(langs[b])
+        new_sources.append(sources[b])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(new_texts, type=pa.string()),
+            "lang": pa.array(new_langs, type=pa.string()),
+            "source": pa.array(new_sources, type=pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t in new_texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, out)
+    return d
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--sizes", default="2000,8000,32000")
     ap.add_argument(
+        "--docs-sizes",
+        default="5000,20000,80000",
+        help="sizes for the documents-table family",
+    )
+    ap.add_argument(
         "--queries",
         default="q_knn_graph,q_embedding_clusters,q_nn_descent",
     )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    doc_sizes = [int(s) for s in args.docs_sizes.split(",")]
 
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from data_ingestion_api_system_loop_ai_spark.operators.components import (
         q_embedding_clusters,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
+        q_corpus_funnel,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        q_dedup_minhash_banded,
+        q_dedup_prefix,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
         q_nn_descent,
@@ -101,6 +183,9 @@ def main() -> int:
         "q_knn_graph": q_knn_graph,
         "q_embedding_clusters": q_embedding_clusters,
         "q_nn_descent": q_nn_descent,
+        "q_dedup_minhash_banded": q_dedup_minhash_banded,
+        "q_dedup_prefix": q_dedup_prefix,
+        "q_corpus_funnel": q_corpus_funnel,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
@@ -108,22 +193,31 @@ def main() -> int:
     spark = get_spark("scaling-probe", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    dirs = {n: synth_dir(n) for n in sizes}
     result: dict = {
         "seed": SEED,
         "jitter": JITTER,
+        "token_jitter": TOKEN_JITTER,
         "reps": args.reps,
         "cpus": cpus,
         "queries": {},
     }
+    if os.path.exists(args.out):  # merge: families are probed in
+        with open(args.out) as f:  # separate runs
+            prev = json.load(f)
+        result["queries"].update(prev.get("queries", {}))
     for qname in names:
         fn = qfns[qname]
+        fam_sizes = doc_sizes if qname in DOC_QUERIES else sizes
+        fam_dirs = {
+            n: (synth_docs_dir(n) if qname in DOC_QUERIES else synth_dir(n))
+            for n in fam_sizes
+        }
         points = []
-        for n in sizes:
+        for n in fam_sizes:
             times = []
             for _ in range(args.reps):
                 t0 = time.monotonic()
-                cnt = fn(spark, dirs[n]).count()
+                cnt = fn(spark, fam_dirs[n]).count()
                 times.append(time.monotonic() - t0)
             med = sorted(times)[len(times) // 2]
             points.append([n, round(med, 3)])
