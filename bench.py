@@ -174,6 +174,8 @@ HEADLINE = [
     # (the production path — its build seconds land in "builds")
     "q_curated_funnel",
     "q_curated_funnel_models",
+    # sliding exact-substring duplication audit (Lee et al. 2022)
+    "q_dedup_substrings",
 ]
 
 
@@ -427,6 +429,9 @@ def _extra_queries():
         # q_hist_quantiles); q_hist_quantiles itself moved to the
         # registry and is benched from there
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
+        "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
+            "q_dedup_substrings"
+        ],
         "q_domain_mix": UNREGISTERED_SAMPLING_QUERIES["q_domain_mix"],
         # whole-funnel build/probe split (VERDICT r07 #7)
         "q_curated_funnel": ccorp.q_curated_funnel,

@@ -1030,3 +1030,148 @@ SELECT doc_inner, doc_outer, containment
 FROM oriented WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication audit (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 — the
+# ExactSubstr recipe): find every K-token window that occurs more than
+# once ANYWHERE in the corpus (across docs or within one), keep the
+# first occurrence (min doc_id, then min position), and report per
+# document how much of its token stream the non-winner occurrences
+# cover. The paper builds a corpus suffix array; the
+# relational/Spark-native equivalent is a SLIDING rolling-window
+# hash-equality join — same duplicated-substring relation for
+# fixed K, no suffix array to shard. This is the sibling of
+# q_dedup_spans (B80's fixed non-overlapping K-token passages): the
+# sliding stride-1 windows catch duplicated substrings at ANY
+# alignment, which the aligned span grid misses.
+#
+# Scale: windows explode ~n_tokens rows per doc (the published
+# algorithm's linear token cost); the duplicate marking is ONE shuffle
+# on the window hash (row_number + count share the same window spec →
+# one exchange), the per-doc coverage union is ONE lag window
+# partitioned by doc. Hot windows (corpus boilerplate) concentrate in
+# single hash partitions exactly like LSH band buckets — AQE skew
+# handling applies, and the relation is (doc, pos, hash)-slim.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 20  # window length in tokens (paper: 50 at web scale)
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_windows, dup_cov, dup_fraction):
+    per-document duplicated-substring audit. ``n_dup_windows`` counts
+    this doc's non-winner K-windows, ``dup_cov`` is the union length
+    (in tokens) of their [pos, pos+K) intervals — the sweep is a lag
+    window over the per-doc dup positions: each position contributes
+    ``min(K, pos - prev_pos)``, the first contributes K.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity plus
+    constructed repeated-passage goldens in
+    tests/test_unregistered_ops.py.)"""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = tokenize(F.col("text"))
+    nt = docs.select("doc_id", F.size(ts).alias("n_tokens"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ts) >= SUBSTR_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - (SUBSTR_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(ts, i, SUBSTR_K))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,h:string>>")
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
+    wh = W.partitionBy("h")
+    marked = wins.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(wh.orderBy("doc_id", "pos")).alias("rn"),
+        F.count("*").over(wh).alias("cnt"),
+    )
+    dup = marked.filter("cnt > 1 AND rn > 1").select("doc_id", "pos")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.least(
+                F.lit(SUBSTR_K),
+                F.coalesce(
+                    F.col("pos") - F.lag("pos").over(wd), F.lit(SUBSTR_K)
+                ),
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("contrib").alias("dup_cov"),
+        )
+    )
+    return nt.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("dup_cov", F.lit(0)).cast("long").alias("dup_cov"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce("dup_cov", F.lit(0)) / F.col("n_tokens"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
+SUBSTR_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+nt AS (SELECT doc_id, len(ts) AS n_tokens FROM toks),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ts[i:i+{SUBSTR_K - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(ts) - {SUBSTR_K} + 2)) AS g(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM wins
+),
+dup AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+contribs AS (
+  SELECT doc_id,
+         least({SUBSTR_K},
+               coalesce(pos - lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos),
+                        {SUBSTR_K})) AS contrib
+  FROM dup
+),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(contrib) AS BIGINT) AS dup_cov
+  FROM contribs GROUP BY doc_id
+)
+SELECT nt.doc_id, CAST(nt.n_tokens AS INTEGER) AS n_tokens,
+       coalesce(cov.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(cov.dup_cov, 0) AS dup_cov,
+       CASE WHEN nt.n_tokens > 0
+            THEN round(coalesce(cov.dup_cov, 0) * 1.0 / nt.n_tokens, 6)
+            ELSE 0.0 END AS dup_fraction
+FROM nt LEFT JOIN cov USING (doc_id)
+"""
+
+UNREGISTERED_DEDUP_QUERIES["q_dedup_substrings"] = q_dedup_substrings
+UNREGISTERED_DEDUP_ORACLES["q_dedup_substrings"] = SUBSTR_DEDUP_ORACLE

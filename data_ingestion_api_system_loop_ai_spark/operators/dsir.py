@@ -145,14 +145,39 @@ def _feature_tfs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bucketed_tfs(docs: DataFrame) -> DataFrame:
+    """``_feature_tfs`` with the md5 bucket attached. The input is
+    hash-repartitioned on doc_id first: the featurize is the operator's
+    CPU-heavy stage (sort + run-length + md5 per feature), and a
+    documents table read from few parquet files would otherwise run it
+    on as few cores (a small corpus arrives as ONE input split). The
+    count is pinned to defaultParallelism because AQE coalesces
+    BY BYTE SIZE: a column-only repartition of a byte-tiny,
+    CPU-heavy relation gets coalesced right back to one task (an
+    explicitly numbered repartition is exempt). The shuffle moves only
+    the raw (doc_id, text) rows — trivial next to the per-row compute
+    it parallelizes."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return _feature_tfs(docs.repartition(n, "doc_id")).withColumn(
+        "bucket", token_hash(F.col("feature"), _HEX) % N_BUCKETS
+    )
+
+
 def dsir_weights(docs: DataFrame) -> DataFrame:
     """(doc_id, log_iw, sel_rank, selected) over the RAW pool (target
     docs are the distribution sample, not candidates). ``selected``
     keeps the top ``floor(n_raw / SELECT_FRAC_INV)`` by
-    (log_iw DESC, doc_id)."""
-    per_f = _feature_tfs(docs).withColumn(
-        "bucket", token_hash(F.col("feature"), _HEX) % N_BUCKETS
-    )
+    (log_iw DESC, doc_id).
+
+    The featurized relation feeds THREE consumers (target model, raw
+    model, candidate scoring), and each reference re-instantiates the
+    whole tokenize+runs+explode subtree (the funnel fan-out lesson) —
+    so it gets a lazy ``localCheckpoint`` stage boundary: ONE featurize
+    pass, exactly the "one corpus scan for features" the module
+    docstring promises. At cluster scale this materializes the (doc,
+    feature, tf, bucket) relation once — tokenized-corpus sized, the
+    same temp relation any DSIR implementation stages."""
+    per_f = _bucketed_tfs(docs).localCheckpoint(eager=False)
 
     def _model(side: DataFrame, cnt_col: str) -> DataFrame:
         return side.groupBy("bucket").agg(F.sum("tf").alias(cnt_col))
@@ -161,9 +186,24 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
     raw = _model(per_f.filter("NOT is_target"), "cnt_r")
     tot_t = tgt.agg(F.sum("cnt_t").alias("tot_t"))
     tot_r = raw.agg(F.sum("cnt_r").alias("tot_r"))
+    return _score_candidates(
+        per_f.filter("NOT is_target"), tgt, raw, tot_t, tot_r
+    )
 
+
+def _score_candidates(
+    per_f_cand: DataFrame,
+    tgt: DataFrame,
+    raw: DataFrame,
+    tot_t: DataFrame,
+    tot_r: DataFrame,
+) -> DataFrame:
+    """Score + rank a candidate (doc_id, feature, tf, bucket) relation
+    against the two bucket models — the shared tail of the inline and
+    from-model forms, so the two are bit-identical by construction
+    given equal model relations."""
     contrib = (
-        per_f.filter("NOT is_target")
+        per_f_cand
         .join(F.broadcast(tgt), "bucket", "left")
         .join(F.broadcast(raw), "bucket", "left")
         .crossJoin(F.broadcast(tot_t))
@@ -199,6 +239,10 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
             6,
         ).alias("log_iw")
     )
+    # per_doc is consumed three times (the count and both phases of
+    # the global rank) — one more lazy stage boundary keeps the scoring
+    # join single-instantiation
+    per_doc = per_doc.localCheckpoint(eager=False)
     n_raw = per_doc.groupBy().agg(
         F.floor(F.count("*") / SELECT_FRAC_INV).cast("long").alias("k")
     )
@@ -226,6 +270,90 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     target domain sample."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dsir_weights(docs)
+
+
+# ---------------------------------------------------------------------------
+# Build/probe split (the repo's standard artifact discipline): the two
+# 1024-bucket models are the trainable state of DSIR — persist them
+# once and every future selection pass is scan + broadcast + rank with
+# ZERO model-building work, the same O(corpus)->O(batch) shift the
+# lm_batch pair demonstrates. The frozen store keeps the raw (bucket,
+# cnt_t, cnt_r) counts — totals are recovered as sums of the stored
+# relation (additive, sketch-style), so the artifact is internally
+# consistent even if the corpus changed after the build.
+# ---------------------------------------------------------------------------
+
+
+def build_dsir_model(spark: SparkSession, sf_dir: str, model_path: str) -> None:
+    """Persist the target/raw hashed-n-gram bucket models (one merged
+    (bucket, cnt_t, cnt_r) relation — <= N_BUCKETS rows) under the
+    shared commit marker. One corpus featurize pass; marker written
+    last, so readers refuse a torn build."""
+    import os
+
+    from ..sources.commit_protocol import write_marker
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_f = _bucketed_tfs(docs)
+    tgt = per_f.filter("is_target").groupBy("bucket").agg(
+        F.sum("tf").alias("cnt_t")
+    )
+    raw = per_f.filter("NOT is_target").groupBy("bucket").agg(
+        F.sum("tf").alias("cnt_r")
+    )
+    tgt.join(raw, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("cnt_t", F.lit(0)).cast("long").alias("cnt_t"),
+        F.coalesce("cnt_r", F.lit(0)).cast("long").alias("cnt_r"),
+    ).write.mode("overwrite").parquet(os.path.join(model_path, "buckets"))
+    write_marker(model_path)
+
+
+def _load_dsir_model(
+    spark: SparkSession, model_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    import os
+
+    from ..sources.commit_protocol import require_marker
+
+    require_marker(model_path, "DSIR bucket models", "build_dsir_model")
+    b = spark.read.parquet(os.path.join(model_path, "buckets"))
+    # cnt_t/cnt_r = 0 rows carry no information for their side: drop
+    # them per side so the left joins see exactly the relations the
+    # inline groupBys produce (bit-identical coalesce behavior)
+    tgt = b.filter("cnt_t > 0").select("bucket", "cnt_t")
+    raw = b.filter("cnt_r > 0").select("bucket", "cnt_r")
+    tot_t = tgt.agg(F.sum("cnt_t").alias("tot_t"))
+    tot_r = raw.agg(F.sum("cnt_r").alias("tot_r"))
+    return tgt, raw, tot_t, tot_r
+
+
+def q_dsir_from_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """Full-pool selection against the FROZEN bucket models — pinned
+    bit-identical to :func:`q_dsir_select` when the store was built on
+    the same corpus (tests/test_dsir.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_f = _bucketed_tfs(docs).filter("NOT is_target")
+    return _score_candidates(per_f, *_load_dsir_model(spark, model_path))
+
+
+def q_dsir_batch_from_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """The production shape: score ONLY the 1% ingest batch
+    (``doc_id % 100 == 0``, non-target) against the frozen models —
+    O(batch) featurize + broadcast models + within-batch rank, no
+    corpus pass anywhere (compare ``q_dsir_select``, whose model fit
+    is O(corpus) per invocation)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 100 == 0)
+    )
+    per_f = _bucketed_tfs(docs).filter("NOT is_target")
+    return _score_candidates(per_f, *_load_dsir_model(spark, model_path))
 
 
 _FEATS_CTE = f"""

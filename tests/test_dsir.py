@@ -120,3 +120,42 @@ def test_dsir_log_iw_fold_is_partitioning_invariant(spark, sf_dir):
         for r in dsir.dsir_weights(docs.repartition(13, "text")).collect()
     }
     assert a == b
+
+
+def test_dsir_from_model_bit_identical_and_batch_form(spark, sf_dir, tmp_path):
+    """The frozen bucket store reproduces the inline selection
+    row-for-row (same corpus), and the batch probe's weights equal the
+    full-pool weights for the same docs — the model, not the candidate
+    set, determines log_iw — with a dense within-batch rank."""
+    root = str(tmp_path / "dsir_model")
+    dsir.build_dsir_model(spark, sf_dir, root)
+    inline = sorted(map(tuple, dsir.q_dsir_select(spark, sf_dir).collect()))
+    frozen = sorted(
+        map(tuple, dsir.q_dsir_from_model(spark, sf_dir, root).collect())
+    )
+    assert inline == frozen and len(inline) > 0
+
+    by_doc = {t[0]: t[1] for t in inline}  # doc_id -> log_iw
+    batch = dsir.q_dsir_batch_from_model(spark, sf_dir, root).collect()
+    assert 0 < len(batch) < len(inline)
+    assert all(r["doc_id"] % 100 == 0 for r in batch)
+    for r in batch:
+        assert by_doc[r["doc_id"]] == r["log_iw"], r["doc_id"]
+    ranks = sorted(r["sel_rank"] for r in batch)
+    assert ranks == list(range(1, len(batch) + 1))
+    assert (
+        sum(r["selected"] for r in batch)
+        == len(batch) // dsir.SELECT_FRAC_INV
+    )
+
+
+def test_dsir_model_refuses_torn_build(spark, sf_dir, tmp_path):
+    """No marker -> the probe refuses (commit protocol)."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "torn")
+    os.makedirs(root, exist_ok=True)
+    with pytest.raises(Exception, match="build_dsir_model"):
+        dsir.q_dsir_from_model(spark, sf_dir, root)

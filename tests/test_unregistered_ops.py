@@ -4038,3 +4038,90 @@ def test_round8_evicted_slots_stay_oracle_exact(which, spark, sf_dir):
         compare(qs[which](spark, sf_dir), con, os_[which])
     finally:
         con.close()
+
+
+def test_dedup_substrings_oracle_parity(spark, sf_dir):
+    """Sliding exact-substring audit (Lee et al. 2022 ExactSubstr as a
+    rolling-window hash join) matches the DuckDB twin at driver grade,
+    and the corpus actually exercises it."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        SUBSTR_DEDUP_ORACLE,
+        q_dedup_substrings,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    df = q_dedup_substrings(spark, sf_dir)
+    con = duckdb_con(sf_dir)
+    try:
+        compare(df, con, SUBSTR_DEDUP_ORACLE)
+    finally:
+        con.close()
+    rows = df.collect()
+    assert any(r["n_dup_windows"] > 0 for r in rows)
+    assert all(r["dup_cov"] <= r["n_tokens"] for r in rows)
+
+
+def test_dedup_substrings_matches_independent_model(spark):
+    """Constructed corpus vs an INDEPENDENT driver-side model of the
+    semantics (dict of window -> first occurrence, interval union for
+    coverage): cross-doc copies at arbitrary alignment, within-doc
+    period-K repetition, sub-K docs, and the first-occurrence winner."""
+    import os
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    K = dd.SUBSTR_K
+    uniq = [f"u{i}" for i in range(40)]
+    passage = [f"p{i}" for i in range(26)]  # > K: embeds at any offset
+    period = [f"q{i}" for i in range(K)]
+    docs = [
+        (1, " ".join(uniq[:5] + passage + uniq[5:14])),   # owns the passage
+        (2, " ".join(uniq[14:20] + passage + uniq[20:34])),  # copies it
+        (3, " ".join(period * 2)),                        # self-period K
+        (4, " ".join(uniq[34:40])),                       # < K tokens
+    ]
+
+    # independent model
+    first: dict = {}
+    occs: dict = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        for pos in range(len(toks) - K + 1):
+            w = " ".join(toks[pos : pos + K])
+            occs.setdefault(w, []).append((doc_id, pos + 1))
+    expect: dict = {}
+    for doc_id, text in docs:
+        n = len(text.split())
+        dup_pos = sorted(
+            p for w, lst in occs.items() if len(lst) > 1
+            for d, p in lst[1:] if d == doc_id
+            # lst is in (doc_id, pos) insertion order == sorted order
+        )
+        covered: set = set()
+        for p in dup_pos:
+            covered.update(range(p, p + K))
+        expect[doc_id] = (n, len(dup_pos), len(covered))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dd.q_dedup_substrings(spark, tmp).collect()
+        }
+    assert set(got) == set(expect)
+    for doc_id, (n, n_dup, cov) in expect.items():
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_dup_windows"], r["dup_cov"]) == (
+            n, n_dup, cov
+        ), doc_id
+    # the constructed shapes actually happened: doc 1 wins everything,
+    # doc 2's copied passage is covered, doc 3 self-duplicates
+    assert got[1]["n_dup_windows"] == 0
+    assert got[2]["n_dup_windows"] == len(passage) - K + 1
+    assert got[2]["dup_cov"] == len(passage)
+    assert got[3]["n_dup_windows"] == 1 and got[3]["dup_cov"] == K
+    assert got[4] and got[4]["n_dup_windows"] == 0
