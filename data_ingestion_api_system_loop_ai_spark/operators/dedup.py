@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import SIMHASH_BITS, shingles_k, sql_simhash_cte, sql_tokens, tokenize
-from ..sources.loader import load_table
+from ..sources.loader import load_table, spread_small_scan
 from .similarity import IVF_CELLS_CTE as _IVF_CELLS_CTE
 
 SHINGLE_K = 5
@@ -275,7 +275,13 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplans are collapsed by Spark's ReuseExchange rule, so the
     tokenize+shingle work runs once and the one linear, key-balanced
     shuffle of compact shingle arrays is shared by every consumer
-    (measured 4.9s -> 2.7s on the banded-minhash query at sf0.1)."""
+    (measured 4.9s -> 2.7s on the banded-minhash query at sf0.1).
+
+    The repartition is explicitly NUMBERED (defaultParallelism): AQE
+    coalesces shuffles by byte size, and this relation is byte-tiny but
+    CPU-heavy — the column-only form was being coalesced to a handful
+    of tasks, serializing the shingle featurize (the q_dsir_select
+    lesson)."""
     d = load_table(spark, sf_dir, "documents")
     sets = F.element_at(
         F.transform(
@@ -284,7 +290,9 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    return d.select("doc_id", sets.alias("ss")).repartition(F.col("doc_id"))
+    return d.select("doc_id", sets.alias("ss")).repartition(
+        d.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
 
 def _banded_keys(base: DataFrame) -> DataFrame:
@@ -1074,7 +1082,10 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ts = tokenize(F.col("text"))
     nt = docs.select("doc_id", F.size(ts).alias("n_tokens"))
-    wins = docs.select(
+    # the window featurize (tokenize + md5 per stride-1 window) is the
+    # CPU-heavy stage; spread_small_scan parallelizes it when the
+    # corpus arrives as fewer splits than cores (no-op at real scale)
+    wins = spread_small_scan(docs, "doc_id").select(
         "doc_id",
         F.explode(
             F.when(

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, token_hash, tokenize
 from ..plans.ranking import global_row_number
-from ..sources.loader import load_table
+from ..sources.loader import load_table, spread_small_scan
 from .contamination import EVAL_MOD, EVAL_REM
 
 N_BUCKETS = 1024
@@ -150,15 +150,11 @@ def _bucketed_tfs(docs: DataFrame) -> DataFrame:
     hash-repartitioned on doc_id first: the featurize is the operator's
     CPU-heavy stage (sort + run-length + md5 per feature), and a
     documents table read from few parquet files would otherwise run it
-    on as few cores (a small corpus arrives as ONE input split). The
-    count is pinned to defaultParallelism because AQE coalesces
-    BY BYTE SIZE: a column-only repartition of a byte-tiny,
-    CPU-heavy relation gets coalesced right back to one task (an
-    explicitly numbered repartition is exempt). The shuffle moves only
-    the raw (doc_id, text) rows — trivial next to the per-row compute
-    it parallelizes."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return _feature_tfs(docs.repartition(n, "doc_id")).withColumn(
+    on as few cores (a small corpus arrives as ONE input split); at
+    real scale the input already carries >= cores splits and the guard
+    makes this a no-op — see ``spread_small_scan`` for the two traps
+    (byte-size AQE coalescing vs CPU-heavy stages) it encodes."""
+    return _feature_tfs(spread_small_scan(docs, "doc_id")).withColumn(
         "bucket", token_hash(F.col("feature"), _HEX) % N_BUCKETS
     )
 

@@ -57,3 +57,20 @@ def read_json_source(spark: SparkSession, path: str, schema) -> DataFrame:
 
 def read_csv_source(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def spread_small_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a CPU-heavy relation to ``defaultParallelism`` ONLY
+    when its scan arrives in fewer partitions — a small corpus lands as
+    one input split, which serializes per-row compute (tokenize /
+    shingle / digest featurizes) onto one core. Two traps this helper
+    encodes: (a) at real scale inputs already carry >= cores splits, so
+    the guard makes this a NO-OP there (never a corpus-wide shuffle for
+    nothing); (b) the repartition must be explicitly NUMBERED — AQE
+    coalesces shuffles BY BYTE SIZE, so a column-only repartition of a
+    byte-tiny, CPU-heavy relation gets coalesced straight back to one
+    task."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)
