@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, spread_small_scan
 
 TOPK = 10
 IVF_TOPK = 5
@@ -148,7 +148,12 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     instead of deriving one from ``e``."""
     if seeds is None:
         seeds = ivf_seeds(e)
-    v = e.select("vec_id", "embedding", norm_expr("embedding").alias("v_norm"))
+    # the n*k dot-product crossJoin is the CPU-heavy stage: spread a
+    # few-split scan across cores first (no-op when the input already
+    # carries >= cores partitions — see spread_small_scan)
+    v = spread_small_scan(e, "vec_id").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("v_norm")
+    )
     best = F.max(
         F.struct(
             (
@@ -168,9 +173,10 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     # runtime exchange reuse evaluate the n*k assignment crossJoin once
     # instead of once per subtree. hash(cell) is also exactly the
     # distribution the downstream cell equi-joins and per-cell scans
-    # want. (At sf0.1 the query is stage-latency-bound — 2000 vectors —
-    # so the barrier is time-neutral there; the duplicated-assignment
-    # work it removes grows with the corpus.)
+    # want. Explicitly NUMBERED: AQE coalesces shuffles by byte size,
+    # and this relation is byte-tiny but feeds CPU-heavy per-cell pair
+    # joins — the column-only form was coalesced to 1-2 tasks (the
+    # q_dsir_select lesson).
     return (
         v.crossJoin(F.broadcast(seeds))
         .groupBy("vec_id")
@@ -181,7 +187,9 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
             F.col("b.vn").alias("v_norm"),
             F.col("b.cell").alias("cell"),
         )
-        .repartition(F.col("cell"))
+        .repartition(
+            e.sparkSession.sparkContext.defaultParallelism, F.col("cell")
+        )
     )
 
 
@@ -959,7 +967,10 @@ def knn_graph(
     vector via IVF multi-probe. ``cent``/``asg`` may come from an
     inline fit or the persisted ANN index — same relations either
     way."""
-    q = e.select(
+    # the probe side computes an n*k dot-product against the broadcast
+    # centroids and then the per-pair cosines — spread a few-split scan
+    # first (no-op at cluster scale)
+    q = spread_small_scan(e, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm_expr("embedding").alias("q_norm"),

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is BYTE-sized (default 1 MB): a
+        # byte-tiny but CPU-heavy relation (pairwise cosines, hashed
+        # n-gram featurize, shingle sets) gets coalesced onto 1-4
+        # tasks, serializing the compute. A 64k floor keeps small
+        # CPU-bound stages wide (measured: kNN graph -32%, CC clusters
+        # -20% at sf0.1) while leaving >= 1 MB partitions — i.e. every
+        # real-scale shuffle — exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
