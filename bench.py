@@ -176,6 +176,13 @@ HEADLINE = [
     "q_curated_funnel_models",
     # sliding exact-substring duplication audit (Lee et al. 2022)
     "q_dedup_substrings",
+    # round-8 second rotation: interpolated Kneser-Ney bigram LM
+    # (registered; compare with q_lm2_score's add-one form) and
+    # DoReMi-style one-step domain reweighting (registered)
+    "q_kn_score",
+    "q_doremi_weights",
+    # CCNet per-language head/middle/tail perplexity terciles
+    "q_ccnet_buckets",
 ]
 
 
@@ -206,6 +213,7 @@ def _extra_queries():
         q_chunk_overlap,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        UNREGISTERED_TEXT_QUERIES,
         q_vocab_growth,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
@@ -231,6 +239,7 @@ def _extra_queries():
         q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+        q_ccnet_buckets,
         q_lm2_score,
         q_lm_score,
     )
@@ -428,6 +437,13 @@ def _extra_queries():
         # round-8 rotation evictions (funded q_dsir_select /
         # q_hist_quantiles); q_hist_quantiles itself moved to the
         # registry and is benched from there
+        # round-8 second rotation evictions (funded q_kn_score /
+        # q_doremi_weights) — both registered rotations benched from
+        # the registry; the evictions keep their cost rows here
+        "q_text_analysis": UNREGISTERED_TEXT_QUERIES["q_text_analysis"],
+        "q_tpch_q14": UNREGISTERED_RELATIONAL_EXT_QUERIES["q_tpch_q14"],
+        # CCNet per-lang perplexity terciles (unregistered, new r8)
+        "q_ccnet_buckets": q_ccnet_buckets,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

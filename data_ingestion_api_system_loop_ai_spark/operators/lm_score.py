@@ -310,6 +310,194 @@ def lm2_scores(
     )
 
 
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the smoothing KenLM actually
+# ships (Kneser & Ney 1995; Chen & Goodman 1998 empirical study), i.e.
+# the CCNet perplexity filter's real arithmetic, one step past the
+# add-one form above:
+#
+#   P_KN(y|x) = max(c_xy - D, 0)/c_x  +  (D * N1+(x.)/c_x) * P_cont(y)
+#   P_cont(y) = N1+(.y) / N1+(..)
+#   D         = n1 / (n1 + 2*n2)          (the Ney/Essen/Kneser estimate)
+#
+# with c_xy the bigram count, c_x its left marginal, N1+(x.) the count
+# of distinct successors of x, N1+(.y) the count of distinct
+# predecessors of y (the "novel continuation" count that replaces raw
+# unigram frequency — the idea the paper is named for), N1+(..) the
+# number of distinct bigram types, and n1/n2 the counts of bigram
+# types seen exactly once/twice.
+#
+# Every statistic is a map-side-combinable aggregate over the SAME
+# trained bigram relation: cx (groupBy x), cont (groupBy y — both
+# Zipf-vocabulary-bounded, broadcastable), and a 1-row (n1, n2, Nbb)
+# discount relation. The scoring join keeps q_lm2_score's shape: an
+# exploded per-doc (x, y, tf) aggregation joined to bg on the pair key
+# (shuffle equi-join; AQE broadcasts while it fits), then broadcast
+# cont + 1-row discount. Per-doc sums cast each contribution to
+# decimal(25,12) so the fold is order-independent exactly on both
+# engines; D is one long->double division identical on both.
+# ---------------------------------------------------------------------------
+
+
+def kn_statistics(bg: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cx, cont, disc) smoothing relations of the trained bigram model.
+
+    cx:   (x, c_x, n1p_x)  — left marginal + distinct-successor count
+    cont: (y, n1p_y)       — distinct-predecessor (continuation) count
+    disc: 1-row (D, Nbb)   — Ney discount + distinct-bigram-type total
+    """
+    cx = bg.groupBy("x").agg(
+        F.sum("c_xy").alias("c_x"), F.count("*").alias("n1p_x")
+    )
+    cont = bg.groupBy("y").agg(F.count("*").alias("n1p_y"))
+    disc = bg.agg(
+        F.count("*").alias("Nbb"),
+        F.sum(F.when(F.col("c_xy") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c_xy") == 2, 1).otherwise(0)).alias("n2"),
+    ).select(
+        "Nbb",
+        # degenerate corpora (no singleton/doubleton bigrams) pin D at
+        # the midpoint rather than 0/0 — same literal guard in the oracle
+        F.when(
+            F.col("n1") + 2 * F.col("n2") == 0, F.lit(0.5)
+        ).otherwise(
+            F.col("n1") / (F.col("n1") + 2 * F.col("n2"))
+        ).alias("D"),
+    )
+    return cx, cont, disc
+
+
+def kn_scores(
+    docs: DataFrame,
+    bg: DataFrame,
+    cx: DataFrame,
+    cont: DataFrame,
+    disc: DataFrame,
+) -> DataFrame:
+    """Interpolated-KN scoring plan against a trained bigram model —
+    (doc_id, n_bigrams, n_distinct_bigrams, mean_surprisal_kn). Docs
+    with fewer than two tokens drop (no bigrams), matching
+    ``lm2_scores``."""
+    pairs_arr = F.element_at(
+        F.transform(
+            F.array(tokenize(F.col("text"))),
+            lambda ts: F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.slice(ts, 1, F.size(ts) - 1),
+                    lambda x, i: F.struct(
+                        x.alias("x"), F.element_at(ts, i + 2).alias("y")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>")),
+        ),
+        1,
+    )
+    per_pair = (
+        docs.select("doc_id", F.explode(pairs_arr).alias("p"))
+        .groupBy(
+            "doc_id", F.col("p.x").alias("x"), F.col("p.y").alias("y")
+        )
+        .agg(F.count("*").alias("tf"))
+    )
+    p_kn = (
+        F.greatest(F.col("c_xy") - F.col("D"), F.lit(0.0)) / F.col("c_x")
+        + (F.col("D") * F.col("n1p_x") / F.col("c_x"))
+        * (F.col("n1p_y") / F.col("Nbb"))
+    )
+    contrib = (
+        per_pair.join(bg, ["x", "y"])
+        .join(cx, "x")
+        .join(F.broadcast(cont), "y")
+        .crossJoin(F.broadcast(disc))
+        .select("doc_id", "tf", (F.col("tf") * -F.log(p_kn)).alias("c"))
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.sum(F.col("c").cast("decimal(25,12)")).cast("double").alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+        F.round(F.col("s") / F.col("n_bigrams"), 6).alias(
+            "mean_surprisal_kn"
+        ),
+    )
+
+
+def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score interpolated Kneser-Ney bigram LM over
+    ``documents``. (REGISTERED in the round-8 second rotation, funded
+    by q_text_analysis; DuckDB parity + independent-replay golden +
+    fluency fixture in tests/test_unregistered_ops.py.)"""
+    from .collocations import bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # reuse barrier (the q_lm2_score idiom): the trained bigram relation
+    # has FOUR consumers here — the scoring join, cx, cont, and the
+    # 1-row discount — so the repartition makes the subtrees identical
+    # up to the exchange and ReuseExchange runs the corpus
+    # tokenize+pair aggregation once.
+    bg = bigram_counts(docs.select("text")).repartition(F.col("x"))
+    cx, cont, disc = kn_statistics(bg)
+    return kn_scores(docs, bg, cx, cont, disc)
+
+
+KN_SCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+bg_doc AS (
+  SELECT doc_id, u.pair['x'] AS x, u.pair['y'] AS y, count(*) AS tf
+  FROM toks,
+       UNNEST(CASE WHEN len(ts) >= 2 THEN
+         list_transform(range(1, len(ts)),
+                        i -> {{'x': ts[i], 'y': ts[i+1]}})
+         ELSE [] END) AS u(pair)
+  GROUP BY 1, 2, 3
+),
+bg AS (SELECT x, y, sum(tf) AS c_xy FROM bg_doc GROUP BY x, y),
+cx AS (SELECT x, sum(c_xy) AS c_x, count(*) AS n1p_x FROM bg GROUP BY x),
+cont AS (SELECT y, count(*) AS n1p_y FROM bg GROUP BY y),
+disc AS (
+  SELECT Nbb,
+         CASE WHEN n1 + 2*n2 = 0 THEN 0.5
+              ELSE CAST(n1 AS DOUBLE) / (n1 + 2*n2) END AS D
+  FROM (SELECT count(*) AS Nbb,
+               sum(CASE WHEN c_xy = 1 THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN c_xy = 2 THEN 1 ELSE 0 END) AS n2
+        FROM bg)
+),
+contrib AS (
+  SELECT d.doc_id, d.tf,
+         d.tf * -ln(
+           greatest(b.c_xy - disc.D, 0.0) / c.c_x
+           + (disc.D * c.n1p_x / c.c_x) * (CAST(k.n1p_y AS DOUBLE) / disc.Nbb)
+         ) AS c
+  FROM bg_doc d
+  JOIN bg b USING (x, y)
+  JOIN cx c USING (x)
+  JOIN cont k USING (y)
+  CROSS JOIN disc
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(tf) AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         CAST(sum(CAST(c AS DECIMAL(25,12))) AS DOUBLE) AS s
+  FROM contrib
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+       round(s / n_bigrams, 6) AS mean_surprisal_kn
+FROM per_doc
+"""
+
+
 LM2_SCORE_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents
@@ -347,3 +535,119 @@ SELECT doc_id,
        round(s / n_bigrams, 6) AS mean_surprisal2
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data",
+# arXiv:1911.00359) — the step the LM scores above exist to feed: per
+# LANGUAGE, order documents by LM score and cut the distribution into
+# HEAD / MIDDLE / TAIL terciles; CCNet keeps head+middle and drops (or
+# re-reviews) the tail. The published pipeline uses a KenLM 5-gram; the
+# scoring model here is the same corpus-trained unigram LM as
+# q_lm_score (the bucketing layer is identical — only the score column
+# changes).
+#
+# Scale shape: the per-language ordering NEVER runs through a single
+# window partition (a language is arbitrarily large at corpus scale) —
+# ``grouped_row_number`` ranks over (lang, coarse-score-bucket)
+# partitions with per-bucket offsets, the coarse bucket being
+# round(score, 1): a MONOTONE function of the score, so ordering by
+# (bucket, score, doc_id) equals ordering by (score, doc_id). Tercile
+# assignment is pure integer arithmetic against the broadcast per-lang
+# count: tile = ((rank-1)*3) div n + 1 — the ntile(3) distribution,
+# exact on both engines with no float division.
+# ---------------------------------------------------------------------------
+
+CCNET_TILES = 3
+_CCNET_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, mean_surprisal, pp_rank, bucket, keep_ccnet) over
+    ``docs(doc_id, lang, text)`` — per-lang perplexity terciles of the
+    corpus-trained unigram LM score. Zero-token docs carry no score and
+    drop (consistent with lm_scores)."""
+    from ..plans.ranking import grouped_row_number
+
+    scored = lm_scores(docs.select("doc_id", "text")).select(
+        "doc_id", "mean_surprisal"
+    )
+    by_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    ranked = grouped_row_number(
+        by_lang.withColumn("_cb", F.round(F.col("mean_surprisal"), 1)),
+        ["lang"],
+        ["_cb"],
+        ["mean_surprisal", "doc_id"],
+        rn_col="pp_rank",
+    ).drop("_cb")
+    n_lang = by_lang.groupBy("lang").agg(F.count("*").alias("n"))
+    tile = F.expr(f"((pp_rank - 1) * {CCNET_TILES}) div n") + F.lit(1)
+    label = F.when(tile == 1, "head").when(tile == 2, "middle").otherwise(
+        "tail"
+    )
+    return (
+        ranked.join(F.broadcast(n_lang), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_surprisal",
+            F.col("pp_rank").cast("long").alias("pp_rank"),
+            label.alias("bucket"),
+            (tile <= F.lit(CCNET_TILES - 1)).alias("keep_ccnet"),
+        )
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail perplexity buckets over
+    ``documents`` (CCNet). (Unregistered — 50-slot cap; driver-grade
+    DuckDB parity + ntile-equivalence + semantics fixtures in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return ccnet_buckets(docs)
+
+
+CCNET_BUCKETS_ORACLE = f"""
+WITH scored AS (
+  SELECT s.doc_id, d.lang, s.mean_surprisal
+  FROM ({LM_SCORE_ORACLE}) s JOIN documents d USING (doc_id)
+),
+n_lang AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY mean_surprisal, doc_id
+         ) AS pp_rank
+  FROM scored
+)
+SELECT r.doc_id, r.lang, r.mean_surprisal,
+       CAST(r.pp_rank AS BIGINT) AS pp_rank,
+       CASE ((r.pp_rank - 1) * {CCNET_TILES}) // n.n + 1
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket,
+       ((r.pp_rank - 1) * {CCNET_TILES}) // n.n + 1 <= {CCNET_TILES - 1}
+         AS keep_ccnet
+FROM r JOIN n_lang n USING (lang)
+"""
+
+
+# Registry wiring: q_kn_score REGISTERED in the round-8 second rotation
+# (slot funded by q_text_analysis — the LM family's first registered
+# slot). The unigram/bigram forms and the CCNet bucketing stay
+# unregistered API surface with driver-grade parity tests
+# (tests/test_unregistered_ops.py).
+LM_QUERIES = {"q_kn_score": q_kn_score}
+LM_ORACLES = {"q_kn_score": KN_SCORE_ORACLE}
+UNREGISTERED_LM_QUERIES = {
+    "q_lm_score": q_lm_score,
+    "q_lm2_score": q_lm2_score,
+    "q_ccnet_buckets": q_ccnet_buckets,
+}
+UNREGISTERED_LM_ORACLES = {
+    "q_lm_score": LM_SCORE_ORACLE,
+    "q_lm2_score": LM2_SCORE_ORACLE,
+    "q_ccnet_buckets": CCNET_BUCKETS_ORACLE,
+}

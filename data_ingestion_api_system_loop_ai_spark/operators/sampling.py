@@ -727,3 +727,219 @@ UNREGISTERED_SAMPLING_QUERIES["q_budget_select"] = q_budget_select
 UNREGISTERED_SAMPLING_ORACLES["q_budget_select"] = BUDGET_SELECT_ORACLE
 UNREGISTERED_SAMPLING_QUERIES["q_pps_sample"] = q_pps_sample
 UNREGISTERED_SAMPLING_ORACLES["q_pps_sample"] = PPS_SAMPLE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+# Data Mixtures Speeds Up Language Model Pretraining", arXiv:2305.10429
+# / NeurIPS 2023) — the LEARNED answer to "what mixture?" that
+# domain_mix/temperature_mix take as an input. The paper's Group-DRO
+# loop upweights domains by EXCESS LOSS: proxy-model loss minus a
+# per-domain reference-model loss, clipped at zero, fed through
+# multiplicative weights (exp(step * excess)) and smoothed with the
+# uniform mixture.
+#
+# Relational form (one-step, documented honestly): the "proxy" is the
+# GENERALIST add-one unigram LM trained on the whole corpus; the
+# per-domain "reference" is the SPECIALIST unigram LM trained on that
+# domain alone (both exactly the q_lm_score training aggregate). The
+# per-domain excess cross-entropy
+#     excess_d = max(0, CE_d(generalist) - CE_d(specialist))
+# is the empirical estimate of how much better a domain-tuned model
+# does than the corpus-wide model on domain d — the high-excess
+# domains are the ones the paper's loop upweights (hard-but-learnable
+# relative to the current mixture); near-zero excess means the corpus
+# model already covers the domain.
+#
+# Plan shape at 100 TB: ONE corpus explode-shuffle keyed
+# (domain, token) builds the specialist count relation; the generalist
+# counts, per-domain totals, and the discount/normalization rows all
+# derive from that vocabulary-bounded relation (map-side-combinable
+# aggregates — never a second corpus pass for counts); a light
+# column-pruned scan counts docs per domain. Scoring joins the
+# specialist relation to broadcast generalist counts + tiny totals.
+# Determinism: every cross-entropy contribution casts to
+# decimal(25,12) before summing (order-independent exactly), CE
+# rounds to 6 dp BEFORE the excess/exp so both engines exponentiate
+# identical doubles, each exp rounds to 12 dp before the k-row
+# normalization sum.
+# ---------------------------------------------------------------------------
+
+DOREMI_STEP = 1.0     # multiplicative-weights step (eta in the paper)
+DOREMI_SMOOTH = 0.001  # uniform-smoothing mass (c in the paper, their default)
+
+
+def doremi_weights(docs: DataFrame, domain_col: str = "source") -> DataFrame:
+    """(domain, n_docs, n_tokens, ce_generalist, ce_specialist, excess,
+    weight): one-step DoReMi domain weights over ``docs(domain, text)``.
+    Domains whose documents contain zero tokens carry no CE estimate
+    and drop (excess undefined)."""
+    from ..functions.text import tokenize
+
+    ex = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokenize(F.col("text"))).alias("token"),
+    )
+    # the ONE corpus shuffle; reuse barrier (the q_lm2_score idiom) —
+    # dt feeds the generalist derivation, the per-domain totals, and
+    # the scoring join, so the shared exchange runs the corpus
+    # tokenize+count once
+    dt = (
+        ex.groupBy("domain", "token")
+        .agg(F.count("*").alias("c_dt"))
+        .repartition(F.col("token"))
+    )
+    gfreq = dt.groupBy("token").agg(F.sum("c_dt").alias("cnt"))
+    gtot = gfreq.agg(F.sum("cnt").alias("T"), F.count("*").alias("V"))
+    dtot = dt.groupBy("domain").agg(
+        F.sum("c_dt").alias("T_d"), F.count("*").alias("V_d")
+    )
+    ndocs = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+    contrib = (
+        dt.join(F.broadcast(gfreq), "token")
+        .join(F.broadcast(dtot), "domain")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "domain",
+            (
+                F.col("c_dt")
+                * -F.log(
+                    (F.col("cnt") + F.lit(1)) / (F.col("T") + F.col("V"))
+                )
+            ).cast("decimal(25,12)").alias("cg"),
+            (
+                F.col("c_dt")
+                * -F.log(
+                    (F.col("c_dt") + F.lit(1))
+                    / (F.col("T_d") + F.col("V_d"))
+                )
+            ).cast("decimal(25,12)").alias("cs"),
+        )
+    )
+    ce = (
+        contrib.groupBy("domain")
+        .agg(
+            F.sum("cg").cast("double").alias("sg"),
+            F.sum("cs").cast("double").alias("ss"),
+        )
+        .join(F.broadcast(dtot), "domain")
+        .select(
+            "domain",
+            F.col("T_d").cast("long").alias("n_tokens"),
+            F.round(F.col("sg") / F.col("T_d"), 6).alias("ce_generalist"),
+            F.round(F.col("ss") / F.col("T_d"), 6).alias("ce_specialist"),
+        )
+    )
+    exd = ce.select(
+        "*",
+        F.greatest(
+            F.col("ce_generalist") - F.col("ce_specialist"), F.lit(0.0)
+        ).alias("excess"),
+    ).select(
+        "*",
+        F.round(F.exp(F.lit(DOREMI_STEP) * F.col("excess")), 12)
+        .cast("decimal(25,12)")
+        .alias("ew"),
+    )
+    norm = exd.agg(
+        F.sum("ew").alias("Z"), F.count("*").alias("k")
+    )
+    return (
+        exd.crossJoin(F.broadcast(norm))
+        .join(F.broadcast(ndocs), "domain")
+        .select(
+            "domain",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+            "ce_generalist",
+            "ce_specialist",
+            F.round(F.col("excess"), 6).alias("excess"),
+            # double/double division (NOT decimal/decimal — the two
+            # engines disagree on quotient scale); ew and Z are exact
+            # decimals so the double casts are deterministic
+            F.round(
+                F.lit(1.0 - DOREMI_SMOOTH)
+                * (F.col("ew").cast("double") / F.col("Z").cast("double"))
+                + F.lit(DOREMI_SMOOTH) / F.col("k"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step DoReMi domain weights over ``documents`` grouped by
+    ``source``. (REGISTERED in the round-8 second rotation, funded by
+    q_tpch_q14; DuckDB parity + independent-replay golden + mixture
+    invariants in tests/test_unregistered_ops.py.)"""
+    from ..sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return doremi_weights(docs, "source")
+
+
+def _doremi_oracle() -> str:
+    from ..functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+WITH ex AS (
+  SELECT source AS domain, unnest({toks}) AS token FROM documents
+),
+dt AS (SELECT domain, token, count(*) AS c_dt FROM ex GROUP BY 1, 2),
+gfreq AS (SELECT token, sum(c_dt) AS cnt FROM dt GROUP BY token),
+gtot AS (SELECT sum(cnt) AS T, count(*) AS V FROM gfreq),
+dtot AS (SELECT domain, sum(c_dt) AS T_d, count(*) AS V_d
+         FROM dt GROUP BY domain),
+ndocs AS (SELECT source AS domain, count(*) AS n_docs
+          FROM documents GROUP BY 1),
+contrib AS (
+  SELECT d.domain,
+         CAST(d.c_dt * -ln((g.cnt + 1) / CAST(t.T + t.V AS DOUBLE))
+              AS DECIMAL(25,12)) AS cg,
+         CAST(d.c_dt * -ln((d.c_dt + 1) / CAST(s.T_d + s.V_d AS DOUBLE))
+              AS DECIMAL(25,12)) AS cs
+  FROM dt d
+  JOIN gfreq g USING (token)
+  JOIN dtot s USING (domain)
+  CROSS JOIN gtot t
+),
+ce AS (
+  SELECT c.domain,
+         CAST(s.T_d AS BIGINT) AS n_tokens,
+         round(CAST(sum(c.cg) AS DOUBLE) / s.T_d, 6) AS ce_generalist,
+         round(CAST(sum(c.cs) AS DOUBLE) / s.T_d, 6) AS ce_specialist
+  FROM contrib c JOIN dtot s USING (domain)
+  GROUP BY c.domain, s.T_d
+),
+exd AS (
+  SELECT *,
+         greatest(ce_generalist - ce_specialist, 0.0) AS excess,
+         CAST(round(exp({DOREMI_STEP} * greatest(
+              ce_generalist - ce_specialist, 0.0)), 12)
+              AS DECIMAL(25,12)) AS ew
+  FROM ce
+),
+norm AS (SELECT sum(ew) AS Z, count(*) AS k FROM exd)
+SELECT e.domain,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       e.n_tokens,
+       e.ce_generalist,
+       e.ce_specialist,
+       round(e.excess, 6) AS excess,
+       round(CAST({1.0 - DOREMI_SMOOTH} AS DOUBLE)
+               * (CAST(e.ew AS DOUBLE) / CAST(norm.Z AS DOUBLE))
+             + CAST({DOREMI_SMOOTH} AS DOUBLE) / norm.k, 6) AS weight
+FROM exd e CROSS JOIN norm JOIN ndocs n ON e.domain = n.domain
+"""
+
+
+DOREMI_WEIGHTS_ORACLE = _doremi_oracle()
+
+# REGISTERED in the round-8 second rotation (slot funded by
+# q_tpch_q14; see registry.py / tests for the eviction's parity test)
+SAMPLING_QUERIES["q_doremi_weights"] = q_doremi_weights
+SAMPLING_ORACLES["q_doremi_weights"] = DOREMI_WEIGHTS_ORACLE

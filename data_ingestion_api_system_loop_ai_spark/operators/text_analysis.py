@@ -244,7 +244,6 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_QUERIES = {
-    "q_text_analysis": q_text_analysis,
     # q_token_count and q_lang_id are hash-checked INSIDE q_text_profile
     # (same expressions, one scan) and pinned by direct parity tests —
     # their slots fund q_tpch_q17 under the driver's 50-row cap.
@@ -252,6 +251,11 @@ TEXT_QUERIES = {
     # subplan is still hash-checked inside q_dedup_simhash every round,
     # and the full query keeps a direct DuckDB parity test
     # (tests/test_unregistered_ops.py) against DOC_FINGERPRINT_ORACLE.
+    # Round-8 second rotation: q_text_analysis funded q_kn_score — its
+    # per-group windowed top-k idiom stays hash-checked inside the
+    # registered q_analytic_funcs (same row_number-over-ordered-window
+    # shape) and the full query keeps the driver-grade parity test in
+    # tests/test_unregistered_ops.py.
     "q_text_profile": q_text_profile,
 }
 
@@ -260,7 +264,8 @@ _FR = "', '".join(STOPWORDS["fr"])
 _ES = "', '".join(STOPWORDS["es"])
 _DE = "', '".join(STOPWORDS["de"])
 
-TEXT_ORACLES = {
+UNREGISTERED_TEXT_QUERIES = {"q_text_analysis": q_text_analysis}
+UNREGISTERED_TEXT_ORACLES = {
     "q_text_analysis": _SQL_TOKS
     + """
 , counts AS (
@@ -272,6 +277,9 @@ SELECT lang, token, n, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM agg
 ) WHERE rnk <= 10
 """,
+}
+
+TEXT_ORACLES = {
     "q_text_profile": _SQL_TOKS
     + f"""
 , scored AS (

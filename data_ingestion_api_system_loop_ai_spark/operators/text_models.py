@@ -187,6 +187,29 @@ def q_lm2_score_from_model(
     return lm2_scores(docs, bg, cx, v)
 
 
+def q_kn_score_from_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """``q_kn_score`` against the persisted bigram relation. The
+    Kneser-Ney smoothing statistics (left marginals + distinct-successor
+    counts, continuation counts, the 1-row Ney discount) all DERIVE
+    from the stored (x, y, c_xy) table — vocabulary-bounded aggregates,
+    never a corpus pass — so the model store needs no new family and
+    the scoring tree is the same code as inline: bit-identical results
+    (stored counts are exact longs)."""
+    from .lm_score import kn_scores, kn_statistics
+
+    _require(model_path)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same reuse barrier as the inline form: bg feeds the scoring join
+    # plus three statistic aggregates
+    bg = spark.read.parquet(os.path.join(model_path, "bigram")).repartition(
+        F.col("x")
+    )
+    cx, cont, disc = kn_statistics(bg)
+    return kn_scores(docs, bg, cx, cont, disc)
+
+
 def q_bm25_rank_from_model(
     spark: SparkSession,
     sf_dir: str,

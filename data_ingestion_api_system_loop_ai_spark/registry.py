@@ -46,6 +46,14 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     # funded by q_dedup_spans, whose winner-take-first idiom stays
     # hash-checked inside q_dedup_exact).
     (".operators.dsir", "DSIR_QUERIES", "DSIR_ORACLES"),
+    # Round-8 second rotation: interpolated Kneser-Ney bigram LM (slot
+    # funded by q_text_analysis, whose windowed top-k idiom stays
+    # hash-checked inside the registered q_analytic_funcs);
+    # q_doremi_weights rides the sampling dicts (slot funded by
+    # q_tpch_q14, whose join+conditional-agg shape stays hash-checked
+    # by the registered q3/q5/q17). Both evictions keep driver-grade
+    # parity tests.
+    (".operators.lm_score", "LM_QUERIES", "LM_ORACLES"),
     (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
     (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
 ]
