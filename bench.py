@@ -183,6 +183,8 @@ HEADLINE = [
     "q_doremi_weights",
     # CCNet per-language head/middle/tail perplexity terciles
     "q_ccnet_buckets",
+    # BPE fertility / chars-per-token audit (train + encode + agg)
+    "q_tokenizer_fertility",
 ]
 
 
@@ -234,6 +236,9 @@ def _extra_queries():
         q_cohort_retention,
         q_event_transitions,
         q_funnel,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.bpe import (
+        q_tokenizer_fertility,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
         q_kmeans,
@@ -444,6 +449,8 @@ def _extra_queries():
         "q_tpch_q14": UNREGISTERED_RELATIONAL_EXT_QUERIES["q_tpch_q14"],
         # CCNet per-lang perplexity terciles (unregistered, new r8)
         "q_ccnet_buckets": q_ccnet_buckets,
+        # tokenizer fertility audit (unregistered, new r8)
+        "q_tokenizer_fertility": q_tokenizer_fertility,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

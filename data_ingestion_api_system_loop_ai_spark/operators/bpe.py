@@ -265,3 +265,76 @@ def q_bpe_encode_from_model(
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         "bpe_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit (Rust et al. 2021, "How Good is Your
+# Tokenizer? On the Monolingual Performance of Multilingual Language
+# Models", ACL — the fertility metric: mean subwords per word; plus the
+# chars-per-token compression the tokenizer papers report). A training
+# pipeline sizes vocabularies and diagnoses per-language tokenizer
+# damage with exactly these two numbers: fertility near 1 means words
+# survive whole, high fertility means the language is being shredded
+# into characters (under-represented scripts), low chars-per-token
+# means poor compression (more sequence positions per byte of text).
+#
+# Everything derives from the ENCODED token array alone: the </w>
+# end-of-word marker makes word boundaries recoverable, so
+#   n_words    = count of subwords carrying the marker
+#   n_subwords = array size
+#   n_chars    = total subword chars minus the markers
+# — one map-only projection over the encode fold (itself shuffle-free),
+# then a lang-keyed map-side-combinable sum. Integer sums; the two
+# ratios are long/long double divisions rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(lang, n_docs, n_words, n_subwords, fertility, chars_per_token)
+    over ``docs(doc_id, lang, text)`` for a given merge list."""
+    enc = bpe_encode(docs, merges)
+    eow_len = len(EOW)
+    per_doc = enc.select(
+        "lang",
+        F.size("bpe_tokens").cast("long").alias("n_sub"),
+        F.size(
+            F.filter(F.col("bpe_tokens"), lambda t: t.endswith(EOW))
+        ).cast("long").alias("n_w"),
+        F.aggregate(
+            F.transform(
+                F.col("bpe_tokens"),
+                lambda t: F.length(t)
+                - F.when(t.endswith(EOW), F.lit(eow_len)).otherwise(0),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_c"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_w").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.sum("n_c").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("n_chars") / F.col("n_subwords"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus BPE inline, then the per-language fertility /
+    compression audit. (Unregistered, NON-SQL-EXPRESSIBLE — the merge
+    loop has no fixed SQL depth; direct test replays the whole metric
+    against the independent pure-Python BPE on the identical corpus.)"""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    merges, _words = bpe_train(docs.select("text"))
+    return tokenizer_fertility(docs, merges)

@@ -4385,3 +4385,177 @@ def test_round8_second_rotation_evicted_slots_stay_oracle_exact(
         compare(qs[which](spark, sf_dir), con, os_[which])
     finally:
         con.close()
+
+
+def test_secret_scan_parity_and_replay(spark, sf_dir):
+    """Carlini-style secret/credential scan: constructed-data DuckDB
+    parity (the synthetic corpus has no long mixed-class runs — same
+    contract as redact_pii), an INDEPENDENT pure-python entropy/df
+    replay, and the semantics fixtures: a high-entropy unique key is
+    flagged, a repeated config hash is secret-shaped but NOT unique,
+    and a low-entropy run is not secret-shaped."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from data_ingestion_api_system_loop_ai_spark.operators import redaction as rd
+
+    key = "sk-9fQ2xY7wLpZ4VbN8"          # unique high-entropy secret
+    cfg = "deadbeefdeadbeefdead"         # repeated low-entropy hex run
+    shared = "A1b2C3d4E5f6G7h8J9"        # high-entropy but in two docs
+    low = "aaaaaaaaaaaaaaaaaaaa"         # single-class, near-zero entropy
+    docs = [
+        (1, f"prod credentials: {key} do not commit"),
+        (2, f"config digest {cfg} pinned, token {shared} issued"),
+        (3, f"rotated token {shared} revoked; filler {low} run"),
+        (4, "plain prose with no runs at all"),
+    ]
+
+    # independent replay
+    def ent(s):
+        c = Counter(s)
+        return round(
+            sum(-(k / len(s)) * math.log(k / len(s)) for _, k in sorted(c.items()))
+            / math.log(2.0),
+            6,
+        )
+
+    pat = re.compile(rd.SECRET_RUN_RE)
+    sym = re.compile(rd._SYM_CLASS_RE)
+    cands = {d: pat.findall(t) for d, t in docs}
+    def classes(s):
+        return sum(
+            1 for rx in (r"[a-z]", r"[A-Z]", r"[0-9]") if re.search(rx, s)
+        ) + (1 if sym.search(s) else 0)
+    flagged = {
+        d: [
+            (s, ent(s), ent(s) >= rd.SECRET_ENTROPY_MIN and classes(s) >= 2)
+            for s in ss
+        ]
+        for d, ss in cands.items()
+    }
+    dfreq: Counter = Counter()
+    for d, fl in flagged.items():
+        for s in {s for s, _, sec in fl if sec}:
+            dfreq[s] += 1
+    expect = {}
+    for d, fl in flagged.items():
+        if not fl:
+            continue
+        expect[d] = (
+            len(fl),
+            sum(1 for _, _, sec in fl if sec),
+            len({s for s, _, sec in fl if sec and dfreq[s] == 1}),
+            max(h for _, h, _ in fl),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in rd.secret_scan(df).collect()}
+    assert set(got) == set(expect)
+    for d, (nc, ns, nu, mh) in expect.items():
+        r = got[d]
+        assert (
+            r["n_candidates"],
+            r["n_secret_like"],
+            r["n_unique_secrets"],
+        ) == (nc, ns, nu), d
+        assert abs(r["max_entropy"] - mh) < 1e-9, d
+
+    # semantics fixtures
+    assert got[1]["n_unique_secrets"] == 1          # the key is a leak
+    assert got[2]["n_secret_like"] >= 1             # shared token flagged...
+    assert got[2]["n_unique_secrets"] == 0          # ...but not unique
+    assert got[3]["n_unique_secrets"] == 0
+    assert 4 not in got                             # prose-only doc drops
+
+    # DuckDB parity on the constructed relation
+    con = duckdb.connect()
+    try:
+        con.register(
+            "secret_docs",
+            __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]),
+        )
+        from .oracle_utils import compare
+
+        compare(rd.secret_scan(df), con, rd.sql_secret_scan("secret_docs"))
+    finally:
+        con.close()
+
+
+def test_tokenizer_fertility_matches_python_replay(spark, sf_dir):
+    """Tokenizer fertility / chars-per-token audit (Rust et al. 2021):
+    full-metric replay against the independent pure-Python BPE on the
+    identical corpus — train, encode, and the per-language aggregation
+    all recomputed without the engine's code."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import bpe
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    rows = docs.collect()
+
+    # independent replay: train via _py_bpe_reference on the same word
+    # counts, then greedy-encode each doc and aggregate per lang
+    wc: dict = {}
+    tok = _re.compile(r"[a-z0-9]+")
+    for r in rows:
+        for w in tok.findall(r["text"].lower()):
+            wc[w] = wc.get(w, 0) + 1
+    merges_ref, _ = _py_bpe_reference(wc, bpe.BPE_MERGES)
+
+    def encode_word(w):
+        syms = list(w[:-1]) + [w[-1] + bpe.EOW]
+        for left, right, _ in merges_ref:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    agg: dict = {}
+    for r in rows:
+        subs = [
+            s for w in tok.findall(r["text"].lower()) for s in encode_word(w)
+        ]
+        a = agg.setdefault(r["lang"], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += sum(1 for s in subs if s.endswith(bpe.EOW))
+        a[2] += len(subs)
+        a[3] += sum(
+            len(s) - (len(bpe.EOW) if s.endswith(bpe.EOW) else 0)
+            for s in subs
+        )
+    expect = {
+        lang: (
+            n_docs,
+            n_words,
+            n_sub,
+            round(n_sub / n_words, 6),
+            round(n_chars / n_sub, 6),
+        )
+        for lang, (n_docs, n_words, n_sub, n_chars) in agg.items()
+    }
+
+    got = {
+        r["lang"]: r for r in bpe.q_tokenizer_fertility(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for lang, (nd, nw, ns, fert, cpt) in expect.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_subwords"]) == (nd, nw, ns)
+        assert abs(r["fertility"] - fert) < 1e-9, lang
+        assert abs(r["chars_per_token"] - cpt) < 1e-9, lang
+        # sanity: merges compress — fertility strictly below the
+        # character-level ceiling, and at least 1 subword per word
+        assert 1.0 <= r["fertility"], lang
+        assert r["chars_per_token"] >= 1.0, lang
