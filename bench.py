@@ -185,6 +185,8 @@ HEADLINE = [
     "q_ccnet_buckets",
     # BPE fertility / chars-per-token audit (train + encode + agg)
     "q_tokenizer_fertility",
+    # SAX-bucketed time-series correlation top-k over events
+    "q_ts_similarity",
 ]
 
 
@@ -451,6 +453,8 @@ def _extra_queries():
         "q_ccnet_buckets": q_ccnet_buckets,
         # tokenizer fertility audit (unregistered, new r8)
         "q_tokenizer_fertility": q_tokenizer_fertility,
+        # SAX-bucketed TS correlation search (unregistered, new r8)
+        "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -624,3 +624,247 @@ JOIN hist h ON p.user_id = h.user_id
  AND h.valid_from <= p.p_ts
  AND (h.valid_to IS NULL OR p.p_ts < h.valid_to)
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search over the events stream — the PAPERS.md
+# family (EDBT 2019 streaming TS similarity; REPOSE ICDE 2021 indexed
+# top-k) in relational form: which users' daily activity curves move
+# together? The published scale recipe is index-then-verify; the index
+# here is SAX (Lin et al. 2003, "A Symbolic Representation of Time
+# Series"): each user's daily-sum series reduces to S=8 PAA segment
+# means, each quantized to one bit (above/below the user's own mean),
+# and only users sharing the 8-bit SAX word are verified exactly —
+# Pearson correlation over their OVERLAPPING days (the sparse-series
+# convention), with a minimum-overlap floor and the corr denominator
+# guarding constant series.
+#
+# Plan shape at 100 TB: one (user, day) map-side-combinable sum builds
+# the series; user stats / segment means / SAX words all derive from
+# that relation (reuse-barrier repartition on user_id -> ReuseExchange
+# runs the events aggregation once); candidates come from a bucket
+# self-join on the SAX word with a deterministic per-bucket member cap
+# (rank by user_id — the LSH_BUCKET_CAP discipline: a mega-bucket is
+# degenerate seasonality, not signal); verification joins the two
+# series on day for candidate pairs only (bounded by cap^2 per word *
+# overlap days). The final per-user top-k window runs over <= cap
+# candidates per user — small by construction, no two-phase rank
+# needed.
+#
+# Determinism: day sums and all pair statistics go through
+# decimal(25,12) (order-independent exactly); segment/global bounds are
+# integer arithmetic (div, not float floor); the correlation is a
+# handful of double ops on identical inputs, rounded 6 dp; ties rank by
+# user_b.
+# ---------------------------------------------------------------------------
+
+TS_SAX_SEGMENTS = 8
+TS_MIN_OVERLAP = 3
+TS_TOPK = 5
+TS_BUCKET_CAP = 64
+
+
+def ts_user_series(events: DataFrame) -> DataFrame:
+    """(user_id, day, x): per-user daily value sums (decimal-summed,
+    emitted as double)."""
+    return (
+        events.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+
+
+def ts_similarity(events: DataFrame) -> DataFrame:
+    """(user_a, user_b, n_overlap, corr, sim_rank) — top-k most
+    correlated SAX-cobucketed user pairs (user_a < user_b; ranked per
+    user_a by corr DESC, user_b)."""
+    s = ts_user_series(events).repartition(F.col("user_id"))
+
+    bounds = s.agg(
+        F.min("day").alias("d0"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+    )
+    si = s.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "day",
+        "x",
+        F.expr(
+            f"(datediff(day, d0) * {TS_SAX_SEGMENTS}) div span"
+        ).alias("seg"),
+    )
+    ustats = si.groupBy("user_id").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+            / F.count("*")
+        ).alias("umean")
+    )
+    segs = (
+        si.groupBy("user_id", "seg")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                / F.count("*")
+            ).alias("smean")
+        )
+        .join(ustats, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("smean") > F.col("umean"),
+                    F.expr("CAST(pow(2, seg) AS BIGINT)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sax")
+        )
+    )
+    # deterministic member cap per SAX word
+    capped = (
+        segs.withColumn(
+            "_mrn",
+            F.row_number().over(
+                W.partitionBy("sax").orderBy("user_id")
+            ),
+        )
+        .filter(F.col("_mrn") <= TS_BUCKET_CAP)
+        .drop("_mrn")
+    )
+    cand = (
+        capped.alias("l")
+        .join(capped.alias("r"), "sax")
+        .filter(F.col("l.user_id") < F.col("r.user_id"))
+        .select(
+            F.col("l.user_id").alias("ua"), F.col("r.user_id").alias("ub")
+        )
+    )
+    sa = s.select(
+        F.col("user_id").alias("ua"), "day", F.col("x").alias("xa")
+    )
+    sb = s.select(
+        F.col("user_id").alias("ub"), "day", F.col("x").alias("xb")
+    )
+    pair_days = cand.join(sa, "ua").join(sb, ["ub", "day"])
+    dec = lambda c: c.cast("decimal(25,12)")
+    stats = pair_days.groupBy("ua", "ub").agg(
+        F.count("*").cast("long").alias("n_overlap"),
+        F.sum(dec(F.col("xa"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("xb"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("xa") * F.col("xb"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("xa") * F.col("xa"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("xb") * F.col("xb"))).cast("double").alias("syy"),
+    )
+    num = F.col("n_overlap") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_overlap") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_overlap") * F.col("syy") - F.col("sy") * F.col("sy")
+    scored = (
+        stats.filter(F.col("n_overlap") >= TS_MIN_OVERLAP)
+        .withColumn("_den2", vx * vy)
+        .filter(F.col("_den2") > 0)
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "n_overlap",
+            F.round(num / F.sqrt(F.col("_den2")), 6).alias("corr"),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(F.col("corr").desc(), F.col("user_b"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= TS_TOPK)
+    )
+
+
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-bucketed top-k correlated user pairs over ``events``.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    independent replay + constructed-seasonality fixtures in
+    tests/test_unregistered_ops.py.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ts_similarity(ev)
+
+
+TS_SIMILARITY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(day) AS d0,
+         datediff('day', min(day), max(day)) + 1 AS span
+  FROM s
+),
+si AS (
+  SELECT user_id, day, x,
+         (datediff('day', d0, day) * {TS_SAX_SEGMENTS}) // span AS seg
+  FROM s CROSS JOIN bounds
+),
+ustats AS (
+  SELECT user_id,
+         CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS umean
+  FROM si GROUP BY user_id
+),
+smeans AS (
+  SELECT user_id, seg,
+         CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS smean
+  FROM si GROUP BY user_id, seg
+),
+sax AS (
+  SELECT m.user_id,
+         sum(CASE WHEN m.smean > u.umean
+                  THEN CAST(pow(2, m.seg) AS BIGINT) ELSE 0 END) AS sax
+  FROM smeans m JOIN ustats u USING (user_id)
+  GROUP BY m.user_id
+),
+capped AS (
+  SELECT user_id, sax FROM (
+    SELECT *, row_number() OVER (PARTITION BY sax ORDER BY user_id) AS mrn
+    FROM sax
+  ) WHERE mrn <= {TS_BUCKET_CAP}
+),
+cand AS (
+  SELECT l.user_id AS ua, r.user_id AS ub
+  FROM capped l JOIN capped r USING (sax)
+  WHERE l.user_id < r.user_id
+),
+pair_days AS (
+  SELECT c.ua, c.ub, a.day, a.x AS xa, b.x AS xb
+  FROM cand c
+  JOIN s a ON a.user_id = c.ua
+  JOIN s b ON b.user_id = c.ub AND b.day = a.day
+),
+stats AS (
+  SELECT ua, ub,
+         CAST(count(*) AS BIGINT) AS n_overlap,
+         CAST(sum(CAST(xa AS DECIMAL(25,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(xb AS DECIMAL(25,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xa * xb AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(xa * xa AS DECIMAL(25,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(xb * xb AS DECIMAL(25,12))) AS DOUBLE) AS syy
+  FROM pair_days GROUP BY ua, ub
+),
+scored AS (
+  SELECT ua AS user_a, ub AS user_b, n_overlap,
+         round((n_overlap * sxy - sx * sy)
+               / sqrt((n_overlap * sxx - sx * sx)
+                      * (n_overlap * syy - sy * sy)), 6) AS corr
+  FROM stats
+  WHERE n_overlap >= {TS_MIN_OVERLAP}
+    AND (n_overlap * sxx - sx * sx) * (n_overlap * syy - sy * sy) > 0
+)
+SELECT user_a, user_b, n_overlap, corr,
+       CAST(sim_rank AS BIGINT) AS sim_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_a ORDER BY corr DESC, user_b
+  ) AS sim_rank
+  FROM scored
+) WHERE sim_rank <= {TS_TOPK}
+"""
+
+UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"] = q_ts_similarity
+UNREGISTERED_TIMESERIES_ORACLES["q_ts_similarity"] = TS_SIMILARITY_ORACLE

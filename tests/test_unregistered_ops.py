@@ -4559,3 +4559,99 @@ def test_tokenizer_fertility_matches_python_replay(spark, sf_dir):
         # character-level ceiling, and at least 1 subword per word
         assert 1.0 <= r["fertility"], lang
         assert r["chars_per_token"] >= 1.0, lang
+
+
+def test_ts_similarity_oracle_exact_and_replay(spark, sf_dir):
+    """SAX-bucketed time-series similarity (Lin et al. 2003 SAX index +
+    exact Pearson verify): DuckDB parity over events, plus an
+    INDEPENDENT pure-python replay on constructed seasonality — two
+    in-phase users co-bucket and correlate ~+1, the anti-phase user
+    lands in a different SAX word (never verified against them), and a
+    sparse user below the overlap floor never appears."""
+    import datetime as _dt
+    import math
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        timeseries as tsm,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            tsm.q_ts_similarity(spark, sf_dir), con, tsm.TS_SIMILARITY_ORACLE
+        )
+    finally:
+        con.close()
+
+    # constructed corpus: 32 days; users 1/2 rise together (u2 = scaled
+    # + shifted u1 -> corr exactly 1 on shared days), user 3 is
+    # anti-phase (falls while they rise), user 4 has 2 days only
+    base = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d in range(32):
+        ts = base + _dt.timedelta(days=d)
+        rows.append((eid, ts, 1, "e", float(10 + d))); eid += 1
+        rows.append((eid, ts, 2, "e", float(100 + 3 * d))); eid += 1
+        rows.append((eid, ts, 3, "e", float(200 - 5 * d))); eid += 1
+    rows.append((eid, base, 4, "e", 1.0)); eid += 1
+    rows.append((eid, base + _dt.timedelta(days=1), 4, "e", 2.0)); eid += 1
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = tsm.ts_similarity(df.select("user_id", "ts", "value")).collect()
+
+    # independent replay
+    series = {}
+    for _, ts, u, _e, v in rows:
+        series.setdefault(u, {})[ts.date()] = (
+            series.get(u, {}).get(ts.date(), 0.0) + v
+        )
+    d0 = min(d for s in series.values() for d in s)
+    span = (max(d for s in series.values() for d in s) - d0).days + 1
+    sax = {}
+    for u, s in series.items():
+        umean = sum(s.values()) / len(s)
+        segsum: dict = {}
+        for d, x in s.items():
+            g = ((d - d0).days * tsm.TS_SAX_SEGMENTS) // span
+            segsum.setdefault(g, []).append(x)
+        sax[u] = sum(
+            (1 << g) for g, xs in segsum.items()
+            if sum(xs) / len(xs) > umean
+        )
+    def corr(u, v):
+        days = sorted(set(series[u]) & set(series[v]))
+        n = len(days)
+        xs = [series[u][d] for d in days]; ys = [series[v][d] for d in days]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs); syy = sum(b * b for b in ys)
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if n < tsm.TS_MIN_OVERLAP or den2 <= 0:
+            return None
+        return (n * sxy - sx * sy) / math.sqrt(den2), n
+
+    expect = {}
+    for u in series:
+        for v in series:
+            if u < v and sax[u] == sax[v]:
+                c = corr(u, v)
+                if c:
+                    expect[(u, v)] = c
+
+    got_pairs = {(r["user_a"], r["user_b"]): r for r in got}
+    assert set(got_pairs) == set(expect)
+    for (u, v), (c, n) in expect.items():
+        r = got_pairs[(u, v)]
+        assert r["n_overlap"] == n
+        assert abs(r["corr"] - c) < 1e-6, (u, v)
+
+    # semantics: 1-2 co-bucket at corr 1; the anti-phase user is in a
+    # different SAX word and never verified; the sparse user is absent
+    assert sax[1] == sax[2] != sax[3]
+    assert (1, 2) in got_pairs and abs(got_pairs[(1, 2)]["corr"] - 1.0) < 1e-9
+    assert all(3 not in p and 4 not in p for p in got_pairs)
