@@ -187,6 +187,8 @@ HEADLINE = [
     "q_tokenizer_fertility",
     # SAX-bucketed time-series correlation top-k over events
     "q_ts_similarity",
+    # fuzzy (MinHash-bipartite) train/eval decontamination
+    "q_decontaminate_fuzzy",
 ]
 
 
@@ -241,6 +243,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.bpe import (
         q_tokenizer_fertility,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.contamination import (
+        UNREGISTERED_CONTAMINATION_QUERIES,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
         q_kmeans,
@@ -455,6 +460,10 @@ def _extra_queries():
         "q_tokenizer_fertility": q_tokenizer_fertility,
         # SAX-bucketed TS correlation search (unregistered, new r8)
         "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
+        # fuzzy bipartite decontamination (unregistered, new r8)
+        "q_decontaminate_fuzzy": UNREGISTERED_CONTAMINATION_QUERIES[
+            "q_decontaminate_fuzzy"
+        ],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -194,3 +194,130 @@ FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
 CONTAMINATION_QUERIES = {
     "q_decontaminate": q_decontaminate,
 }
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination — the MinHash complement to the exact
+# n-gram overlap above (the Llama-3-report-style fuzzy dedup applied
+# across the train/eval boundary; same family as GPT-3's appendix-C
+# dedup-based decontamination): an eval document paraphrased or
+# partially rewritten into the training set shares few exact K-grams
+# but a high shingle-Jaccard. Bipartite MinHash-LSH:
+#
+# - both sides band with the SAME deterministic 16-hash/8-band scheme
+#   as q_dedup_minhash_banded (so the oracle replicates the candidate
+#   set exactly);
+# - the eval side is a benchmark suite — small against a 100 TB corpus
+#   — so its band relation AND its shingle sets are BROADCAST: the
+#   training corpus is never shuffled, candidates come from a map-side
+#   band join and verification is an in-row array_intersect against
+#   the broadcast eval shingle sets (no per-pair shuffle at all, unlike
+#   the self-join dedup which must co-locate both sides);
+# - exact Jaccard >= the dedup family's threshold confirms; per
+#   training doc: how many eval docs it fuzzily matches and the worst
+#   (max) Jaccard.
+#
+# No bucket cap is needed: every candidate row pairs one training doc
+# with one eval doc, so a degenerate boilerplate band costs at most
+# n_eval pairings per training doc — linear, not quadratic.
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_eval_matches, max_jaccard) for every TRAINING doc
+    whose shingle-Jaccard against some eval doc clears the dedup
+    threshold. (Unregistered — 50-slot cap; driver-grade DuckDB parity
+    + planted-paraphrase fixture in tests/test_unregistered_ops.py.)"""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _banded_keys,
+        _shingle_sets,
+    )
+
+    ss = _shingle_sets(spark, sf_dir)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    sst = ss.filter(~is_eval)
+    sse = ss.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), F.col("ss").alias("ess")
+    )
+    bt = _banded_keys(sst)
+    be = _banded_keys(
+        sse.select(F.col("eval_id").alias("doc_id"), F.col("ess").alias("ss"))
+    ).select(F.col("doc_id").alias("eval_id"), "band", "key")
+    cand = (
+        bt.join(F.broadcast(be), ["band", "key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    pairs = cand.join(sst, "doc_id").join(F.broadcast(sse), "eval_id")
+    common = F.size(F.array_intersect(F.col("ss"), F.col("ess")))
+    union = F.size("ss") + F.size("ess") - common
+    jac = F.round(common * F.lit(1.0) / union, 6)
+    flagged = pairs.select(
+        "doc_id", "eval_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _MINHASH_BANDS_SQL,
+        _MINHASH_MINS,
+        _SHINGLE_CTE,
+    )
+
+    return (
+        _SHINGLE_CTE
+        + f"""
+, mh AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {_MINHASH_BANDS_SQL}
+),
+bt AS (SELECT * FROM banded WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+be AS (SELECT doc_id AS eval_id, band, key FROM banded
+       WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+cand AS (
+  SELECT DISTINCT bt.doc_id, be.eval_id
+  FROM bt JOIN be USING (band, key)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_id, c.eval_id, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.eval_id AND b.s = a.s
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT c.doc_id, c.eval_id,
+         round(c.common * 1.0 / (st.n + se.n - c.common), 6) AS jaccard
+  FROM common c
+  JOIN sizes st ON c.doc_id = st.doc_id
+  JOIN sizes se ON c.eval_id = se.doc_id
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(jaccard) AS max_jaccard
+FROM flagged
+WHERE jaccard >= {JACCARD_THRESHOLD}
+GROUP BY doc_id
+"""
+    )
+
+
+DECONTAMINATE_FUZZY_ORACLE = _fuzzy_oracle()
+
+UNREGISTERED_CONTAMINATION_QUERIES = {
+    "q_decontaminate_fuzzy": q_decontaminate_fuzzy,
+}
+UNREGISTERED_CONTAMINATION_ORACLES = {
+    "q_decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
+}

@@ -4655,3 +4655,51 @@ def test_ts_similarity_oracle_exact_and_replay(spark, sf_dir):
     assert sax[1] == sax[2] != sax[3]
     assert (1, 2) in got_pairs and abs(got_pairs[(1, 2)]["corr"] - 1.0) < 1e-9
     assert all(3 not in p and 4 not in p for p in got_pairs)
+
+
+def test_decontaminate_fuzzy_oracle_exact_and_planted(spark, sf_dir):
+    """Fuzzy (MinHash-bipartite) decontamination: DuckDB parity over
+    documents — the banded candidate generation AND the exact-Jaccard
+    verify replicate engine-for-engine — plus a planted-paraphrase
+    fixture: a training doc that copies an eval doc with a few token
+    edits (high Jaccard, not byte-identical) is flagged against that
+    eval doc; an unrelated doc is not."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        contamination as ct,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            ct.q_decontaminate_fuzzy(spark, sf_dir),
+            con,
+            ct.DECONTAMINATE_FUZZY_ORACLE,
+        )
+    finally:
+        con.close()
+
+    words = [f"tok{i}" for i in range(60)]
+    eval_text = " ".join(words)                      # doc 7 = eval slot
+    near = " ".join(words[:55] + ["edit1", "edit2", "edit3", "edit4", "edit5"])
+    unrelated = " ".join(f"zzz{i}" for i in range(60))
+    docs = [
+        (ct.EVAL_REM, eval_text),        # eval doc (id % 20 == EVAL_REM)
+        (1, near),                       # planted paraphrase (train)
+        (2, unrelated),                  # unrelated train doc
+    ]
+    with _tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            _os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["doc_id"]: r
+            for r in ct.q_decontaminate_fuzzy(spark, tmp).collect()
+        }
+    assert 1 in got and got[1]["n_eval_matches"] == 1
+    assert got[1]["max_jaccard"] >= 0.5
+    assert 2 not in got
