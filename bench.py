@@ -183,8 +183,10 @@ HEADLINE = [
     "q_doremi_weights",
     # CCNet per-language head/middle/tail perplexity terciles
     "q_ccnet_buckets",
-    # BPE fertility / chars-per-token audit (train + encode + agg)
+    # BPE fertility / chars-per-token audit: inline (trains the
+    # tokenizer inside the query) vs the frozen-model probe
     "q_tokenizer_fertility",
+    "q_tokenizer_fertility_model",
     # SAX-bucketed time-series correlation top-k over events
     "q_ts_similarity",
     # fuzzy (MinHash-bipartite) train/eval decontamination
@@ -396,6 +398,22 @@ def _extra_queries():
             km_built[sf_dir] = p
         return sdd.q_semdedup_from_model(spark, sf_dir, km_built[sf_dir])
 
+    bpe_built: dict = {}
+
+    def _fertility_from_model(spark, sf_dir):
+        # build-once discipline for the frozen BPE model
+        import data_ingestion_api_system_loop_ai_spark.operators.bpe as _bpe
+
+        if sf_dir not in bpe_built:
+            p = os.path.join(
+                ix_root, "bpe_" + os.path.basename(sf_dir.rstrip("/"))
+            )
+            _bpe.build_bpe_model(spark, sf_dir, p)
+            bpe_built[sf_dir] = p
+        return _bpe.q_tokenizer_fertility_from_model(
+            spark, sf_dir, bpe_built[sf_dir]
+        )
+
     curated_built: dict = {}
 
     def _curated_funnel_models(spark, sf_dir):
@@ -456,8 +474,11 @@ def _extra_queries():
         "q_tpch_q14": UNREGISTERED_RELATIONAL_EXT_QUERIES["q_tpch_q14"],
         # CCNet per-lang perplexity terciles (unregistered, new r8)
         "q_ccnet_buckets": q_ccnet_buckets,
-        # tokenizer fertility audit (unregistered, new r8)
+        # tokenizer fertility audit (unregistered, new r8): inline +
+        # frozen-BPE probe (model built once per sf_dir in the builds
+        # pass, like the other from-model entries)
         "q_tokenizer_fertility": q_tokenizer_fertility,
+        "q_tokenizer_fertility_model": _fertility_from_model,
         # SAX-bucketed TS correlation search (unregistered, new r8)
         "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
         # fuzzy bipartite decontamination (unregistered, new r8)

@@ -88,7 +88,11 @@ def lm_scores(
     expression is the same tree, so from-model results are bit-identical
     to train-inside results (pinned by test)."""
     if freq is None:
-        freq = unigram_counts(docs)
+        # lazy checkpoint: trained-inline freq has two consumers (the
+        # scoring broadcast join and the (T, V) totals) whose column
+        # pruning differs below any shared exchange — materialize the
+        # Zipf-bounded relation once instead of two corpus explodes
+        freq = unigram_counts(docs).localCheckpoint(eager=False)
     if totals is None:
         totals = unigram_totals(freq)
 
@@ -228,13 +232,24 @@ def q_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .collocations import bigram_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # REUSE BARRIER (the _shingle_sets idiom): the trained bigram
-    # relation has three consumers (the scoring join, the c_x
-    # marginals, the vocabulary count) — without a shared exchange each
-    # would re-run the corpus tokenize+pair aggregation; the
-    # repartition makes the three subtrees identical up to the
-    # exchange, which ReuseExchange collapses to one execution
-    bg = bigram_counts(docs.select("text")).repartition(F.col("x"))
+    # LAZY CHECKPOINT BARRIER (the dsir _bucketed_tfs idiom, which
+    # REPLACED the repartition-only barrier here in round 8): the
+    # trained bigram relation has three consumers (the scoring join,
+    # the c_x marginals, the vocabulary count). A bare repartition
+    # never actually collapses them — ColumnPruning pushes a DIFFERENT
+    # Project below each consumer's exchange (the join keeps (x,y,c_xy),
+    # the marginals keep (x,c_xy), the vocab keeps (y)), so the
+    # canonicalized subtrees differ and ReuseExchange/AQE stage reuse
+    # both decline: measured 3 separate corpus pair-aggregations (zero
+    # reused query stages). The lazy localCheckpoint materializes the
+    # vocabulary-bounded relation ONCE and every consumer reads the
+    # cached blocks — at 100 TB that is one corpus pass instead of
+    # three, for a bigram-bounded materialization.
+    bg = (
+        bigram_counts(docs.select("text"))
+        .repartition(F.col("x"))
+        .localCheckpoint(eager=False)
+    )
     return lm2_scores(docs, bg, bigram_marginals(bg), bigram_vocab(bg))
 
 
@@ -435,12 +450,15 @@ def q_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .collocations import bigram_counts
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # reuse barrier (the q_lm2_score idiom): the trained bigram relation
-    # has FOUR consumers here — the scoring join, cx, cont, and the
-    # 1-row discount — so the repartition makes the subtrees identical
-    # up to the exchange and ReuseExchange runs the corpus
-    # tokenize+pair aggregation once.
-    bg = bigram_counts(docs.select("text")).repartition(F.col("x"))
+    # lazy checkpoint barrier (see q_lm2_score): FOUR consumers — the
+    # scoring join, cx, cont, the 1-row discount — each with different
+    # column pruning below the exchange, so only a materialization
+    # actually runs the corpus tokenize+pair aggregation once.
+    bg = (
+        bigram_counts(docs.select("text"))
+        .repartition(F.col("x"))
+        .localCheckpoint(eager=False)
+    )
     cx, cont, disc = kn_statistics(bg)
     return kn_scores(docs, bg, cx, cont, disc)
 

@@ -780,14 +780,17 @@ def doremi_weights(docs: DataFrame, domain_col: str = "source") -> DataFrame:
         F.col(domain_col).alias("domain"),
         F.explode(tokenize(F.col("text"))).alias("token"),
     )
-    # the ONE corpus shuffle; reuse barrier (the q_lm2_score idiom) —
-    # dt feeds the generalist derivation, the per-domain totals, and
-    # the scoring join, so the shared exchange runs the corpus
-    # tokenize+count once
+    # the ONE corpus shuffle; LAZY CHECKPOINT barrier (the dsir idiom —
+    # a bare repartition would NOT be reused: each of dt's three
+    # consumers — the generalist derivation, the per-domain totals, the
+    # scoring join — prunes different columns below the exchange, so
+    # the subtrees never canonicalize equal). Materializing the
+    # vocabulary-bounded relation once keeps this a single corpus pass.
     dt = (
         ex.groupBy("domain", "token")
         .agg(F.count("*").alias("c_dt"))
         .repartition(F.col("token"))
+        .localCheckpoint(eager=False)
     )
     gfreq = dt.groupBy("token").agg(F.sum("c_dt").alias("cnt"))
     gtot = gfreq.agg(F.sum("cnt").alias("T"), F.count("*").alias("V"))

@@ -683,7 +683,16 @@ def ts_similarity(events: DataFrame) -> DataFrame:
     """(user_a, user_b, n_overlap, corr, sim_rank) — top-k most
     correlated SAX-cobucketed user pairs (user_a < user_b; ranked per
     user_a by corr DESC, user_b)."""
-    s = ts_user_series(events).repartition(F.col("user_id"))
+    # lazy checkpoint barrier (the dsir idiom): the series relation has
+    # four consumers (bounds, segment/user stats, both pair-join sides)
+    # with different column pruning below the exchange — a bare
+    # repartition is never reused; materializing the (user, day, x)
+    # relation once keeps the events aggregate a single pass
+    s = (
+        ts_user_series(events)
+        .repartition(F.col("user_id"))
+        .localCheckpoint(eager=False)
+    )
 
     bounds = s.agg(
         F.min("day").alias("d0"),

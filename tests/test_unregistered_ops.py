@@ -4484,7 +4484,7 @@ def test_secret_scan_parity_and_replay(spark, sf_dir):
         con.close()
 
 
-def test_tokenizer_fertility_matches_python_replay(spark, sf_dir):
+def test_tokenizer_fertility_matches_python_replay(spark, sf_dir, tmp_path):
     """Tokenizer fertility / chars-per-token audit (Rust et al. 2021):
     full-metric replay against the independent pure-Python BPE on the
     identical corpus — train, encode, and the per-language aggregation
@@ -4559,6 +4559,21 @@ def test_tokenizer_fertility_matches_python_replay(spark, sf_dir):
         # character-level ceiling, and at least 1 subword per word
         assert 1.0 <= r["fertility"], lang
         assert r["chars_per_token"] >= 1.0, lang
+
+    # from-model form pinned identical to inline (stored merges are
+    # exact strings; same encode fold, same integer sums)
+    mp = str(tmp_path / "bpe_fert")
+    bpe.build_bpe_model(spark, sf_dir, mp)
+    frozen = sorted(
+        map(
+            tuple,
+            bpe.q_tokenizer_fertility_from_model(spark, sf_dir, mp).collect(),
+        )
+    )
+    inline = sorted(
+        map(tuple, bpe.q_tokenizer_fertility(spark, sf_dir).collect())
+    )
+    assert frozen == inline
 
 
 def test_ts_similarity_oracle_exact_and_replay(spark, sf_dir):
