@@ -191,6 +191,8 @@ HEADLINE = [
     "q_ts_similarity",
     # fuzzy (MinHash-bipartite) train/eval decontamination
     "q_decontaminate_fuzzy",
+    # winnowing fingerprint pairs (MOSS — guaranteed-detection dedup)
+    "q_winnow_pairs",
 ]
 
 
@@ -485,6 +487,8 @@ def _extra_queries():
         "q_decontaminate_fuzzy": UNREGISTERED_CONTAMINATION_QUERIES[
             "q_decontaminate_fuzzy"
         ],
+        # winnowing fingerprints (unregistered, new r8)
+        "q_winnow_pairs": UNREGISTERED_DEDUP_QUERIES["q_winnow_pairs"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import SIMHASH_BITS, shingles_k, sql_simhash_cte, sql_tokens, tokenize
+from ..functions.text import (
+    SIMHASH_BITS,
+    shingles_k,
+    sql_simhash_cte,
+    sql_tokens,
+    token_hash,
+    tokenize,
+)
 from ..sources.loader import load_table, spread_small_scan
 from .similarity import IVF_CELLS_CTE as _IVF_CELLS_CTE
 
@@ -1186,3 +1193,188 @@ FROM nt LEFT JOIN cov USING (doc_id)
 
 UNREGISTERED_DEDUP_QUERIES["q_dedup_substrings"] = q_dedup_substrings
 UNREGISTERED_DEDUP_ORACLES["q_dedup_substrings"] = SUBSTR_DEDUP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD — the MOSS
+# algorithm): the GUARANTEED-detection complement to MinHash. MinHash
+# detects whole-document similarity probabilistically; winnowing
+# selects, from every window of W consecutive k-gram hashes, the window
+# MINIMUM — so any shared token run of length >= W + K - 1 is
+# GUARANTEED to contribute at least one shared fingerprint, while the
+# expected fingerprint density stays 2/(W+1) (the paper's Theorem 1 /
+# density bound). The standard plagiarism/partial-copy detector where
+# the dedup family's banded MinHash would need luck.
+#
+# Spark shape: positional k-gram hashes and the window minima are both
+# IN-ROW array math over the let-bound token array (O(n·W) per doc, no
+# shuffle); the fingerprint relation explodes once to a (doc, fp)
+# posting list with the dedup family's document-frequency ubiquity
+# guard (a fingerprint in >max(MIN, FRAC·n) docs is boilerplate AND the
+# posting list that would blow up the join); pair counting is the same
+# capped equi-join discipline as q_dedup_near. Hashes are the
+# engine-portable md5-window longs, so DuckDB replicates fingerprint
+# selection bit-for-bit.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4   # k-gram width (tokens)
+WINNOW_W = 4   # winnowing window (hashes) -> guarantee length K+W-1 = 7
+WINNOW_MIN_SHARED = 2
+
+
+def _winnow_fps(text_col: str):
+    """In-row DISTINCT winnowed fingerprint array of a text column."""
+    def hashes(toks):
+        kgram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + off) for off in range(WINNOW_K)]
+        )
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - WINNOW_K + 1),
+            lambda i: token_hash(kgram(i)),
+        )
+
+    def windows(hs):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(hs) - WINNOW_W + 1, F.lit(1)),
+                ),
+                lambda j: F.array_min(F.slice(hs, j, WINNOW_W)),
+            )
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(tokenize(F.col(text_col))),
+            lambda toks: F.when(
+                F.size(toks) >= WINNOW_K, windows(hashes(toks))
+            ).otherwise(F.array().cast("array<long>")),
+        ),
+        1,
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, winnow_sim) — document pairs sharing >=
+    WINNOW_MIN_SHARED winnowed fingerprints; winnow_sim = shared /
+    min(|fps_a|, |fps_b|) (containment-style, so a small doc plagiarized
+    into a big one still scores high). (Unregistered — 50-slot cap;
+    driver-grade DuckDB parity + the winnowing GUARANTEE fixture in
+    tests/test_unregistered_ops.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", _winnow_fps("text").alias("fps")
+    ).repartition(
+        d.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    posted = fps.select("doc_id", F.explode("fps").alias("fp"))
+    # fingerprinted docs only (>= WINNOW_K tokens) — the oracle's nd
+    n_docs = fps.filter(F.size("fps") > 0).select(
+        F.count("*").alias("n_docs")
+    )
+    df_guard = (
+        posted.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(DF_CUTOFF_MIN),
+                F.ceil(F.lit(DF_CUTOFF_FRAC) * F.col("n_docs")),
+            )
+        )
+        .select("fp")
+    )
+    filtered = posted.join(df_guard, "fp", "left_semi")
+    sizes = fps.select("doc_id", F.size("fps").alias("n_fp"))
+    pairs = (
+        filtered.alias("a")
+        .join(
+            filtered.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                        .withColumnRenamed("n_fp", "n_a")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                        .withColumnRenamed("n_fp", "n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") * F.lit(1.0)
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("winnow_sim"),
+        )
+    )
+
+
+def _winnow_oracle() -> str:
+    kg = " || ' ' || ".join(f"ts[i+{off}]" for off in range(WINNOW_K))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens("text")} AS ts FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, len(ts) - {WINNOW_K} + 2),
+           i -> CAST(('0x' || substr(md5({kg}), 1, 15)) AS BIGINT)
+         ) AS h
+  FROM toks WHERE len(ts) >= {WINNOW_K}
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {WINNOW_W} + 1, 1) + 1),
+           j -> list_min(h[j:j+{WINNOW_W}-1])
+         )) AS fps
+  FROM hs
+),
+posted AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+nd AS (SELECT count(*) AS n_docs FROM fps),
+guard AS (
+  SELECT fp FROM posted CROSS JOIN nd GROUP BY fp, n_docs
+  HAVING count(*) <= greatest({DF_CUTOFF_MIN},
+                              CAST(ceil({DF_CUTOFF_FRAC} * n_docs) AS BIGINT))
+),
+filtered AS (SELECT p.* FROM posted p JOIN guard USING (fp)),
+sizes AS (SELECT doc_id, len(fps) AS n_fp FROM fps),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM filtered a JOIN filtered b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS winnow_sim
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+"""
+
+
+WINNOW_PAIRS_ORACLE = _winnow_oracle()
+
+UNREGISTERED_DEDUP_QUERIES["q_winnow_pairs"] = q_winnow_pairs
+UNREGISTERED_DEDUP_ORACLES["q_winnow_pairs"] = WINNOW_PAIRS_ORACLE

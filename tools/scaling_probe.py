@@ -58,7 +58,17 @@ SEED = 20260814
 JITTER = 0.05
 TOKEN_JITTER = 0.15
 
-DOC_QUERIES = {"q_dedup_minhash_banded", "q_dedup_prefix", "q_corpus_funnel"}
+DOC_QUERIES = {
+    "q_dedup_minhash_banded",
+    "q_dedup_prefix",
+    "q_corpus_funnel",
+    # LM family (round 8): one corpus pass + vocabulary-bounded
+    # derivations each — claimed near-linear
+    "q_kn_score",
+    "q_doremi_weights",
+}
+EVENT_QUERIES = {"q_ts_similarity"}
+EVT_BASE = "/root/testdata/sf0.01/events.parquet"
 
 
 def synth_dir(n: int) -> str:
@@ -140,6 +150,48 @@ def synth_docs_dir(n: int) -> str:
     return d
 
 
+def synth_events_dir(n: int) -> str:
+    """Materialize an sf-style dir with an n-row events.parquet: base
+    events tiled with FRESH USER IDS per copy (user_id + copy *
+    (max_user+1)) and value jitter — the series population grows with n
+    over a fixed day span, so SAX-bucket occupancy scales like a real
+    user base (more curves per seasonality shape) rather than deepening
+    a fixed set of series."""
+    d = os.path.join(WORK, f"evt_n{n}_s{SEED}_j{JITTER}")
+    out = os.path.join(d, "events.parquet")
+    if os.path.exists(out):
+        return d
+    os.makedirs(d, exist_ok=True)
+    base = pq.read_table(EVT_BASE)
+    ts = base.column("ts").to_pylist()
+    users = np.array(base.column("user_id").to_pylist(), dtype=np.int64)
+    etypes = base.column("event_type").to_pylist()
+    vals = np.array(base.column("value").to_pylist(), dtype=np.float64)
+    nb = len(ts)
+    stride = int(users.max()) + 1
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    reps = math.ceil(n / nb)
+    idx = np.tile(np.arange(nb), reps)[:n]
+    copy = np.repeat(np.arange(reps), nb)[:n]
+    new_vals = vals[idx] * (1.0 + JITTER * rng.standard_normal(n))
+    new_vals[:nb] = vals[:nb]  # the first copy IS the base corpus
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([ts[i] for i in idx]),
+            "user_id": pa.array(
+                (users[idx] + copy * stride).tolist(), type=pa.int64()
+            ),
+            "event_type": pa.array([etypes[i] for i in idx]),
+            "value": pa.array(np.round(new_vals, 2).tolist(),
+                              type=pa.float64()),
+            "props": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, out)
+    return d
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
@@ -151,12 +203,18 @@ def main() -> int:
         help="sizes for the documents-table family",
     )
     ap.add_argument(
+        "--events-sizes",
+        default="10000,40000,160000",
+        help="sizes for the events-table family",
+    )
+    ap.add_argument(
         "--queries",
         default="q_knn_graph,q_embedding_clusters,q_nn_descent",
     )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     doc_sizes = [int(s) for s in args.docs_sizes.split(",")]
+    evt_sizes = [int(s) for s in args.events_sizes.split(",")]
 
     import sys
 
@@ -179,6 +237,14 @@ def main() -> int:
     )
     from data_ingestion_api_system_loop_ai_spark.session import get_spark
 
+    from data_ingestion_api_system_loop_ai_spark.operators.lm_score import q_kn_score
+    from data_ingestion_api_system_loop_ai_spark.operators.sampling import (
+        q_doremi_weights,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        UNREGISTERED_TIMESERIES_QUERIES,
+    )
+
     qfns = {
         "q_knn_graph": q_knn_graph,
         "q_embedding_clusters": q_embedding_clusters,
@@ -186,6 +252,9 @@ def main() -> int:
         "q_dedup_minhash_banded": q_dedup_minhash_banded,
         "q_dedup_prefix": q_dedup_prefix,
         "q_corpus_funnel": q_corpus_funnel,
+        "q_kn_score": q_kn_score,
+        "q_doremi_weights": q_doremi_weights,
+        "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
     }
     names = [q.strip() for q in args.queries.split(",")]
 
@@ -207,11 +276,13 @@ def main() -> int:
         result["queries"].update(prev.get("queries", {}))
     for qname in names:
         fn = qfns[qname]
-        fam_sizes = doc_sizes if qname in DOC_QUERIES else sizes
-        fam_dirs = {
-            n: (synth_docs_dir(n) if qname in DOC_QUERIES else synth_dir(n))
-            for n in fam_sizes
-        }
+        if qname in DOC_QUERIES:
+            fam_sizes, mk = doc_sizes, synth_docs_dir
+        elif qname in EVENT_QUERIES:
+            fam_sizes, mk = evt_sizes, synth_events_dir
+        else:
+            fam_sizes, mk = sizes, synth_dir
+        fam_dirs = {n: mk(n) for n in fam_sizes}
         points = []
         for n in fam_sizes:
             times = []
