@@ -24,9 +24,15 @@ import argparse
 import json
 import sys
 
-from .registry import ORACLES, QUERIES
+from .registry import ORACLES, QUERIES, unregistered_queries
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _all_queries() -> dict:
+    """Registered slots + the direct-tested unregistered surface —
+    every (spark, sf_dir) query in the repo is runnable from here."""
+    return {**unregistered_queries(), **QUERIES}
 
 
 def _spark(app: str):
@@ -36,18 +42,25 @@ def _spark(app: str):
 
 
 def cmd_list(_args) -> int:
-    for name in sorted(QUERIES):
-        marker = "sql-oracle" if name in ORACLES else "rows-only "
+    qs = _all_queries()
+    for name in sorted(qs):
+        if name not in QUERIES:
+            marker = "direct-test"
+        elif name in ORACLES:
+            marker = "sql-oracle "
+        else:
+            marker = "rows-only  "
         print(f"{marker}  {name}")
     return 0
 
 
 def cmd_run(args) -> int:
-    if args.query not in QUERIES:
+    qs = _all_queries()
+    if args.query not in qs:
         print(f"unknown query: {args.query}", file=sys.stderr)
         return 2
     spark = _spark(f"cli-run-{args.query}")
-    df = QUERIES[args.query](spark, args.sf_dir)
+    df = qs[args.query](spark, args.sf_dir)
     rows = df.limit(args.limit).collect() if args.limit else df.collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
@@ -55,11 +68,12 @@ def cmd_run(args) -> int:
 
 
 def cmd_explain(args) -> int:
-    if args.query not in QUERIES:
+    qs = _all_queries()
+    if args.query not in qs:
         print(f"unknown query: {args.query}", file=sys.stderr)
         return 2
     spark = _spark(f"cli-explain-{args.query}")
-    df = QUERIES[args.query](spark, args.sf_dir)
+    df = qs[args.query](spark, args.sf_dir)
     print(
         df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

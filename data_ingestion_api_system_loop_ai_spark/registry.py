@@ -109,3 +109,43 @@ _SKIPPED_MODULES = _optional_modules()
 # already warned), so the two degraded-mode behaviors are consistent.
 if not _SKIPPED_MODULES and len(QUERIES) != 50:
     raise RuntimeError(f"registry must stay at 50 slots, got {len(QUERIES)}")
+
+
+# Modules carrying UNREGISTERED_*_QUERIES dicts — the direct-tested API
+# surface beyond the 50 driver slots (evicted rotation slots + ops that
+# never held one). The CLI resolves these for run/explain/list so every
+# query in the repo is operable, not just the registered 50.
+_UNREGISTERED_MODULES: list[str] = [
+    ".operators.pipeline",
+    ".operators.relational",
+    ".operators.relational_ext",
+    ".operators.dedup",
+    ".operators.sampling",
+    ".operators.text_analysis",
+    ".operators.contamination",
+    ".operators.timeseries",
+    ".operators.lm_score",
+    ".operators.corpus_pipeline",
+    ".operators.curated_corpus",
+]
+
+
+def unregistered_queries() -> dict[str, QueryFn]:
+    """name -> callable for every UNREGISTERED_*_QUERIES entry. Names
+    shadowed by a registered query are skipped (the registry wins);
+    absent modules are skipped like _optional_modules does."""
+    out: dict[str, QueryFn] = {}
+    for mod_name in _UNREGISTERED_MODULES:
+        full = __package__ + mod_name
+        try:
+            mod = importlib.import_module(mod_name, package=__package__)
+        except ModuleNotFoundError as exc:
+            if exc.name == full:
+                continue
+            raise
+        for attr in dir(mod):
+            if attr.startswith("UNREGISTERED_") and attr.endswith("_QUERIES"):
+                for name, fn in getattr(mod, attr).items():
+                    if name not in QUERIES:
+                        out.setdefault(name, fn)
+    return out

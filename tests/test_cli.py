@@ -15,6 +15,16 @@ def test_cli_list(capsys):
     out = capsys.readouterr().out
     assert "q_pipeline_e2e" in out
     assert "sql-oracle" in out and "rows-only" in out
+    # the direct-tested unregistered surface is listed and runnable too
+    assert "direct-test" in out and "q_winnow_pairs" in out
+
+
+def test_cli_run_unregistered_query(spark, sf_dir, capsys):
+    assert (
+        main(["run", "q_lm_score", "--sf-dir", sf_dir, "--limit", "2"]) == 0
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert lines and "mean_surprisal" in lines[0]
 
 
 def test_cli_run_emits_json_rows(spark, sf_dir, capsys):
