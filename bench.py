@@ -193,6 +193,10 @@ HEADLINE = [
     "q_decontaminate_fuzzy",
     # winnowing fingerprint pairs (MOSS — guaranteed-detection dedup)
     "q_winnow_pairs",
+    # Min-K% Prob membership signal over the eval slice
+    "q_mink_contamination",
+    # sorted-neighborhood dedup (the sort-based blocking family)
+    "q_dedup_snm",
 ]
 
 
@@ -489,6 +493,11 @@ def _extra_queries():
         ],
         # winnowing fingerprints (unregistered, new r8)
         "q_winnow_pairs": UNREGISTERED_DEDUP_QUERIES["q_winnow_pairs"],
+        # Min-K% membership + sorted-neighborhood dedup (new r8)
+        "q_mink_contamination": UNREGISTERED_CONTAMINATION_QUERIES[
+            "q_mink_contamination"
+        ],
+        "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

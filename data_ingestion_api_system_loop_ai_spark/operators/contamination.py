@@ -321,3 +321,162 @@ UNREGISTERED_CONTAMINATION_QUERIES = {
 UNREGISTERED_CONTAMINATION_ORACLES = {
     "q_decontaminate_fuzzy": DECONTAMINATE_FUZZY_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Min-K% Prob membership signal (Shi et al. 2024, "Detecting
+# Pretraining Data from Large Language Models", ICLR): score a probe
+# document by the mean surprisal of its K% LEAST-PROBABLE tokens under
+# the reference LM — members (documents the model trained on) score low
+# even on their rarest tokens; non-members spike. The production use is
+# the post-hoc side of decontamination: given a trained corpus LM and a
+# benchmark, rank eval docs by membership likelihood. The reference LM
+# here is the corpus-trained add-one unigram of q_lm_score (the paper's
+# statistic is model-agnostic — only the per-token log-prob source
+# changes).
+#
+# Per eval doc (the EVAL_MOD/EVAL_REM holdout slice): per-token-type
+# surprisal from ONE broadcast join against the corpus LM (trained on
+# the FULL corpus in one checkpointed pass), then an IN-ROW walk over
+# the (surprisal DESC, token) sorted type array taking occurrences
+# until k = ceil(MINK_FRAC * n_tokens) — a scalar-accumulator fold
+# (sum, remaining), O(distinct) with no array growth. Mean is a
+# decimal-exact sum / k.
+# ---------------------------------------------------------------------------
+
+MINK_FRAC = 0.2  # the paper's default k = 20%
+
+
+def q_mink_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, k_used, mink_surprisal) for every eval-slice
+    document with >= 1 token. (Unregistered — 50-slot cap; driver-grade
+    DuckDB parity + membership-ordering fixture in
+    tests/test_unregistered_ops.py.)"""
+    from .lm_score import unigram_counts, unigram_totals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    freq = unigram_counts(docs).localCheckpoint(eager=False)
+    totals = unigram_totals(freq)
+
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    packed = F.transform(
+        F.array(tokenize(F.col("text"))),
+        lambda ts: F.struct(
+            F.size(ts).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.array_distinct(ts)),
+                lambda t: F.struct(
+                    t.alias("token"),
+                    F.size(F.filter(ts, lambda x: x == t)).alias("tf"),
+                ),
+            ).alias("tfs"),
+        ),
+    )
+    base = docs.filter(is_eval).select("doc_id", F.inline(packed))
+    per_tok = base.select(
+        "doc_id", "n_tokens", F.explode("tfs").alias("e")
+    ).select("doc_id", "n_tokens", "e.token", "e.tf")
+    scored = (
+        per_tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token",
+            "tf",
+            (
+                -F.log((F.col("cnt") + F.lit(1)) / (F.col("T") + F.col("V")))
+            ).alias("c"),
+        )
+    )
+    k = F.ceil(F.lit(MINK_FRAC) * F.col("n_tokens")).cast("long")
+    # in-row walk: types sorted by (surprisal DESC, token); take tf
+    # occurrences per type until k — scalar accumulator, no array growth
+    walk = F.aggregate(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("c", "token", "tf")))
+        ),
+        F.struct(
+            F.lit(0).cast("decimal(25,12)").alias("s"),
+            k.alias("rem"),
+        ),
+        lambda acc, x: F.struct(
+            # decimal(c) FIRST, then the exact decimal*integer product —
+            # identical to the oracle's per-occurrence decimal sum
+            # (n_i * dec(c_i) == sum of n_i copies of dec(c_i), exactly)
+            # the count operand is decimal(12,0), NOT long: long promotes
+            # to decimal(20,0) and 25+20+1 > 38 digits, which silently
+            # TRUNCATES the product scale to 6 under precision loss
+            (
+                acc["s"]
+                + x["c"].cast("decimal(25,12)")
+                * F.least(x["tf"].cast("long"), acc["rem"]).cast(
+                    "decimal(12,0)"
+                )
+            ).cast("decimal(25,12)").alias("s"),
+            F.greatest(
+                acc["rem"] - x["tf"].cast("long"), F.lit(0).cast("long")
+            ).alias("rem"),
+        ),
+    )
+    per_doc = scored.groupBy("doc_id", "n_tokens").agg(walk.alias("w"))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        k.alias("k_used"),
+        F.round(
+            F.col("w.s").cast("double") / k, 6
+        ).alias("mink_surprisal"),
+    )
+
+
+def _mink_oracle() -> str:
+    from ..functions.text import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS ts FROM documents
+),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+freq AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token),
+tot AS (SELECT sum(cnt) AS T, count(*) AS V FROM freq),
+ev AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         CAST(ceil({MINK_FRAC} * len(ts)) AS BIGINT) AS k
+  FROM toks
+  WHERE doc_id % {EVAL_MOD} = {EVAL_REM} AND len(ts) >= 1
+),
+occ AS (
+  SELECT e.doc_id, v.n_tokens, v.k, e.token,
+         -ln((f.cnt + 1) / (t.T + t.V)) AS c
+  FROM ex e
+  JOIN ev v ON e.doc_id = v.doc_id
+  JOIN freq f USING (token)
+  CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY c DESC, token
+  ) AS rn
+  FROM occ
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       k AS k_used,
+       round(CAST(sum(CAST(c AS DECIMAL(25,12))) AS DOUBLE) / k, 6)
+         AS mink_surprisal
+FROM ranked
+WHERE rn <= k
+GROUP BY doc_id, n_tokens, k
+"""
+
+
+MINK_CONTAMINATION_ORACLE = _mink_oracle()
+
+UNREGISTERED_CONTAMINATION_QUERIES["q_mink_contamination"] = (
+    q_mink_contamination
+)
+UNREGISTERED_CONTAMINATION_ORACLES["q_mink_contamination"] = (
+    MINK_CONTAMINATION_ORACLE
+)

@@ -1378,3 +1378,133 @@ WINNOW_PAIRS_ORACLE = _winnow_oracle()
 
 UNREGISTERED_DEDUP_QUERIES["q_winnow_pairs"] = q_winnow_pairs
 UNREGISTERED_DEDUP_ORACLES["q_winnow_pairs"] = WINNOW_PAIRS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Sorted-Neighborhood dedup (Hernández & Stolfo 1995, SIGMOD — the
+# Merge/Purge method; with LSH and prefix-filtering this completes the
+# THREE classic blocking families: hash-bucket, sorted-order,
+# sort-prefix). Sort the corpus by a discriminating key and compare
+# each record only against its W sorted neighbors — near-duplicates
+# sort adjacently because they share the key. The key here is the
+# document's LEXICOGRAPHICALLY SMALLEST shingle: two docs at Jaccard J
+# share their shingle-set minimum with probability ~J (the MinHash
+# argument with the identity permutation), so high-J pairs almost
+# always land within the window.
+#
+# Scale shape: the global order comes from the two-phase
+# ``global_row_number`` (no single-partition sort — rank over
+# key-bucket partitions + broadcast offsets); the window join is an
+# EQUI-join, not a range join: each doc explodes W offset rows
+# (rank + 1 .. rank + W) that equi-join the neighbor's rank — linear
+# in n·W, one hash shuffle, no nested-loop. Verification is the dedup
+# family's candidate-first exact-Jaccard stage.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 8
+
+
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — pairs within SNM_WINDOW sorted
+    neighbors whose exact shingle-Jaccard clears the dedup threshold.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    adjacency fixture in tests/test_unregistered_ops.py.)"""
+    from ..plans.ranking import global_row_number
+
+    base = _shingle_sets(spark, sf_dir).localCheckpoint(eager=False)
+    keyed = (
+        base.filter(F.size("ss") > 0)
+        .select("doc_id", F.array_min("ss").alias("k"))
+    )
+    ranked = global_row_number(
+        keyed, ["k"], ["doc_id"], rn_col="rn"
+    ).select("doc_id", "rn")
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + SNM_WINDOW)
+        ).alias("rn"),
+    )
+    # canonicalize to doc_a < doc_b: rank order is (key, doc_id), so a
+    # lower-rank doc can carry the larger doc_id across key boundaries
+    cand = (
+        probes.join(
+            ranked.select(F.col("doc_id").alias("doc_b"), "rn"), "rn"
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # candidate-first exact verification (the banded-minhash stage)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = base.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.size("ss").alias("n"), F.explode("ss").alias("s")
+    )
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .join(
+            cand,
+            (F.col("a.doc_id") == F.col("doc_a"))
+            & (F.col("b.doc_id") == F.col("doc_b")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.round(
+        F.col("common") * F.lit(1.0)
+        / (F.col("na") + F.col("nb") - F.col("common")),
+        6,
+    )
+    return common.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+
+
+SNM_DEDUP_ORACLE = _SHINGLE_CTE + f"""
+, keyed AS (
+  SELECT doc_id, min(s) AS k FROM sh GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common * 1.0 / (sa.n + sb.n - common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"] = q_dedup_snm
+UNREGISTERED_DEDUP_ORACLES["q_dedup_snm"] = SNM_DEDUP_ORACLE

