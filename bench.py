@@ -197,6 +197,8 @@ HEADLINE = [
     "q_mink_contamination",
     # sorted-neighborhood dedup (the sort-based blocking family)
     "q_dedup_snm",
+    # Zipf-law slope/r2 corpus-health fit
+    "q_zipf_fit",
 ]
 
 
@@ -498,6 +500,7 @@ def _extra_queries():
             "q_mink_contamination"
         ],
         "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
+        "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

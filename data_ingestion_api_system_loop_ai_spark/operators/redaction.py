@@ -274,3 +274,26 @@ SELECT f.doc_id,
 FROM flagged f LEFT JOIN dfreq d ON f.s = d.s
 GROUP BY f.doc_id
 """
+
+
+def secret_scan_stream_writer(out_path: str):
+    """A ``foreachBatch`` callable running the secret/credential scan
+    on every arriving micro-batch of (doc_id, text) rows — the
+    runbook's ingest-time hygiene gate. Uniqueness (the ``df == 1``
+    leak elevation) is BATCH-LOCAL by design: the batch is the
+    blast-radius a reviewer quarantines, and a corpus-global df would
+    need the persisted-fingerprint probe (the incremental_dedup index
+    shape) — documented, not silently approximated. Append-idempotence
+    rides the deterministic batch id (the classifier/drift stream
+    writer shape): a replayed batch overwrites its own ``batch=<id>``
+    directory."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        secret_scan(batch_df.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch={batch_id}"))
+
+    return write_batch

@@ -423,3 +423,101 @@ FROM per_doc LEFT JOIN firsts USING (decile)
 WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit (Zipf 1949; the modern treatment is Piantadosi 2014,
+# "Zipf's word frequency law in natural language") — the corpus-health
+# twin of B96's Heaps-law vocabulary curve: natural-language token
+# frequencies fall on log(freq) ~ -s * log(rank) with s near 1;
+# machine-generated or template-heavy corpora bend the curve (s drifts,
+# r^2 collapses). One number pair per corpus, read before the
+# quality/dedup battery is tuned.
+#
+# Shape: the trained unigram relation ranks by (cnt DESC, token) via
+# the two-phase ``global_row_number`` (bucket key = -cnt, a leading
+# prefix of the order — never a single-partition sort over the
+# vocabulary); the least-squares slope/r^2 come from six
+# decimal-summed moments of (ln rank, ln cnt) — each term rounded to
+# 12 dp then summed exactly, so the fit is order-independent and
+# engine-identical.
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (v, n_tokens, zipf_slope, r2) over ``documents``.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    power-law/degenerate fixtures in tests/test_unregistered_ops.py.)"""
+    from ..plans.ranking import global_row_number
+    from .lm_score import unigram_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    freq = unigram_counts(docs).localCheckpoint(eager=False)
+    ranked = global_row_number(
+        freq.withColumn("_negc", -F.col("cnt")),
+        ["_negc"],
+        ["token"],
+        rn_col="rank",
+    )
+    dec12 = lambda c: F.round(c, 12).cast("decimal(25,12)")  # noqa: E731
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    m = ranked.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(dec12(x)).cast("double").alias("sx"),
+        F.sum(dec12(y)).cast("double").alias("sy"),
+        F.sum(dec12(x * y)).cast("double").alias("sxy"),
+        F.sum(dec12(x * x)).cast("double").alias("sxx"),
+        F.sum(dec12(y * y)).cast("double").alias("syy"),
+    )
+    n = F.col("v").cast("double")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    cxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "v",
+        "n_tokens",
+        F.round(cxy / cxx, 6).alias("zipf_slope"),
+        F.round(cxy * cxy / (cxx * cyy), 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH toks AS (
+  SELECT {sql_tokens('text')} AS ts FROM documents
+),
+ex AS (SELECT unnest(ts) AS token FROM toks),
+freq AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token),
+ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM freq
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE)), 12)
+                       AS DECIMAL(25,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE)), 12)
+                       AS DECIMAL(25,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(cnt AS DOUBLE)), 12)
+                       AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                             * ln(CAST(rank AS DOUBLE)), 12)
+                       AS DECIMAL(25,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE))
+                             * ln(CAST(cnt AS DOUBLE)), 12)
+                       AS DECIMAL(25,12))) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT v, n_tokens,
+       round((v * sxy - sx * sy) / (v * sxx - sx * sx), 6) AS zipf_slope,
+       round((v * sxy - sx * sy) * (v * sxy - sx * sy)
+             / ((v * sxx - sx * sx) * (v * syy - sy * sy)), 6) AS r2
+FROM m
+"""
+
+UNREGISTERED_TEXT_QUERIES["q_zipf_fit"] = q_zipf_fit
+UNREGISTERED_TEXT_ORACLES["q_zipf_fit"] = ZIPF_FIT_ORACLE

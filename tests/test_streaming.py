@@ -1160,3 +1160,73 @@ def test_classifier_stream_scorer_matches_batch_and_is_idempotent(
     n_before = spark.read.parquet(out).count()
     writer(docs.filter("doc_id % 2 = 0"), 0)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_secret_scan_stream_matches_batch_and_is_idempotent(
+    spark, tmp_path
+):
+    """Streaming face of the hygiene gate: per-micro-batch secret scans
+    must EQUAL the batch operator on the same rows (uniqueness is
+    batch-local by design), and a replayed batch id overwrites its own
+    partition."""
+    import glob
+    import os
+    import shutil
+
+    from data_ingestion_api_system_loop_ai_spark.operators.redaction import (
+        secret_scan,
+        secret_scan_stream_writer,
+    )
+
+    key = "sk-9fQ2xY7wLpZ4VbN8"
+    batches = [
+        [(1, f"creds {key} leaked"), (2, "plain prose only")],
+        [(3, f"token {key} again"), (4, f"other A1b2C3d4E5f6G7h8J9 run")],
+    ]
+    src = str(tmp_path / "sec_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(src + f"/.t{i}")
+        f = glob.glob(src + f"/.t{i}/*.parquet")[0]
+        shutil.move(f, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(src + f"/.t{i}")
+
+    out = str(tmp_path / "sec_out")
+    writer = secret_scan_stream_writer(out)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "sec_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).drop("batch").collect()
+    }
+    # streamed == batch operator over the union (each batch contains
+    # its own docs; per-batch uniqueness equals per-union uniqueness
+    # here because the repeated key strings sit in different batches)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {r["doc_id"]: r for r in secret_scan(df).collect()}
+        for d, w in want.items():
+            g = got[d]
+            assert (
+                g["n_candidates"], g["n_secret_like"], g["n_unique_secrets"]
+            ) == (
+                w["n_candidates"], w["n_secret_like"], w["n_unique_secrets"]
+            ), d
+    # idempotent replay: rewriting batch 0 leaves one copy of doc 1
+    writer(spark.createDataFrame(batches[0], "doc_id long, text string"), 0)
+    n = (
+        spark.read.parquet(out)
+        .filter("doc_id = 1")
+        .count()
+    )
+    assert n == 1

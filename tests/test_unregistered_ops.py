@@ -4891,3 +4891,43 @@ def test_dedup_snm_oracle_exact_and_adjacency(spark, sf_dir):
     if near:
         found = sum(1 for p in near if p in got)
         assert found / len(near) >= 0.5, (found, len(near))
+
+
+def test_zipf_fit_oracle_exact_and_shapes(spark, sf_dir):
+    """Zipf-law fit: DuckDB parity over documents, plus shape fixtures —
+    an exact power-law corpus fits slope ~ -s with r2 ~ 1, and a
+    uniform-frequency corpus has slope 0 (every token equally
+    frequent)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        text_analysis as ta,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(ta.q_zipf_fit(spark, sf_dir), con, ta.ZIPF_FIT_ORACLE)
+    finally:
+        con.close()
+
+    def run_on(docs):
+        with _tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(
+                docs, "doc_id long, text string"
+            ).write.parquet(_os.path.join(tmp, "documents.parquet"))
+            return ta.q_zipf_fit(spark, tmp).collect()[0]
+
+    # exact Zipf s=1: token w_r appears floor(1200/r) times
+    toks = []
+    for r in range(1, 41):
+        toks += [f"w{r:02d}"] * (1200 // r)
+    zipf = run_on([(1, " ".join(toks))])
+    assert abs(zipf["zipf_slope"] - (-1.0)) < 0.1, zipf
+    assert zipf["r2"] > 0.98, zipf
+
+    # uniform frequencies: slope exactly 0 (ln cnt constant)
+    uni = run_on([(1, (" ".join(f"u{r}" for r in range(50)) + " ") * 4)])
+    assert abs(uni["zipf_slope"]) < 1e-9 and abs(uni["r2"]) < 1e-9, uni
