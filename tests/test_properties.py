@@ -341,3 +341,106 @@ def test_jpeg_decode_roundtrip_property(w, h, seed):
     d = decode_real(encode_jpeg(w, h, seed))
     assert (d["width"], d["height"]) == (w, h)
     assert d["px_sum"] == _jpeg_replay_px_sum(w, h, seed)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: published-theorem properties for the new operators
+# ---------------------------------------------------------------------------
+
+_winnow_tok = st.sampled_from([f"t{i}" for i in range(12)])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    a_pre=st.lists(_winnow_tok, min_size=0, max_size=10),
+    a_post=st.lists(_winnow_tok, min_size=0, max_size=10),
+    b_pre=st.lists(_winnow_tok, min_size=0, max_size=10),
+    b_post=st.lists(_winnow_tok, min_size=0, max_size=10),
+    run_seed=st.integers(min_value=0, max_value=10**6),
+    extra=st.integers(min_value=0, max_value=6),
+)
+def test_winnowing_guarantee_property(
+    spark, a_pre, a_post, b_pre, b_post, run_seed, extra
+):
+    """Schleimer et al. Theorem (guarantee): ANY two documents sharing
+    a token run of length >= W + K - 1 share at least one winnowed
+    fingerprint — for random surrounding context on both sides and
+    random shared-run content/length. (The shared run uses tokens
+    disjoint from the context alphabet so the run is genuinely the
+    only guaranteed overlap.)"""
+    import os
+    import tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import dedup as dd
+
+    g = dd.WINNOW_K + dd.WINNOW_W - 1 + extra
+    run = [f"shared{run_seed}x{i}" for i in range(g)]
+    docs = [
+        (1, " ".join(a_pre + run + a_post)),
+        (2, " ".join(b_pre + run + b_post)),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        fps = {
+            r["doc_id"]: set(r["fps"])
+            for r in spark.read.parquet(os.path.join(tmp, "documents.parquet"))
+            .select(
+                "doc_id", dd._winnow_fps("text").alias("fps")
+            )
+            .collect()
+        }
+    assert fps[1] & fps[2], (docs, fps)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(8)]),
+            min_size=2,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_kneser_ney_seen_mass_property(spark, texts):
+    """Kneser-Ney is a proper probability model: for every context x,
+    the probability mass over the SEEN successors is <= 1 (the
+    remainder is what backoff redistributes to unseen continuations),
+    and every P(y|x) is in (0, 1)."""
+    from collections import defaultdict
+
+    from data_ingestion_api_system_loop_ai_spark.operators import lm_score as lm
+    from data_ingestion_api_system_loop_ai_spark.operators.collocations import (
+        bigram_counts,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bg = bigram_counts(df.select("text"))
+    cx, cont, disc = lm.kn_statistics(bg)
+    rows = (
+        bg.join(cx, "x")
+        .join(cont, "y")
+        .crossJoin(disc)
+        .select(
+            "x",
+            (
+                F.greatest(F.col("c_xy") - F.col("D"), F.lit(0.0))
+                / F.col("c_x")
+                + (F.col("D") * F.col("n1p_x") / F.col("c_x"))
+                * (F.col("n1p_y") / F.col("Nbb"))
+            ).alias("p"),
+        )
+        .collect()
+    )
+    mass = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] < 1.0 or (r["p"] == 1.0), r
+        mass[r["x"]] += r["p"]
+    for x, m in mass.items():
+        assert m <= 1.0 + 1e-9, (x, m)
