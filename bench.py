@@ -199,6 +199,8 @@ HEADLINE = [
     "q_dedup_snm",
     # Zipf-law slope/r2 corpus-health fit
     "q_zipf_fit",
+    # Simple Good-Turing count re-estimates + unseen mass
+    "q_good_turing",
 ]
 
 
@@ -261,6 +263,7 @@ def _extra_queries():
         q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
+        UNREGISTERED_LM_QUERIES,
         q_ccnet_buckets,
         q_lm2_score,
         q_lm_score,
@@ -501,6 +504,7 @@ def _extra_queries():
         ],
         "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
         "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
+        "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -45,7 +45,7 @@ tier (text analysis / quality scoring at 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import sql_tokens, tokenize
@@ -669,3 +669,239 @@ UNREGISTERED_LM_ORACLES = {
     "q_lm2_score": LM2_SCORE_ORACLE,
     "q_ccnet_buckets": CCNET_BUCKETS_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Simple Good-Turing smoothing (Good 1953; Gale & Sampson 1995, "Good-
+# Turing frequency estimation without tears" — the SGT recipe): the
+# third classic smoothing next to add-one (B59/B86) and Kneser-Ney
+# (B102), and the one that also answers "how much probability mass do
+# UNSEEN tokens deserve?" (P0 = n_1/N — the missing-species estimate).
+#
+# Per count r: n_r = number of token types seen exactly r times. The
+# Turing estimate r* = (r+1)·n_{r+1}/n_r is unusable where n_{r+1}=0,
+# so SGT smooths: Z_r = 2·n_r/(t-q) (q/t the neighboring represented
+# counts; Gale's end conventions q=0 and t=2r-q), fit log Z ~ a +
+# b·log r by least squares, giving the LGT estimate r·(1+1/r)^(b+1);
+# use Turing until the first r where it is unavailable (n_{r+1}=0) or
+# statistically indistinguishable from LGT (|diff| <= 1.96·sd), then
+# LGT FOREVER (the paper's switch-once rule). Renormalize so the seen
+# mass is 1-P0.
+#
+# Scale note: the frequency-of-frequencies relation has one row per
+# DISTINCT COUNT VALUE — O(max term frequency) rows (hundreds) from a
+# one-pass map-side-combinable aggregate over the vocabulary, so the
+# single-partition windows below operate on a driver-sized relation by
+# construction (the global_row_number offsets argument), never on the
+# corpus or the vocabulary. The LGT fit reuses the zipf-fit moment
+# discipline: 12-dp-rounded terms, exact decimal sums.
+# ---------------------------------------------------------------------------
+
+
+def good_turing(freq: DataFrame) -> DataFrame:
+    """(r, n_r, z_r, r_star, p_gt, used_lgt) from a (token, cnt)
+    relation, plus the r=0 row carrying P0 = n_1/N (n_r = unseen-type
+    count is unknowable, emitted as 0)."""
+    nr = freq.groupBy(F.col("cnt").alias("r")).agg(
+        F.count("*").alias("n_r")
+    )
+    w = W.orderBy("r")
+    dec12 = lambda c: F.round(c, 12).cast("decimal(25,12)")  # noqa: E731
+    zed = nr.select(
+        "r",
+        "n_r",
+        F.lag("r").over(w).alias("q"),
+        F.lead("r").over(w).alias("t"),
+        F.lead("n_r").over(w).alias("n_next"),
+    ).select(
+        "r",
+        "n_r",
+        "t",
+        "n_next",
+        (
+            F.lit(2.0)
+            * F.col("n_r")
+            / (
+                F.coalesce(F.col("t"), 2 * F.col("r") - F.coalesce("q", F.lit(0)))
+                - F.coalesce("q", F.lit(0))
+            )
+        ).alias("z_r"),
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("z_r"))
+    fit = zed.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(dec12(x)).cast("double").alias("sx"),
+        F.sum(dec12(y)).cast("double").alias("sy"),
+        F.sum(dec12(x * y)).cast("double").alias("sxy"),
+        F.sum(dec12(x * x)).cast("double").alias("sxx"),
+        F.sum(F.col("n_r") * F.col("r")).cast("long").alias("N"),
+    )
+    b = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    scored = zed.crossJoin(F.broadcast(fit.select(b.alias("b"), "N")))
+    turing = F.when(
+        F.col("t") == F.col("r") + 1,
+        (F.col("r") + 1) * F.col("n_next") / F.col("n_r"),
+    )
+    lgt = F.col("r") * F.pow(
+        (F.col("r") + F.lit(1.0)) / F.col("r"), F.col("b") + F.lit(1.0)
+    )
+    sd = F.sqrt(
+        F.pow(F.col("r") + F.lit(1.0), 2)
+        * F.col("n_next")
+        / (F.col("n_r").cast("double") * F.col("n_r"))
+        * (F.lit(1.0) + F.col("n_next") / F.col("n_r"))
+    )
+    # the switch-once rule: LGT from the FIRST r where Turing is
+    # unavailable or indistinguishable — a running min over r order
+    switch_here = F.when(
+        turing.isNull() | (F.abs(turing - lgt) <= F.lit(1.96) * sd),
+        F.col("r"),
+    )
+    scored = scored.select(
+        "*", F.min(switch_here).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_sw")
+    )
+    r_star = F.when(
+        F.col("_sw").isNotNull() & (F.col("r") >= F.col("_sw")), lgt
+    ).otherwise(turing)
+    est = scored.select(
+        "r",
+        "n_r",
+        F.round("z_r", 6).alias("z_r"),
+        r_star.alias("_rs"),
+        (F.col("_sw").isNotNull() & (F.col("r") >= F.col("_sw"))).alias(
+            "used_lgt"
+        ),
+        "N",
+    )
+    # renormalize: seen mass = (1 - P0), P0 = n_1/N
+    norm = est.agg(
+        F.sum(dec12(F.col("n_r") * F.col("_rs"))).cast("double").alias("Nstar")
+    )
+    # always 1 row, P0 = 0 when the corpus has no singleton types
+    p0 = est.agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+            )
+            / F.max("N")
+        ).alias("p0"),
+        F.max("N").alias("N"),
+    )
+    out = (
+        est.crossJoin(F.broadcast(norm))
+        .crossJoin(F.broadcast(p0.select("p0")))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            "z_r",
+            F.round("_rs", 6).alias("r_star"),
+            F.round(
+                (F.lit(1.0) - F.col("p0")) * F.col("_rs") / F.col("Nstar"), 9
+            ).alias("p_gt"),
+            "used_lgt",
+        )
+    )
+    zero = p0.select(
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("n_r"),
+        F.lit(None).cast("double").alias("z_r"),
+        F.lit(None).cast("double").alias("r_star"),
+        F.round(F.col("p0"), 9).alias("p_gt"),
+        F.lit(False).alias("used_lgt"),
+    )
+    return zero.unionByName(out)
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGT count re-estimates over the corpus unigram counts.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    independent SGT replay + mass-conservation invariants in
+    tests/test_unregistered_ops.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    freq = unigram_counts(docs).localCheckpoint(eager=False)
+    return good_turing(freq)
+
+
+GOOD_TURING_ORACLE = f"""
+WITH toks AS (
+  SELECT {_TOKS} AS ts FROM documents
+),
+ex AS (SELECT unnest(ts) AS token FROM toks),
+freq AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token),
+nr AS (SELECT cnt AS r, count(*) AS n_r FROM freq GROUP BY cnt),
+zed AS (
+  SELECT r, n_r,
+         lead(r) OVER (ORDER BY r) AS t,
+         lead(n_r) OVER (ORDER BY r) AS n_next,
+         2.0 * n_r / (coalesce(lead(r) OVER (ORDER BY r),
+                               2 * r - coalesce(lag(r) OVER (ORDER BY r), 0))
+                      - coalesce(lag(r) OVER (ORDER BY r), 0)) AS z_r
+  FROM nr
+),
+fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(25,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(ln(z_r), 12) AS DECIMAL(25,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(z_r), 12) AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(25,12))) AS DOUBLE) AS sxx,
+         CAST(sum(n_r * r) AS BIGINT) AS N
+  FROM zed
+),
+scored AS (
+  SELECT z.*, (fit.k * fit.sxy - fit.sx * fit.sy)
+              / (fit.k * fit.sxx - fit.sx * fit.sx) AS b,
+         fit.N
+  FROM zed z CROSS JOIN fit
+),
+est0 AS (
+  SELECT *,
+         CASE WHEN t = r + 1
+              THEN (r + 1) * CAST(n_next AS DOUBLE) / n_r END AS turing,
+         r * pow((r + 1.0) / r, b + 1.0) AS lgt,
+         sqrt(pow(r + 1.0, 2) * n_next
+              / (CAST(n_r AS DOUBLE) * n_r) * (1.0 + CAST(n_next AS DOUBLE) / n_r)) AS sd
+  FROM scored
+),
+est1 AS (
+  SELECT *,
+         min(CASE WHEN turing IS NULL OR abs(turing - lgt) <= 1.96 * sd
+                  THEN r END)
+           OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sw
+  FROM est0
+),
+est AS (
+  SELECT r, n_r, z_r, N,
+         CASE WHEN sw IS NOT NULL AND r >= sw THEN lgt ELSE turing END AS rs,
+         (sw IS NOT NULL AND r >= sw) AS used_lgt
+  FROM est1
+),
+norm AS (
+  SELECT CAST(sum(CAST(round(n_r * rs, 12) AS DECIMAL(25,12))) AS DOUBLE)
+           AS Nstar
+  FROM est
+),
+p0 AS (
+  SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS DOUBLE)
+           / max(N) AS p0
+  FROM est
+)
+SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+       CAST(NULL AS DOUBLE) AS z_r, CAST(NULL AS DOUBLE) AS r_star,
+       round(p0, 9) AS p_gt, FALSE AS used_lgt
+FROM p0
+UNION ALL
+SELECT CAST(e.r AS BIGINT) AS r, CAST(e.n_r AS BIGINT) AS n_r,
+       round(e.z_r, 6) AS z_r, round(e.rs, 6) AS r_star,
+       round((1.0 - p0.p0) * e.rs / norm.Nstar, 9) AS p_gt,
+       e.used_lgt
+FROM est e CROSS JOIN norm CROSS JOIN p0
+"""
+
+UNREGISTERED_LM_QUERIES["q_good_turing"] = q_good_turing
+UNREGISTERED_LM_ORACLES["q_good_turing"] = GOOD_TURING_ORACLE

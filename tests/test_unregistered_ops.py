@@ -4931,3 +4931,89 @@ def test_zipf_fit_oracle_exact_and_shapes(spark, sf_dir):
     # uniform frequencies: slope exactly 0 (ln cnt constant)
     uni = run_on([(1, (" ".join(f"u{r}" for r in range(50)) + " ") * 4)])
     assert abs(uni["zipf_slope"]) < 1e-9 and abs(uni["r2"]) < 1e-9, uni
+
+
+def test_good_turing_oracle_exact_and_replay(spark, sf_dir):
+    """Simple Good-Turing (Gale & Sampson 1995): DuckDB parity over the
+    corpus unigram counts, an INDEPENDENT pure-python SGT replay
+    (frequency-of-frequencies, Z smoothing, log-log fit, switch-once
+    rule, renormalization), and the estimator invariants — P0 in [0,1),
+    total probability mass (P0 + seen) == 1, r_star > 0 and increasing
+    in r under LGT."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from data_ingestion_api_system_loop_ai_spark.operators import lm_score as lm
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(lm.q_good_turing(spark, sf_dir), con, lm.GOOD_TURING_ORACLE)
+    finally:
+        con.close()
+
+    # independent replay
+    tok = _re.compile(r"[a-z0-9]+")
+    gc: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        gc.update(tok.findall(r["text"].lower()))
+    nr = Counter(gc.values())
+    rs_sorted = sorted(nr)
+    N = sum(r * n for r, n in nr.items())
+    z = {}
+    for i, r in enumerate(rs_sorted):
+        q = rs_sorted[i - 1] if i > 0 else 0
+        t = rs_sorted[i + 1] if i + 1 < len(rs_sorted) else 2 * r - q
+        z[r] = 2.0 * nr[r] / (t - q)
+    k = len(rs_sorted)
+    sx = sum(round(math.log(r), 12) for r in rs_sorted)
+    sy = sum(round(math.log(z[r]), 12) for r in rs_sorted)
+    sxy = sum(round(math.log(r) * math.log(z[r]), 12) for r in rs_sorted)
+    sxx = sum(round(math.log(r) * math.log(r), 12) for r in rs_sorted)
+    b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    sw = None
+    est = {}
+    for i, r in enumerate(rs_sorted):
+        nxt = nr.get(r + 1)
+        turing = (r + 1) * nxt / nr[r] if (
+            i + 1 < len(rs_sorted) and rs_sorted[i + 1] == r + 1
+        ) else None
+        lgt = r * ((r + 1.0) / r) ** (b + 1.0)
+        if sw is None:
+            if turing is None:
+                sw = r
+            else:
+                sd = math.sqrt(
+                    (r + 1.0) ** 2 * nxt / (nr[r] ** 2) * (1.0 + nxt / nr[r])
+                )
+                if abs(turing - lgt) <= 1.96 * sd:
+                    sw = r
+        use_lgt = sw is not None and r >= sw
+        est[r] = (lgt if use_lgt else turing, use_lgt)
+    nstar = sum(round(nr[r] * est[r][0], 12) for r in rs_sorted)
+    p0 = nr.get(1, 0) / N
+
+    got = {r["r"]: r for r in lm.q_good_turing(spark, sf_dir).collect()}
+    assert set(got) == set(rs_sorted) | {0}
+    assert abs(got[0]["p_gt"] - round(p0, 9)) < 1e-12
+    for r in rs_sorted:
+        g = got[r]
+        assert g["n_r"] == nr[r]
+        assert abs(g["r_star"] - est[r][0]) < 1e-5, r
+        assert g["used_lgt"] == est[r][1], r
+        want_p = (1.0 - p0) * est[r][0] / nstar
+        assert abs(g["p_gt"] - want_p) < 1e-8, r
+        assert g["r_star"] > 0
+
+    # invariants: the smoothed distribution is a distribution
+    assert 0.0 <= got[0]["p_gt"] < 1.0
+    total = got[0]["p_gt"] + sum(
+        got[r]["p_gt"] * nr[r] for r in rs_sorted
+    )
+    assert abs(total - 1.0) < 1e-5, total
+    lgt_rs = [r for r in rs_sorted if got[r]["used_lgt"]]
+    for a, bb in zip(lgt_rs, lgt_rs[1:]):
+        assert got[a]["r_star"] < got[bb]["r_star"]
