@@ -201,6 +201,8 @@ HEADLINE = [
     "q_zipf_fit",
     # Simple Good-Turing count re-estimates + unseen mass
     "q_good_turing",
+    # Church-Gale token burstiness top-k
+    "q_burstiness",
 ]
 
 
@@ -505,6 +507,7 @@ def _extra_queries():
         "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
         "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
         "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
+        "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -521,3 +521,96 @@ FROM m
 
 UNREGISTERED_TEXT_QUERIES["q_zipf_fit"] = q_zipf_fit
 UNREGISTERED_TEXT_ORACLES["q_zipf_fit"] = ZIPF_FIT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (Church & Gale 1995, "Poisson mixtures"; Katz 1996)
+# — the topicality statistic: under random scatter, a token with total
+# count c lands in E[df] = D * (1 - (1 - 1/D)^c) distinct documents
+# (binomial occupancy over D docs); real content words BURST — they
+# concentrate in far fewer documents than chance (df << E[df]) while
+# function words match the Poisson line. In a training-data pipeline
+# the bursty tail separates topical vocabulary from boilerplate/
+# function tokens — the signal behind df-cutoff choices and tf-idf's
+# very existence, made explicit per token.
+#
+# One exploded (token) aggregate computes cnt AND df together (a single
+# corpus shuffle); D is a 1-row column-pruned count. The top-k most
+# bursty tokens (lowest df/E[df], count floor applied) come back via
+# TakeOrderedAndProject on the ROUNDED ratio with a token tiebreak.
+# ---------------------------------------------------------------------------
+
+BURST_MIN_CNT = 50
+BURST_TOPK = 25
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, cnt, df, expected_df, burstiness, burst_rank) — the
+    BURST_TOPK most-bursty tokens with cnt >= BURST_MIN_CNT.
+    (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    constructed bursty/uniform fixture in
+    tests/test_unregistered_ops.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    stats = ex.groupBy("token").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n_docs = d.agg(F.count("*").alias("D"))
+    exp_df = F.col("D") * (
+        F.lit(1.0)
+        - F.pow(
+            (F.col("D") - F.lit(1.0)) / F.col("D"), F.col("cnt").cast("double")
+        )
+    )
+    scored = (
+        stats.filter(F.col("cnt") >= BURST_MIN_CNT)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("df").cast("long").alias("df"),
+            F.round(exp_df, 6).alias("expected_df"),
+            F.round(F.col("df") / exp_df, 6).alias("burstiness"),
+        )
+    )
+    w = W.orderBy(F.col("burstiness"), F.col("token"))
+    return (
+        scored.withColumn(
+            "burst_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("burst_rank") <= BURST_TOPK)
+    )
+
+
+BURSTINESS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_tokens('text')} AS ts FROM documents
+),
+ex AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+stats AS (
+  SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+  FROM ex GROUP BY token
+),
+nd AS (SELECT count(*) AS D FROM documents),
+scored AS (
+  SELECT token,
+         CAST(cnt AS BIGINT) AS cnt,
+         CAST(df AS BIGINT) AS df,
+         round(D * (1.0 - pow(CAST(D - 1 AS DOUBLE) / D, CAST(cnt AS DOUBLE))), 6)
+           AS expected_df,
+         round(df / (D * (1.0 - pow(CAST(D - 1 AS DOUBLE) / D, CAST(cnt AS DOUBLE)))), 6)
+           AS burstiness
+  FROM stats CROSS JOIN nd
+  WHERE cnt >= {BURST_MIN_CNT}
+)
+SELECT token, cnt, df, expected_df, burstiness,
+       CAST(burst_rank AS BIGINT) AS burst_rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY burstiness, token) AS burst_rank
+  FROM scored
+) WHERE burst_rank <= {BURST_TOPK}
+"""
+
+UNREGISTERED_TEXT_QUERIES["q_burstiness"] = q_burstiness
+UNREGISTERED_TEXT_ORACLES["q_burstiness"] = BURSTINESS_ORACLE

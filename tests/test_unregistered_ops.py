@@ -5017,3 +5017,43 @@ def test_good_turing_oracle_exact_and_replay(spark, sf_dir):
     lgt_rs = [r for r in rs_sorted if got[r]["used_lgt"]]
     for a, bb in zip(lgt_rs, lgt_rs[1:]):
         assert got[a]["r_star"] < got[bb]["r_star"]
+
+
+def test_burstiness_oracle_exact_and_fixture(spark, sf_dir):
+    """Token burstiness (Church & Gale 1995): DuckDB parity over
+    documents, plus the constructed fixture — a token concentrated in
+    ONE document ranks burstier than the same total count spread one
+    occurrence per document (which sits on the Poisson line,
+    burstiness ~1)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        text_analysis as ta,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(ta.q_burstiness(spark, sf_dir), con, ta.BURSTINESS_ORACLE)
+    finally:
+        con.close()
+
+    d = 64
+    docs = []
+    for i in range(d):
+        toks = ["spread"]  # 1 occurrence per doc: on the Poisson line
+        if i == 0:
+            toks += ["bursty"] * d  # same total count, one doc
+        docs.append((i, " ".join(toks + ["filler"] * 2)))
+    with _tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            _os.path.join(tmp, "documents.parquet")
+        )
+        got = {r["token"]: r for r in ta.q_burstiness(spark, tmp).collect()}
+    assert got["bursty"]["df"] == 1 and got["bursty"]["cnt"] == d
+    assert got["spread"]["df"] == d
+    assert got["bursty"]["burstiness"] < 0.1
+    assert got["spread"]["burstiness"] > 0.9
+    assert got["bursty"]["burst_rank"] < got["spread"]["burst_rank"]
