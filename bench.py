@@ -203,6 +203,8 @@ HEADLINE = [
     "q_good_turing",
     # Church-Gale token burstiness top-k
     "q_burstiness",
+    # Davies-Bouldin cluster-quality audit of the fitted k-means
+    "q_cluster_quality",
 ]
 
 
@@ -262,6 +264,7 @@ def _extra_queries():
         UNREGISTERED_CONTAMINATION_QUERIES,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
+        q_cluster_quality,
         q_kmeans,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.lm_score import (
@@ -508,6 +511,7 @@ def _extra_queries():
         "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
         "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
         "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],
+        "q_cluster_quality": q_cluster_quality,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

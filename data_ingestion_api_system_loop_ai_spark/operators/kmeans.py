@@ -181,3 +181,120 @@ FROM (
   FROM scored
 ) WHERE rnk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster-quality audit (Davies & Bouldin 1979, IEEE
+# TPAMI), adapted to the spherical/cosine geometry this k-means runs
+# in: per cluster i, cohesion s_i = mean angular distance (1 - cos) of
+# members to their centroid; separation d_ij = 1 - cos(c_i, c_j); the
+# per-cluster index DB_i = max_{j != i} (s_i + s_j) / d_ij and the
+# corpus index is mean_i DB_i — low is good (tight, well-separated
+# clusters). The pipeline reads this after every ann/cluster artifact
+# rebuild: a jump says the embedding space or K drifted.
+#
+# Shape: cohesion is one map-side-combinable per-cell mean over the
+# final assignment (decimal-pinned); separation is a k x k centroid
+# crossJoin — K^2 = 256 rows of in-row zip_with dot products, driver-
+# trivial by construction. NON-SQL-EXPRESSIBLE end-to-end (the Lloyd
+# loop); the audit math is direct-tested against a numpy replay from
+# the SAME fitted model.
+# ---------------------------------------------------------------------------
+
+
+def davies_bouldin(e: DataFrame, asg: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(cell, n, cohesion, worst_other, db_i, db_index) — one row per
+    cluster plus the corpus-level mean replicated on every row (the
+    1-row-broadcast idiom keeps the output a single relation)."""
+    dec = lambda c: c.cast("double").cast("decimal(25,12)")  # noqa: E731
+    coh = asg.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.sum(dec(F.lit(1.0) - F.col("cos"))).cast("double")
+            / F.count("*")
+        ).alias("s"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda v: v * v),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cn = centroids.select(
+        "cell",
+        F.transform(F.col("centroid"), lambda v: v / norm).alias("u"),
+    )
+    pairs = (
+        cn.select(F.col("cell").alias("ci"), F.col("u").alias("ua"))
+        .crossJoin(
+            F.broadcast(
+                cn.select(F.col("cell").alias("cj"), F.col("u").alias("ub"))
+            )
+        )
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            (
+                F.lit(1.0)
+                - F.aggregate(
+                    F.zip_with(
+                        F.col("ua"), F.col("ub"), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("d"),
+        )
+    )
+    ratio = (
+        pairs.join(
+            F.broadcast(coh.select(F.col("cell").alias("ci"), F.col("s").alias("si"))),
+            "ci",
+        )
+        .join(
+            F.broadcast(coh.select(F.col("cell").alias("cj"), F.col("s").alias("sj"))),
+            "cj",
+        )
+        .select(
+            "ci",
+            "cj",
+            ((F.col("si") + F.col("sj")) / F.col("d")).alias("r"),
+        )
+    )
+    per_cluster = ratio.groupBy(F.col("ci").alias("cell")).agg(
+        F.max_by("cj", F.struct(F.col("r"), -F.col("cj"))).alias(
+            "worst_other"
+        ),
+        F.max("r").alias("db_i"),
+    )
+    overall = per_cluster.agg(
+        (
+            F.sum(F.round(F.col("db_i"), 12).cast("decimal(25,12)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("db_index")
+    )
+    return (
+        coh.join(per_cluster, "cell")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "cell",
+            "n",
+            F.round("s", 6).alias("cohesion"),
+            "worst_other",
+            F.round("db_i", 6).alias("db_i"),
+            F.round("db_index", 6).alias("db_index"),
+        )
+    )
+
+
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin audit of the fitted spherical k-means.
+    (Unregistered, NON-SQL-EXPRESSIBLE — rides the Lloyd loop; the
+    audit arithmetic is direct-tested against an independent numpy
+    replay in tests/test_unregistered_ops.py.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, cent, _obj = kmeans_fit(e)
+    return davies_bouldin(e, asg, cent)

@@ -5057,3 +5057,59 @@ def test_burstiness_oracle_exact_and_fixture(spark, sf_dir):
     assert got["bursty"]["burstiness"] < 0.1
     assert got["spread"]["burstiness"] > 0.9
     assert got["bursty"]["burst_rank"] < got["spread"]["burst_rank"]
+
+
+def test_cluster_quality_matches_numpy_replay(spark, sf_dir):
+    """Davies-Bouldin audit (cosine form): the audit arithmetic is
+    replayed in numpy from the SAME fitted model — cohesion, pairwise
+    centroid separations, per-cluster max ratio, and the corpus
+    index — plus positivity/consistency invariants."""
+    import numpy as np
+
+    from data_ingestion_api_system_loop_ai_spark.operators import kmeans as km
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, cent, _ = km.kmeans_fit(e)
+    got = {
+        r["cell"]: r
+        for r in km.davies_bouldin(e, asg, cent).collect()
+    }
+
+    arows = asg.select("vec_id", "cell", "cos").collect()
+    crows = cent.collect()
+    cells = sorted(r["cell"] for r in crows)
+    s = {}
+    n = {}
+    for c in cells:
+        vals = [1.0 - r["cos"] for r in arows if r["cell"] == c]
+        n[c] = len(vals)
+        s[c] = sum(vals) / len(vals)
+    u = {
+        r["cell"]: (lambda v: v / np.linalg.norm(v))(
+            np.array(r["centroid"], dtype=np.float64)
+        )
+        for r in crows
+    }
+    db = {}
+    worst = {}
+    for i in cells:
+        rs = {
+            j: (s[i] + s[j]) / (1.0 - float(u[i] @ u[j]))
+            for j in cells
+            if j != i
+        }
+        j_best = max(rs, key=lambda j: (rs[j], -j))
+        db[i] = rs[j_best]
+        worst[i] = j_best
+    db_index = sum(db.values()) / len(cells)
+
+    assert set(got) == set(cells)
+    for c in cells:
+        g = got[c]
+        assert g["n"] == n[c]
+        assert abs(g["cohesion"] - s[c]) < 1e-6, c
+        assert abs(g["db_i"] - db[c]) < 1e-5, c
+        assert g["worst_other"] == worst[c], c
+        assert g["db_i"] > 0
+        assert abs(g["db_index"] - db_index) < 1e-5
