@@ -1245,11 +1245,23 @@ def _winnow_fps(text_col: str):
             )
         )
 
+    # DOUBLE let binding: ``toks`` AND ``hs`` are both lambda variables.
+    # Passing the hashes EXPRESSION into windows() would let
+    # CollapseProject inline it into every window element's size/slice
+    # reference — re-running all O(n) md5s once per window, O(n^2) md5
+    # per document (measured 53 s -> 1.7 s at sf0.1 for the full pair
+    # query once hs became a variable).
     return F.element_at(
         F.transform(
             F.array(tokenize(F.col(text_col))),
             lambda toks: F.when(
-                F.size(toks) >= WINNOW_K, windows(hashes(toks))
+                F.size(toks) >= WINNOW_K,
+                F.element_at(
+                    F.transform(
+                        F.array(hashes(toks)), lambda hs: windows(hs)
+                    ),
+                    1,
+                ),
             ).otherwise(F.array().cast("array<long>")),
         ),
         1,
