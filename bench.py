@@ -203,8 +203,9 @@ HEADLINE = [
     "q_good_turing",
     # Church-Gale token burstiness top-k
     "q_burstiness",
-    # Davies-Bouldin cluster-quality audit of the fitted k-means
+    # Davies-Bouldin cluster-quality audit: inline fit vs frozen model
     "q_cluster_quality",
+    "q_cluster_quality_model",
 ]
 
 
@@ -414,6 +415,20 @@ def _extra_queries():
             km_built[sf_dir] = p
         return sdd.q_semdedup_from_model(spark, sf_dir, km_built[sf_dir])
 
+    def _cluster_quality_from_model(spark, sf_dir):
+        # rides the same frozen k-means model as the semdedup probe
+        from data_ingestion_api_system_loop_ai_spark.operators.kmeans import (
+            q_cluster_quality_from_model,
+        )
+
+        if sf_dir not in km_built:
+            p = os.path.join(
+                ix_root, "km_" + os.path.basename(sf_dir.rstrip("/"))
+            )
+            sdd.build_kmeans_model(spark, sf_dir, p)
+            km_built[sf_dir] = p
+        return q_cluster_quality_from_model(spark, sf_dir, km_built[sf_dir])
+
     bpe_built: dict = {}
 
     def _fertility_from_model(spark, sf_dir):
@@ -512,6 +527,7 @@ def _extra_queries():
         "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
         "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],
         "q_cluster_quality": q_cluster_quality,
+        "q_cluster_quality_model": _cluster_quality_from_model,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

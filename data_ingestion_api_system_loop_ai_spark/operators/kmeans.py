@@ -298,3 +298,27 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     asg, cent, _obj = kmeans_fit(e)
     return davies_bouldin(e, asg, cent)
+
+
+def q_cluster_quality_from_model(
+    spark: SparkSession, sf_dir: str, model_path: str
+) -> DataFrame:
+    """The Davies-Bouldin audit against a FROZEN persisted cluster
+    model (built by ``semdedup.build_kmeans_model``): one
+    broadcast-argmax assignment pass + one post-assignment centroid
+    recompute + the audit — no Lloyd loop in the query path. The
+    stored centroids PRODUCE the inline fit's final assignment, and
+    the recompute matches ``kmeans_fit``'s returned centroids, so the
+    audit is pinned IDENTICAL to inline (direct test)."""
+    import os
+
+    from ..sources import commit_protocol
+
+    commit_protocol.require_marker(
+        model_path, what="k-means model", builder="build_kmeans_model"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    stored = spark.read.parquet(os.path.join(model_path, "centroids"))
+    asg = kmeans_assign(e, stored).localCheckpoint()
+    cent = _recompute(e, asg)
+    return davies_bouldin(e, asg, cent)

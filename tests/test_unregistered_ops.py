@@ -5113,3 +5113,29 @@ def test_cluster_quality_matches_numpy_replay(spark, sf_dir):
         assert g["worst_other"] == worst[c], c
         assert g["db_i"] > 0
         assert abs(g["db_index"] - db_index) < 1e-5
+
+
+def test_cluster_quality_from_model_matches_inline(spark, sf_dir, tmp_path):
+    """The frozen-model form of the Davies-Bouldin audit is pinned
+    IDENTICAL to the inline fit (the stored centroids produce the same
+    final assignment; the post-assignment recompute matches
+    kmeans_fit's returned centroids), and a torn model is refused."""
+    import pytest as _pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators import kmeans as km
+    from data_ingestion_api_system_loop_ai_spark.operators.semdedup import (
+        build_kmeans_model,
+    )
+
+    mp = str(tmp_path / "km_quality")
+    with _pytest.raises(FileNotFoundError):
+        km.q_cluster_quality_from_model(spark, sf_dir, mp)
+    build_kmeans_model(spark, sf_dir, mp)
+    frozen = sorted(
+        map(
+            tuple,
+            km.q_cluster_quality_from_model(spark, sf_dir, mp).collect(),
+        )
+    )
+    inline = sorted(map(tuple, km.q_cluster_quality(spark, sf_dir).collect()))
+    assert frozen == inline and len(frozen) > 0
