@@ -407,12 +407,22 @@ def q_mink_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the count operand is decimal(12,0), NOT long: long promotes
             # to decimal(20,0) and 25+20+1 > 38 digits, which silently
             # TRUNCATES the product scale to 6 under precision loss
+            # the (25,12)*(12,0) product is decimal(38,12); adding it to
+            # the (25,12) accumulator directly would promote to
+            # decimal(38,11) — i.e. ROUND the running sum to 11 dp while
+            # the oracle sums at scale 12. Cast the product down to
+            # (25,12) first (exact: the value is bounded by
+            # max-surprisal * k, far under 13 integer digits, and the
+            # scale is already 12); (25,12)+(25,12) then stays lossless
+            # at decimal(26,12).
             (
                 acc["s"]
-                + x["c"].cast("decimal(25,12)")
-                * F.least(x["tf"].cast("long"), acc["rem"]).cast(
-                    "decimal(12,0)"
-                )
+                + (
+                    x["c"].cast("decimal(25,12)")
+                    * F.least(x["tf"].cast("long"), acc["rem"]).cast(
+                        "decimal(12,0)"
+                    )
+                ).cast("decimal(25,12)")
             ).cast("decimal(25,12)").alias("s"),
             F.greatest(
                 acc["rem"] - x["tf"].cast("long"), F.lit(0).cast("long")

@@ -1315,15 +1315,21 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+    # `sizes` is one row per fingerprinted doc — it scales with corpus
+    # doc count, so it must NOT carry a broadcast hint (a forced
+    # broadcast of a corpus-sized relation is a driver OOM at scale).
+    # Left unhinted, AQE broadcasts it only while it actually fits —
+    # the same convention q_dedup_near / q_dedup_snm follow for their
+    # size joins (see the note at the top of this module).
     return (
         pairs.join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                        .withColumnRenamed("n_fp", "n_a")),
+            sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_fp", "n_a"),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-                        .withColumnRenamed("n_fp", "n_b")),
+            sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_fp", "n_b"),
             "doc_b",
         )
         .select(

@@ -202,7 +202,7 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
-def davies_bouldin(e: DataFrame, asg: DataFrame, centroids: DataFrame) -> DataFrame:
+def davies_bouldin(asg: DataFrame, centroids: DataFrame) -> DataFrame:
     """(cell, n, cohesion, worst_other, db_i, db_index) — one row per
     cluster plus the corpus-level mean replicated on every row (the
     1-row-broadcast idiom keeps the output a single relation)."""
@@ -297,7 +297,7 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay in tests/test_unregistered_ops.py.)"""
     e = load_table(spark, sf_dir, "embeddings")
     asg, cent, _obj = kmeans_fit(e)
-    return davies_bouldin(e, asg, cent)
+    return davies_bouldin(asg, cent)
 
 
 def q_cluster_quality_from_model(
@@ -321,4 +321,4 @@ def q_cluster_quality_from_model(
     stored = spark.read.parquet(os.path.join(model_path, "centroids"))
     asg = kmeans_assign(e, stored).localCheckpoint()
     cent = _recompute(e, asg)
-    return davies_bouldin(e, asg, cent)
+    return davies_bouldin(asg, cent)

@@ -574,12 +574,16 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("df") / exp_df, 6).alias("burstiness"),
         )
     )
+    # orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    # heap of BURST_TOPK rows, never a global sort of the whole
+    # cnt>=BURST_MIN_CNT vocabulary (a bare row_number over an
+    # unpartitioned Window would single-partition-sort it; WindowGroupLimit
+    # only bounds the input volume, it does not remove the sort). The
+    # rank window then runs over exactly BURST_TOPK rows.
+    top = scored.orderBy(F.col("burstiness"), F.col("token")).limit(BURST_TOPK)
     w = W.orderBy(F.col("burstiness"), F.col("token"))
-    return (
-        scored.withColumn(
-            "burst_rank", F.row_number().over(w).cast("long")
-        )
-        .filter(F.col("burst_rank") <= BURST_TOPK)
+    return top.withColumn(
+        "burst_rank", F.row_number().over(w).cast("long")
     )
 
 

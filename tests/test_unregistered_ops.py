@@ -5073,7 +5073,7 @@ def test_cluster_quality_matches_numpy_replay(spark, sf_dir):
     asg, cent, _ = km.kmeans_fit(e)
     got = {
         r["cell"]: r
-        for r in km.davies_bouldin(e, asg, cent).collect()
+        for r in km.davies_bouldin(asg, cent).collect()
     }
 
     arows = asg.select("vec_id", "cell", "cos").collect()
