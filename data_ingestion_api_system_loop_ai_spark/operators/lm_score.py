@@ -619,9 +619,9 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language head/middle/tail perplexity buckets over
-    ``documents`` (CCNet). (Unregistered — 50-slot cap; driver-grade
-    DuckDB parity + ntile-equivalence + semantics fixtures in
-    tests/test_unregistered_ops.py.)"""
+    ``documents`` (CCNet). (REGISTERED in the round-9 rotation — slot
+    funded by the permanently-no-oracle q_assign_ids; ntile-equivalence
+    + semantics fixtures stay in tests/test_unregistered_ops.py.)"""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
@@ -654,20 +654,27 @@ FROM r JOIN n_lang n USING (lang)
 
 # Registry wiring: q_kn_score REGISTERED in the round-8 second rotation
 # (slot funded by q_text_analysis — the LM family's first registered
-# slot). The unigram/bigram forms and the CCNet bucketing stay
+# slot). q_ccnet_buckets REGISTERED in the round-9 rotation (slot
+# funded by q_assign_ids, which is permanently no_oracle — uuid/now —
+# and so could never produce hash signal; its semantics stay pinned in
+# tests/test_pipeline_semantics.py). The unigram/bigram forms stay
 # unregistered API surface with driver-grade parity tests
 # (tests/test_unregistered_ops.py).
-LM_QUERIES = {"q_kn_score": q_kn_score}
-LM_ORACLES = {"q_kn_score": KN_SCORE_ORACLE}
+LM_QUERIES = {
+    "q_kn_score": q_kn_score,
+    "q_ccnet_buckets": q_ccnet_buckets,
+}
+LM_ORACLES = {
+    "q_kn_score": KN_SCORE_ORACLE,
+    "q_ccnet_buckets": CCNET_BUCKETS_ORACLE,
+}
 UNREGISTERED_LM_QUERIES = {
     "q_lm_score": q_lm_score,
     "q_lm2_score": q_lm2_score,
-    "q_ccnet_buckets": q_ccnet_buckets,
 }
 UNREGISTERED_LM_ORACLES = {
     "q_lm_score": LM_SCORE_ORACLE,
     "q_lm2_score": LM2_SCORE_ORACLE,
-    "q_ccnet_buckets": CCNET_BUCKETS_ORACLE,
 }
 
 

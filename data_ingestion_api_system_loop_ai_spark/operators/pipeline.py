@@ -265,8 +265,10 @@ def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — server-assigned identifiers (reference
     ``ingestController.js:17-18``: ``uuidv4()`` + ``new Date()``):
     ``uuid()`` + ``current_timestamp()`` projected over validated
-    requests. Nondeterministic by nature — rows-only check (no oracle),
-    exactly as SURVEY §2.1 scopes A4."""
+    requests. Nondeterministic by nature — no oracle can ever hash it,
+    so the round-9 rotation moved it to the unregistered surface
+    (semantics pinned in tests/test_pipeline_semantics.py; the slot
+    funds q_ccnet_buckets)."""
     req = requests(spark, sf_dir)
     return req.select(
         "request_id",
@@ -731,12 +733,22 @@ SELECT request_id, batch_index, batch_id,
 FROM batches
 """
 
-UNREGISTERED_PIPELINE_QUERIES = {"q_batch_chunking": q_batch_chunking}
+UNREGISTERED_PIPELINE_QUERIES = {
+    "q_batch_chunking": q_batch_chunking,
+    # q_assign_ids gave up its registry slot in the round-9 rotation:
+    # it is PERMANENTLY no_oracle (uuid()/current_timestamp() — the
+    # reference's own nondeterminism, ingestController.js:17-18), so it
+    # could never convert its slot into hash signal; the slot funds
+    # q_ccnet_buckets (oracle-exact). Its semantics stay pinned by
+    # test_assign_ids_semantics_pinned (tests/test_pipeline_semantics.py)
+    # and its row count is implied by q_validate_requests (registered):
+    # one output row per valid request.
+    "q_assign_ids": q_assign_ids,
+}
 UNREGISTERED_PIPELINE_ORACLES = {"q_batch_chunking": BATCH_CHUNKING_ORACLE}
 
 PIPELINE_QUERIES = {
     "q_validate_requests": q_validate_requests,
-    "q_assign_ids": q_assign_ids,  # rows-only: uuid()/current_timestamp()
     # q_batch_chunking gave up its slot in the late-round-5 rotation
     # (chunk semantics stay hash-checked inside q_pipeline_e2e; the
     # slot funds q_kmv_overlap); driver-grade parity test kept.

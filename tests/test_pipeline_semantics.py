@@ -109,3 +109,42 @@ def test_build_training_corpus_funnel_and_shards(spark, sf_dir, tmp_path):
         import pyarrow.parquet as pq
 
         assert pq.read_metadata(f).num_rows <= 64
+
+
+def test_assign_ids_semantics_pinned(spark, sf_dir):
+    """A4 pin (round-9 rotation: q_assign_ids left the registry because
+    uuid()/current_timestamp() can never hash-match an oracle —
+    reference ``ingestController.js:17-18`` is nondeterministic by its
+    own semantics). Everything deterministic about it IS pinned here:
+    one row per request, RFC-4122 v4 ingestion_id, unique per request,
+    n_ids equal to the request's ids length, and assigned_at inside the
+    run window."""
+    import datetime
+    import re
+
+    from data_ingestion_api_system_loop_ai_spark.operators.pipeline import (
+        q_assign_ids,
+        requests,
+    )
+
+    t0 = datetime.datetime.now() - datetime.timedelta(minutes=10)
+    rows = q_assign_ids(spark, sf_dir).collect()
+    t1 = datetime.datetime.now() + datetime.timedelta(minutes=10)
+    base = {
+        r["request_id"]: len(r["ids"])
+        for r in requests(spark, sf_dir).select("request_id", "ids").collect()
+    }
+    assert len(rows) == len(base)
+    uuid4 = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    seen = set()
+    for r in rows:
+        assert uuid4.match(r["ingestion_id"]), r["ingestion_id"]
+        assert r["ingestion_id"] not in seen
+        seen.add(r["ingestion_id"])
+        assert r["n_ids"] == base[r["request_id"]]
+        at = r["assigned_at"]
+        if at.tzinfo is not None:
+            at = at.astimezone().replace(tzinfo=None)
+        assert t0 <= at <= t1

@@ -14,8 +14,11 @@ def test_registry_has_exactly_50_slots():
     assert len(registry.QUERIES) == 50
     # every oracle belongs to a registered query
     assert set(registry.ORACLES) <= set(registry.QUERIES)
-    # the single rows-only-by-design entry (uuid/current_timestamp)
-    assert set(registry.QUERIES) - set(registry.ORACLES) == {"q_assign_ids"}
+    # round-9 rotation: zero no-oracle rows — every registered query is
+    # hash-checkable (q_assign_ids, the one permanently-unhashable op,
+    # moved to the unregistered surface; semantics pinned in
+    # tests/test_pipeline_semantics.py)
+    assert set(registry.QUERIES) == set(registry.ORACLES)
 
 
 def test_transitive_import_error_is_not_swallowed(monkeypatch):
