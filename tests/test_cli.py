@@ -14,7 +14,10 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q_pipeline_e2e" in out
-    assert "sql-oracle" in out and "rows-only" in out
+    # round-9 rotation: zero rows-only slots remain (q_assign_ids moved
+    # to the direct-tested unregistered surface)
+    assert "sql-oracle" in out and "direct-test" in out
+    assert "rows-only" not in out
     # the direct-tested unregistered surface is listed and runnable too
     assert "direct-test" in out and "q_winnow_pairs" in out
 
