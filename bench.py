@@ -65,6 +65,7 @@ HEADLINE = [
     "q_dedup_embedding",
     "q_multimodal_meta",
     "q_media_pipeline",
+    "q_media_meta",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
@@ -214,6 +215,7 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators import ann_index
     from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        q_media_meta,
         q_media_pipeline,
         q_multimodal_meta,
     )
@@ -564,6 +566,9 @@ def _extra_queries():
         "q_embedding_clusters_index": _clusters_from_index,
         "q_multimodal_meta": q_multimodal_meta,
         "q_media_pipeline": q_media_pipeline,
+        # round-9: MP4 box walk + MKV/EBML parse over synthesized
+        # containers (two narrow mapInPandas stages)
+        "q_media_meta": q_media_meta,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

@@ -1404,3 +1404,546 @@ SELECT doc_id AS asset_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Container-level media metadata (round 9) — the layer a filtering
+# pipeline actually reads on a 100 TB multimodal corpus: you almost
+# never decode H.264 macroblocks to decide keep/drop; you read the
+# CONTAINER (duration, codec id, resolution, frame index) and route.
+# Two container families, both parsed with pure byte math (no codec
+# library anywhere):
+#
+# - ISO-BMFF / MP4 (ISO/IEC 14496-12): length-prefixed box tree.
+#   ``parse_mp4`` walks top-level boxes (64-bit largesize and
+#   size==0=to-EOF handled), descends the moov/trak/mdia/minf/stbl
+#   containers, and reads mvhd (timescale, duration), tkhd (16.16
+#   fixed-point width/height), stsd (codec fourcc), stts/stsz/stco
+#   (sample count, per-sample sizes, chunk offsets) — from which it
+#   derives the FRAME-OFFSET INDEX (chunk base + running sample-size
+#   sum), i.e. what a distributed frame-sampler needs to seek without
+#   decoding.
+# - Matroska / MKV (EBML, RFC 8794): variable-length-integer element
+#   tree. ``parse_mkv`` is a generic EBML walker: vint ids (marker
+#   kept) + vint sizes (marker stripped), Segment > Info
+#   (TimestampScale, float Duration), Tracks > TrackEntry (CodecID,
+#   Video > PixelWidth/PixelHeight), Cluster > SimpleBlock positions
+#   as the frame index.
+#
+# The encoders synthesize structurally-valid fixtures executor-side
+# (mdat-before-moov so stco offsets are independent of moov length —
+# the common non-faststart layout). Sample entries are minimal (no
+# avcC/hvcC config blobs): the parser's job is the container walk, and
+# the golden tests parse HAND-PACKED byte strings built independently
+# of these encoders so the parser is not merely their inverse.
+# Reference repo has no media surface (SURVEY §2 B33 mandate is
+# BASELINE.json's "multimodal columns").
+# ---------------------------------------------------------------------------
+
+_MP4_CODECS = ("avc1", "hev1", "av01")
+_MKV_CODECS = ("V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC", "V_AV1")
+_META_INDEX_K = 5  # frame offsets surfaced per asset
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _fullbox(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_UNITY_MATRIX = b"".join(
+    v.to_bytes(4, "big")
+    for v in (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+)
+
+
+def _mp4_frame_sizes(n_frames: int, seed: int) -> list[int]:
+    return [50 + ((seed * 31 + i * 7) % 100) for i in range(n_frames)]
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    n_frames: int,
+    codec: str = "avc1",
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally-valid ISO-BMFF file: ftyp + mdat + moov
+    (mvhd, trak[tkhd, mdia[mdhd, hdlr, minf[vmhd, dinf, stbl[stsd,
+    stts, stsc, stsz, stco]]]]). mdat precedes moov so the single
+    stco chunk offset is a constant of the prefix length."""
+    sizes = _mp4_frame_sizes(n_frames, seed)
+    frames = b"".join(
+        bytes((seed + i + j) % 256 for j in range(sz))
+        for i, sz in enumerate(sizes)
+    )
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2mp41")
+    mdat = _box(b"mdat", frames)
+    mdat_payload_off = len(ftyp) + 8  # first frame byte
+    duration = n_frames * frame_delta
+
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")      # volume 1.0
+        + bytes(2) + bytes(8)
+        + _MP4_UNITY_MATRIX
+        + bytes(24)
+        + (2).to_bytes(4, "big"),          # next_track_ID
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,
+        (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")           # track_ID
+        + bytes(4)
+        + duration.to_bytes(4, "big")
+        + bytes(8)
+        + bytes(2) + bytes(2) + bytes(2) + bytes(2)
+        + _MP4_UNITY_MATRIX
+        + (width << 16).to_bytes(4, "big")   # 16.16 fixed
+        + (height << 16).to_bytes(4, "big"),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")      # language 'und'
+        + bytes(2),
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        bytes(4) + b"vide" + bytes(12) + b"VideoHandler\x00",
+    )
+    entry = (
+        codec.encode("ascii")[:4].ljust(4, b"\x00")
+        + bytes(6) + (1).to_bytes(2, "big")      # data_reference_index
+        + bytes(2) + bytes(2) + bytes(12)
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x00480000).to_bytes(4, "big") * 2    # 72 dpi h/v
+        + bytes(4) + (1).to_bytes(2, "big")      # frame_count
+        + bytes(32)                              # compressorname
+        + (0x0018).to_bytes(2, "big")            # depth 24
+        + (0xFFFF).to_bytes(2, "big")
+    )
+    # sample-entry box header = size(4) + format(4); `entry` already
+    # begins with the format fourcc, so size = 4 + len(entry)
+    stsd = _fullbox(
+        b"stsd", 0, 0,
+        (1).to_bytes(4, "big") + (4 + len(entry)).to_bytes(4, "big") + entry,
+    )
+    stts = _fullbox(
+        b"stts", 0, 0,
+        (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big") + frame_delta.to_bytes(4, "big"),
+    )
+    stsc = _fullbox(
+        b"stsc", 0, 0,
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+        + (1).to_bytes(4, "big"),
+    )
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        (0).to_bytes(4, "big") + n_frames.to_bytes(4, "big")
+        + b"".join(sz.to_bytes(4, "big") for sz in sizes),
+    )
+    stco = _fullbox(
+        b"stco", 0, 0,
+        (1).to_bytes(4, "big") + mdat_payload_off.to_bytes(4, "big"),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(
+        b"dinf",
+        _fullbox(b"dref", 0, 0, (1).to_bytes(4, "big") + _fullbox(b"url ", 0, 1, b"")),
+    )
+    vmhd = _fullbox(b"vmhd", 0, 1, bytes(2) + bytes(6))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, box_end) for each box in
+    [start, end); handles 64-bit largesize and size==0 (to end)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"torn box header at {pos}")
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"torn largesize at {pos}")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"torn box {typ!r} at {pos}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """ISO-BMFF box walk -> container metadata + frame-offset index."""
+    out: dict = {
+        "container": "mp4", "codec": None, "width": None, "height": None,
+        "duration_s": None, "n_samples": None, "timescale": None,
+        "frame_offsets": None,
+    }
+    sizes: list[int] = []
+    chunk_offs: list[int] = []
+    saw_moov = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal saw_moov, sizes, chunk_offs
+        for typ, ps, pe in _walk_boxes(payload, start, end):
+            if typ in _MP4_CONTAINERS:
+                if typ == b"moov":
+                    saw_moov = True
+                walk(ps, pe)
+            elif typ == b"mvhd":
+                v = payload[ps]
+                o = ps + 4 + (16 if v == 1 else 8)
+                ts = int.from_bytes(payload[o:o + 4], "big")
+                dur = int.from_bytes(
+                    payload[o + 4:o + 4 + (8 if v == 1 else 4)], "big"
+                )
+                out["timescale"] = ts
+                out["duration_s"] = round(dur / ts, 6) if ts else None
+            elif typ == b"tkhd":
+                out["width"] = int.from_bytes(payload[pe - 8:pe - 4], "big") >> 16
+                out["height"] = int.from_bytes(payload[pe - 4:pe], "big") >> 16
+            elif typ == b"stsd":
+                # entry_count(4) then first entry: size(4) format(4)
+                out["codec"] = payload[ps + 12:ps + 16].decode(
+                    "ascii", "replace"
+                ).strip("\x00")
+            elif typ == b"stsz":
+                fixed = int.from_bytes(payload[ps + 4:ps + 8], "big")
+                n = int.from_bytes(payload[ps + 8:ps + 12], "big")
+                out["n_samples"] = n
+                if fixed:
+                    sizes = [fixed] * n
+                else:
+                    if ps + 12 + 4 * n > pe:
+                        raise ValueError("torn stsz table")
+                    sizes = [
+                        int.from_bytes(payload[ps + 12 + 4 * i:ps + 16 + 4 * i], "big")
+                        for i in range(n)
+                    ]
+            elif typ == b"stco":
+                n = int.from_bytes(payload[ps + 4:ps + 8], "big")
+                if ps + 8 + 4 * n > pe:
+                    raise ValueError("torn stco table")
+                chunk_offs = [
+                    int.from_bytes(payload[ps + 8 + 4 * i:ps + 12 + 4 * i], "big")
+                    for i in range(n)
+                ]
+
+    walk(0, len(payload))
+    if not saw_moov:
+        raise ValueError("no moov box (torn or not ISO-BMFF)")
+    if chunk_offs and sizes:
+        offs = []
+        pos = chunk_offs[0]
+        for sz in sizes[:_META_INDEX_K]:
+            offs.append(pos)
+            pos += sz
+        out["frame_offsets"] = offs
+    return out
+
+
+# --- EBML / Matroska -------------------------------------------------------
+
+def _ebml_size(v: int) -> bytes:
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | v).to_bytes(n, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big") + _ebml_size(
+        len(payload)
+    ) + payload
+
+
+def _ebml_uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def encode_mkv(
+    width: int,
+    height: int,
+    n_frames: int,
+    codec_id: str = "V_MPEG4/ISO/AVC",
+    duration_s: float = 1.0,
+    timescale_ns: int = 1_000_000,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally-valid Matroska file: EBML header
+    (DocType matroska) + Segment[Info(TimestampScale, Duration),
+    Tracks[TrackEntry(CodecID, Video(PixelWidth, PixelHeight))],
+    Cluster[Timestamp, n_frames x SimpleBlock]]."""
+    import struct as _struct
+
+    header = _ebml_elem(
+        0x1A45DFA3,
+        _ebml_elem(0x4286, _ebml_uint(1))        # EBMLVersion
+        + _ebml_elem(0x42F7, _ebml_uint(1))      # EBMLReadVersion
+        + _ebml_elem(0x42F2, _ebml_uint(4))      # EBMLMaxIDLength
+        + _ebml_elem(0x42F3, _ebml_uint(8))      # EBMLMaxSizeLength
+        + _ebml_elem(0x4282, b"matroska")        # DocType
+        + _ebml_elem(0x4287, _ebml_uint(4))      # DocTypeVersion
+        + _ebml_elem(0x4285, _ebml_uint(2)),     # DocTypeReadVersion
+    )
+    dur_ticks = duration_s * 1e9 / timescale_ns
+    info = _ebml_elem(
+        0x1549A966,
+        _ebml_elem(0x2AD7B1, _ebml_uint(timescale_ns))
+        + _ebml_elem(0x4489, _struct.pack(">d", dur_ticks)),
+    )
+    tracks = _ebml_elem(
+        0x1654AE6B,
+        _ebml_elem(
+            0xAE,
+            _ebml_elem(0xD7, _ebml_uint(1))       # TrackNumber
+            + _ebml_elem(0x73C5, _ebml_uint(1))   # TrackUID
+            + _ebml_elem(0x83, _ebml_uint(1))     # TrackType video
+            + _ebml_elem(0x86, codec_id.encode("ascii"))
+            + _ebml_elem(
+                0xE0,
+                _ebml_elem(0xB0, _ebml_uint(width))
+                + _ebml_elem(0xBA, _ebml_uint(height)),
+            ),
+        ),
+    )
+    blocks = b""
+    for i in range(n_frames):
+        sz = 40 + ((seed * 13 + i * 11) % 80)
+        body = (
+            b"\x81"                                # track 1 (vint)
+            + (i * 40).to_bytes(2, "big")          # relative timestamp
+            + (b"\x80" if i == 0 else b"\x00")     # keyframe flag on first
+            + bytes((seed + i + j) % 256 for j in range(sz))
+        )
+        blocks += _ebml_elem(0xA3, body)           # SimpleBlock
+    cluster = _ebml_elem(
+        0x1F43B675, _ebml_elem(0xE7, _ebml_uint(0)) + blocks
+    )
+    return header + _ebml_elem(0x18538067, info + tracks + cluster)
+
+
+def _ebml_read_vint(buf: bytes, pos: int, end: int, keep_marker: bool):
+    if pos >= end:
+        raise ValueError(f"torn vint at {pos}")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError(f"invalid vint at {pos}")
+    n, mask = 1, 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+    if pos + n > end:
+        raise ValueError(f"torn vint at {pos}")
+    if keep_marker:
+        val = int.from_bytes(buf[pos:pos + n], "big")
+    else:
+        val = first & (mask - 1)
+        for b in buf[pos + 1:pos + n]:
+            val = (val << 8) | b
+    return val, pos + n
+
+
+_MKV_CONTAINERS = {
+    0x1A45DFA3,  # EBML header (carries DocType)
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0x1F43B675,  # Cluster
+}
+
+
+def parse_mkv(payload: bytes) -> dict:
+    """Generic EBML walk -> container metadata + SimpleBlock offsets."""
+    import struct as _struct
+
+    out: dict = {
+        "container": "mkv", "codec": None, "width": None, "height": None,
+        "duration_s": None, "n_samples": 0, "timescale": None,
+        "frame_offsets": None,
+    }
+    doc_type = None
+    dur_ticks = None
+    block_offs: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal doc_type, dur_ticks
+        pos = start
+        while pos < end:
+            eid, p = _ebml_read_vint(payload, pos, end, keep_marker=True)
+            size, p = _ebml_read_vint(payload, p, end, keep_marker=False)
+            if p + size > end:
+                raise ValueError(f"torn element {eid:#x} at {pos}")
+            if eid in _MKV_CONTAINERS:
+                walk(p, p + size)
+            elif eid == 0x4282:
+                doc_type = payload[p:p + size].decode("ascii", "replace")
+            elif eid == 0x2AD7B1:
+                out["timescale"] = int.from_bytes(payload[p:p + size], "big")
+            elif eid == 0x4489:
+                dur_ticks = _struct.unpack(
+                    ">d" if size == 8 else ">f", payload[p:p + size]
+                )[0]
+            elif eid == 0x86:
+                out["codec"] = payload[p:p + size].decode("ascii", "replace")
+            elif eid == 0xB0:
+                out["width"] = int.from_bytes(payload[p:p + size], "big")
+            elif eid == 0xBA:
+                out["height"] = int.from_bytes(payload[p:p + size], "big")
+            elif eid == 0xA3:
+                out["n_samples"] += 1
+                if len(block_offs) < _META_INDEX_K:
+                    block_offs.append(pos)
+            pos = p + size
+
+    walk(0, len(payload))
+    if doc_type != "matroska":
+        raise ValueError("no matroska EBML header (torn or not MKV)")
+    if dur_ticks is not None and out["timescale"]:
+        out["duration_s"] = round(dur_ticks * out["timescale"] / 1e9, 6)
+    if block_offs:
+        out["frame_offsets"] = block_offs
+    return out
+
+
+def _container_spec(doc_id: int) -> dict:
+    """Deterministic per-doc container spec — the single source of
+    truth the golden tests recompute against."""
+    container = "mp4" if doc_id % 2 == 0 else "mkv"
+    codec = (
+        _MP4_CODECS[(doc_id // 2) % 3]
+        if container == "mp4"
+        else _MKV_CODECS[(doc_id // 2) % 3]
+    )
+    return {
+        "container": container,
+        "codec": codec,
+        "width": 16 + (doc_id % 32) * 2,
+        "height": 16 + (doc_id % 16) * 2,
+        "n_frames": 1 + doc_id % 10,
+    }
+
+
+def _synthesize_containers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side container synthesis; every 97th asset is torn."""
+    for pdf in batches:
+        payloads, containers = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            s = _container_spec(did)
+            if s["container"] == "mp4":
+                p = encode_mp4(
+                    s["width"], s["height"], s["n_frames"],
+                    codec=s["codec"], seed=did,
+                )
+            else:
+                p = encode_mkv(
+                    s["width"], s["height"], s["n_frames"],
+                    codec_id=s["codec"],
+                    duration_s=s["n_frames"] * 0.040,
+                    seed=did,
+                )
+            if did % 97 == 0:
+                p = p[: max(4, len(p) // 2)]
+            payloads.append(p)
+            containers.append(s["container"])
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["doc_id"].values,
+                "container": containers,
+                "payload": payloads,
+            }
+        )
+
+
+def media_assets_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _synthesize_containers, "asset_id long, container string, payload binary"
+    )
+
+
+_META_SCHEMA = (
+    "asset_id long, container string, n_bytes int, codec string, "
+    "width int, height int, duration_s double, n_samples int, "
+    "timescale long, frame_offsets array<long>, error string"
+)
+
+
+def _parse_container_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [
+        "asset_id", "container", "n_bytes", "codec", "width", "height",
+        "duration_s", "n_samples", "timescale", "frame_offsets", "error",
+    ]
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload)
+            base = {
+                "asset_id": r.asset_id, "container": r.container,
+                "n_bytes": len(payload), "codec": None, "width": None,
+                "height": None, "duration_s": None, "n_samples": None,
+                "timescale": None, "frame_offsets": None, "error": None,
+            }
+            try:
+                parser = parse_mp4 if r.container == "mp4" else parse_mkv
+                base.update(parser(payload))
+            except ValueError as exc:
+                base["error"] = str(exc)
+            rows.append(base)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level metadata over MP4/MKV payloads: executor-side
+    synthesis -> pure-byte-math box/EBML walk in a second mapInPandas
+    stage (duration, codec id, resolution, sample count, frame-offset
+    index), torn payloads surfacing as error rows — the metadata layer
+    a 100 TB multimodal filter reads INSTEAD of decoding compressed
+    A/V. Narrow two-stage chain, payloads never visit the driver.
+    Unregistered (payload bytes never exist in SQL); hand-packed-bytes
+    goldens + spec round-trip + torn-arm direct tests in
+    tests/test_unregistered_ops.py."""
+    return media_assets_containers(spark, sf_dir).mapInPandas(
+        _parse_container_batch, _META_SCHEMA
+    )
+
+
+UNREGISTERED_MULTIMODAL_QUERIES = {
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_media_pipeline": q_media_pipeline,
+    "q_media_decode": q_media_decode,
+    "q_media_meta": q_media_meta,
+}
+UNREGISTERED_MULTIMODAL_ORACLES = {
+    "q_multimodal_meta": MULTIMODAL_META_ORACLE,
+    "q_media_pipeline": MEDIA_PIPELINE_ORACLE,
+}

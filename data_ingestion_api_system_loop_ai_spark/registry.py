@@ -127,6 +127,7 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.lm_score",
     ".operators.corpus_pipeline",
     ".operators.curated_corpus",
+    ".operators.multimodal",
 ]
 
 

@@ -5139,3 +5139,171 @@ def test_cluster_quality_from_model_matches_inline(spark, sf_dir, tmp_path):
     )
     inline = sorted(map(tuple, km.q_cluster_quality(spark, sf_dir).collect()))
     assert frozen == inline and len(frozen) > 0
+
+
+def test_parse_mp4_hand_packed_golden():
+    """parse_mp4 against a HAND-PACKED ISO-BMFF byte string built here
+    with struct (independent of encode_mp4, so the parser is not merely
+    its inverse): mvhd timescale/duration, tkhd 16.16 dims, stsd
+    fourcc, stsz table, stco chunk base -> frame offsets; plus the
+    64-bit largesize box arm."""
+    import struct
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        parse_mp4,
+    )
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 600, 1200) + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" * 4 + b"\x00" * 76
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">I", 16) + b"mp4v" + b"\x00" * 8,
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, 2) + struct.pack(">II", 100, 200),
+    )
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">II", 1, 40))
+    stbl = box(b"stbl", stsd + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    # an mdat written with the size==1 / 64-bit largesize form
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 20) + b"\x00" * 4
+    m = parse_mp4(box(b"ftyp", b"isom") + mdat + moov)
+    assert m["timescale"] == 600
+    assert m["duration_s"] == 2.0
+    assert (m["width"], m["height"]) == (640, 360)
+    assert m["codec"] == "mp4v"
+    assert m["n_samples"] == 2
+    assert m["frame_offsets"] == [40, 140]
+
+    # fixed-sample-size stsz arm
+    stsz_fixed = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 77, 3))
+    stbl2 = box(b"stbl", stsd + stsz_fixed + stco)
+    moov2 = box(
+        b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", box(b"minf", stbl2)))
+    )
+    m2 = parse_mp4(moov2)
+    assert m2["n_samples"] == 3
+    assert m2["frame_offsets"] == [40, 117, 194]
+
+    # torn: size runs past the buffer
+    import pytest
+
+    with pytest.raises(ValueError, match="torn"):
+        parse_mp4(struct.pack(">I", 4096) + b"moov" + b"\x00" * 8)
+
+
+def test_parse_mkv_hand_packed_golden():
+    """parse_mkv against HAND-PACKED EBML bytes (1-byte AND 2-byte size
+    vints, 4-byte float Duration — encode_mkv emits 8-byte, so this is
+    the arm the encoder never produces): DocType gate, TimestampScale,
+    Duration ticks -> seconds, CodecID, pixel dims, SimpleBlock count
+    and offsets."""
+    import struct
+
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        parse_mkv,
+    )
+
+    def el(eid, p):
+        assert len(p) < 0x7F
+        return eid + bytes([0x80 | len(p)]) + p
+
+    # DocType with a 2-byte size vint (0x4000 | 8)
+    header = el(
+        b"\x1a\x45\xdf\xa3", b"\x42\x82" + b"\x40\x08" + b"matroska"
+    )
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", b"\x0f\x42\x40")           # 1_000_000
+        + el(b"\x44\x89", struct.pack(">f", 2500.0)),  # 2500 ticks = 2.5 s
+    )
+    tracks = el(
+        b"\x16\x54\xae\x6b",
+        el(
+            b"\xae",
+            el(b"\x86", b"V_VP9")
+            + el(b"\xe0", el(b"\xb0", b"\x02\x80") + el(b"\xba", b"\x01\xe0")),
+        ),
+    )
+    blk = el(b"\xa3", b"\x81\x00\x00\x80" + b"frame")
+    cluster = el(b"\x1f\x43\xb6\x75", blk + blk)
+    buf = header + el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    m = parse_mkv(buf)
+    assert m["timescale"] == 1_000_000
+    assert m["duration_s"] == 2.5
+    assert m["codec"] == "V_VP9"
+    assert (m["width"], m["height"]) == (640, 480)
+    assert m["n_samples"] == 2
+    assert len(m["frame_offsets"]) == 2
+    # each recorded offset points at a SimpleBlock id byte
+    for off in m["frame_offsets"]:
+        assert buf[off] == 0xA3
+
+    # no EBML header -> rejected
+    with pytest.raises(ValueError, match="matroska"):
+        parse_mkv(el(b"\x18\x53\x80\x67", info))
+    # torn element size
+    with pytest.raises(ValueError, match="torn"):
+        parse_mkv(buf[: len(buf) // 2])
+
+
+def test_media_meta_pipeline_goldens(spark, sf_dir):
+    """q_media_meta end to end: every non-torn asset parses to the
+    exact container/codec/dims/sample-count its _container_spec
+    implies, duration is n_frames * 40 ms on both container families,
+    frame offsets are strictly increasing and verifiably point into
+    the payload (MP4: recomputed chunk base; MKV: SimpleBlock ids),
+    torn assets (doc_id % 97 == 0) carry an error and nothing else."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _container_spec,
+        _mp4_frame_sizes,
+        q_media_meta,
+    )
+
+    rows = {r["asset_id"]: r for r in q_media_meta(spark, sf_dir).collect()}
+    assert len(rows) >= 400
+    checked = torn = 0
+    for did, r in rows.items():
+        s = _container_spec(did)
+        assert r["container"] == s["container"]
+        if did % 97 == 0:
+            assert r["error"] is not None
+            assert r["codec"] is None and r["width"] is None
+            torn += 1
+            continue
+        assert r["error"] is None, (did, r["error"])
+        assert r["codec"] == s["codec"]
+        assert (r["width"], r["height"]) == (s["width"], s["height"])
+        assert r["n_samples"] == s["n_frames"]
+        assert abs(r["duration_s"] - s["n_frames"] * 0.040) < 1e-6
+        offs = r["frame_offsets"]
+        assert offs is not None and list(offs) == sorted(set(offs))
+        if s["container"] == "mp4":
+            assert r["timescale"] == 1000
+            # first frame sits right after ftyp (28 bytes: brand +
+            # minor + 3 compatible brands) + the 8-byte mdat header
+            assert offs[0] == 36
+            sizes = _mp4_frame_sizes(s["n_frames"], did)
+            for i in range(1, len(offs)):
+                assert offs[i] - offs[i - 1] == sizes[i - 1]
+        else:
+            assert r["timescale"] == 1_000_000
+        checked += 1
+    assert checked > 300 and torn >= 2
