@@ -508,6 +508,18 @@ def dedup_stream_writer(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         unit = f"b{batch_id:06d}"
+        # Exactly-once, the OTHER crash window (round 9): if the crash
+        # lands AFTER this unit's marker committed but BEFORE the
+        # checkpoint recorded the batch, the replay would probe an index
+        # that already contains the batch's own fingerprints — every doc
+        # classifies as a dup of itself and the out unit is overwritten
+        # EMPTY. A unit label that was ever committed (or ever
+        # superseded by a compaction) means the batch's effects are
+        # fully published: skip, exactly like rollup_stream_writer's
+        # manifest check.
+        names, superseded = commit_protocol.marker_state(index_path)
+        if unit in names or unit in superseded:
+            return
         report = incremental_dedup(spark, batch_df, index_path)
         kept = batch_df.join(
             report.filter(F.col("status") == "kept").select("doc_id"),

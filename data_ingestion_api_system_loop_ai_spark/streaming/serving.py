@@ -304,11 +304,29 @@ class ServingTable:
             return None
         self._refresh_placement(v)
         if set(self.bucket_cols) <= set(key_values):
+            # Spark's hash() is TYPE-SENSITIVE: hash(7012 AS INT) !=
+            # hash(7012 AS BIGINT), and a bare F.lit(python_int) is an
+            # INT while stored keys are typically BIGINT — the pruned
+            # lookup would hash to the WRONG bucket and silently miss.
+            # Cast each literal to the stored column's type (one parquet
+            # footer read of an arbitrary bucket directory).
+            any_b = next(iter(manifest))
+            stored = spark.read.parquet(
+                self._bucket_dir(any_b, manifest[any_b])
+            ).schema
+            types = {f.name: f.dataType for f in stored.fields}
             b = (
                 spark.range(1)
                 .select(
                     F.pmod(
-                        F.hash(*[F.lit(key_values[c]) for c in self.bucket_cols]),
+                        F.hash(
+                            *[
+                                F.lit(key_values[c]).cast(types[c])
+                                if c in types
+                                else F.lit(key_values[c])
+                                for c in self.bucket_cols
+                            ]
+                        ),
                         F.lit(self.num_buckets),
                     ).alias("b")
                 )

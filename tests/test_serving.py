@@ -533,3 +533,26 @@ def test_wire_connector_drain_store_end_to_end(spark, tmp_path):
     assert status_response_from_store(spark, table, "nope") == (
         '{"error":"Ingestion ID not found."}'
     )
+
+
+def test_lookup_long_key_with_python_int_hits_right_bucket(spark, tmp_path):
+    """Regression (round 9): Spark's hash() is type-sensitive —
+    hash(INT 7012) != hash(BIGINT 7012) — so a pruned lookup passing a
+    bare python int against a BIGINT key used to hash to the wrong
+    bucket and silently return empty. The literal must be cast to the
+    stored column type before bucketing."""
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    t = ServingTable(
+        str(tmp_path / "t"), key_cols=["k"], seq_col="seq", num_buckets=8
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, i * 10, 1) for i in range(50)], "k long, v long, seq long"
+        )
+    )
+    for k in (0, 7, 13, 49):
+        rows = t.lookup(spark, k=k).collect()
+        assert len(rows) == 1 and rows[0]["v"] == k * 10, k

@@ -1230,3 +1230,245 @@ def test_secret_scan_stream_matches_batch_and_is_idempotent(
         .count()
     )
     assert n == 1
+
+
+def test_streaming_dedup_replay_after_commit_is_skipped(spark, tmp_path):
+    """The OTHER exactly-once crash window (round 9): crash AFTER the
+    index unit's marker committed but BEFORE the checkpoint recorded
+    the batch. Without the ever-published guard the replay probes an
+    index containing the batch's OWN fingerprints, classifies every doc
+    as a dup of itself, and overwrites the out unit empty. Simulated by
+    deleting the checkpoint (forcing a full replay of already-committed
+    batches) and restarting."""
+    import json as _json
+    import shutil
+
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        dedup_stream_writer,
+        read_deduped,
+    )
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    rows = [(9000, "wholly fresh replay guard document tokens " * 8)]
+    with open(src / "b0.json", "w") as f:
+        for did, text in rows:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    ix, out, ckpt = (str(tmp_path / d) for d in ("ix", "kept", "ckpt"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            dedup_stream_writer(spark, stream, ix, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert {r["doc_id"] for r in read_deduped(spark, out, ix).collect()} == {9000}
+    # crash-after-commit simulation: lose the checkpoint, replay batch 0
+    shutil.rmtree(ckpt)
+    run()
+    kept = read_deduped(spark, out, ix).collect()
+    assert {r["doc_id"] for r in kept} == {9000}, (
+        "replay of a committed unit must be skipped, not re-classified "
+        "against its own fingerprints"
+    )
+
+
+def test_day2_incremental_ingest_end_to_end(spark, sf_dir, tmp_path):
+    """VERDICT r08 #4 — the composed day-2 cycle: new batches land ->
+    dedup against the FROZEN history index -> secret-scan hygiene gate
+    (leak docs quarantined) -> corpus unit append -> index append ->
+    rollup refresh -> serving upsert; then (a) every store reconciles
+    with every other, (b) a from-scratch rebuild over the same batch
+    boundaries produces IDENTICAL corpus, rollup values and serving
+    content, (c) the serving table time-travels to the day's earlier
+    snapshot. Cited by docs/RUNBOOK_100TB.md § Day 2."""
+    import json as _json
+
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        read_deduped,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+    from data_ingestion_api_system_loop_ai_spark.sources.rollup import read_rollup
+    from data_ingestion_api_system_loop_ai_spark.streaming.day2 import (
+        DAY2_ROLLUP_NAME,
+        day2_ingest_writer,
+    )
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    hist_rows = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id") < 200)
+        .filter(F.length("text") > 200)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(hist_rows) >= 2
+    h_ids = sorted(hist_rows)
+    exact_hist = hist_rows[h_ids[0]]
+    near_hist = hist_rows[h_ids[1]]
+    # near-dup plant: swap one token in the middle of a >200-char text
+    toks = near_hist.split()
+    toks[len(toks) // 2] = "alteredtoken"
+    near_text = " ".join(toks)
+
+    secret = "sk-9fQ2xY7wLpZ4VbN8"
+    fresh_a = "first fresh day two corpus document tokens " * 8
+    fresh_b = "second fresh day two corpus document tokens " * 8
+    fresh_c = "third fresh day two corpus document tokens " * 8
+    leak_text = f"config leak {secret} inside otherwise plain prose " * 4
+
+    batches = [
+        # b0: fresh kept; exact dup of history; leak doc (quarantined)
+        [(7000, "en", fresh_a), (7001, "de", exact_hist), (7002, "en", leak_text)],
+        # b1: dup of b0's kept doc (vs the index b0 appended);
+        #     near-dup of history; fresh kept
+        [(7010, "en", fresh_a), (7011, "de", near_text), (7012, "fr", fresh_b)],
+        # b2: fresh kept; the SAME leak text again — quarantined docs
+        #     never entered the index, so it is re-kept and re-quarantined
+        [(7020, "es", fresh_c), (7021, "en", leak_text)],
+    ]
+    expected_clean = {7000, 7012, 7020}
+
+    src = tmp_path / "day2_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text})
+                    + "\n"
+                )
+        os.utime(src / f"b{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_day(root):
+        ix = str(root / "ix")
+        out = str(root / "corpus")
+        roll = str(root / "rollup")
+        scan = str(root / "scan")
+        build_dedup_index(history, ix)
+        table = ServingTable(
+            str(root / "serving"), key_cols=["doc_id"], seq_col="seq",
+            num_buckets=4,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                day2_ingest_writer(spark, ix, out, roll, scan, table)
+            )
+            .option("checkpointLocation", str(root / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return ix, out, roll, scan, table
+
+    day = tmp_path / "day"
+    day.mkdir()
+    ix, out, roll, scan, table = run_day(day)
+
+    # (a) corpus: exactly the clean survivors
+    kept = {r["doc_id"]: r for r in read_deduped(spark, out, ix).collect()}
+    assert set(kept) == expected_clean
+
+    # hygiene reports: the leak doc appears in its batch's scan output
+    scanned = spark.read.parquet(scan)
+    leak_rows = {
+        r["doc_id"] for r in scanned.filter("n_secret_like > 0").collect()
+    }
+    assert leak_rows == {7002, 7021}
+
+    # (b) rollup reconciles with a direct recompute over the corpus
+    derived = (
+        read_deduped(spark, out, ix)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+    )
+    expected_roll = {
+        r["lang"]: (r["cnt"], r["sum_chars"]) for r in derived.collect()
+    }
+    got_roll = {
+        r["lang"]: (r["cnt"], int(r["sum_m"]))
+        for r in read_rollup(spark, roll, DAY2_ROLLUP_NAME).collect()
+    }
+    assert got_roll == expected_roll
+
+    # serving reconciles with the corpus; snapshot time travel works
+    cur = {r["doc_id"]: r for r in table.current(spark).collect()}
+    assert set(cur) == expected_clean
+    for did, r in cur.items():
+        assert r["n_chars"] == len(kept[did]["text"])
+    v = table.latest_version()
+    assert v >= 2  # one upsert per batch with clean rows
+    earlier = table.current(spark, version=v - 1)
+    assert earlier is not None and earlier.count() < len(expected_clean) + 1
+    hit = table.lookup(spark, doc_id=7012)
+    assert hit is not None and hit.collect()[0]["lang"] == "fr"
+
+    # (c) from-scratch rebuild over the same batch boundaries: run the
+    # batch callable directly (no stream) against fresh dirs
+    rb = tmp_path / "rebuild"
+    rb.mkdir()
+    ix2 = str(rb / "ix")
+    out2 = str(rb / "corpus")
+    roll2 = str(rb / "rollup")
+    scan2 = str(rb / "scan")
+    build_dedup_index(history, ix2)
+    table2 = ServingTable(
+        str(rb / "serving"), key_cols=["doc_id"], seq_col="seq", num_buckets=4
+    )
+    writer = day2_ingest_writer(spark, ix2, out2, roll2, scan2, table2)
+    for i, rows in enumerate(batches):
+        writer(
+            spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+            i,
+        )
+    kept2 = {
+        (r["doc_id"], r["lang"], r["text"])
+        for r in read_deduped(spark, out2, ix2).collect()
+    }
+    assert kept2 == {
+        (r["doc_id"], r["lang"], r["text"]) for r in kept.values()
+    }
+    got_roll2 = {
+        r["lang"]: (r["cnt"], int(r["sum_m"]))
+        for r in read_rollup(spark, roll2, DAY2_ROLLUP_NAME).collect()
+    }
+    assert got_roll2 == got_roll
+    cur2 = {
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in table2.current(spark).collect()
+    }
+    assert cur2 == {
+        (r["doc_id"], r["lang"], r["n_chars"]) for r in cur.values()
+    }
+
+    # replaying an already-committed batch is a wholesale no-op
+    before = table2.latest_version()
+    writer(
+        spark.createDataFrame(
+            batches[0], "doc_id long, lang string, text string"
+        ),
+        0,
+    )
+    assert table2.latest_version() == before
