@@ -814,11 +814,19 @@ def main() -> None:
     }
     posts = _post_throughput(spark)
     spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
+    # the one-line build-state sentence SURVEY §8 includes VERBATIM —
+    # stamped mechanically so hand-copy drift (r8's 191.5-vs-183.97
+    # verdict finding) is structurally impossible
+    survey_line = (
+        f"bench sf{sf}: {len(timings)} queries, {total:.2f} s total "
+        f"(sum of n={n_runs} medians; BENCH_SPREAD.json)"
+    )
     with open(spread_path, "w") as f:
         json.dump(
             {
                 "sf": sf,
                 "n_runs": n_runs,
+                "survey_line": survey_line,
                 "drain": drain,
                 "post_throughput": posts,
                 "builds": builds,

@@ -1111,14 +1111,26 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
-    wh = W.partitionBy("h")
-    marked = wins.select(
-        "doc_id",
-        "pos",
-        F.row_number().over(wh.orderBy("doc_id", "pos")).alias("rn"),
-        F.count("*").over(wh).alias("cnt"),
+    # Dup marking is a per-hash count + winner (first occurrence by
+    # (doc_id, pos)) — computed as a partial-aggregable groupBy + a
+    # join back, NOT a Window over partitionBy(h): a window funnels
+    # every row of a hot boilerplate hash into ONE task (AQE cannot
+    # split window partitions), while the groupBy's map-side combine
+    # absorbs the hot key before the shuffle and the join back is
+    # AQE-skew-splittable. Same semantics as rn>1 under (doc_id, pos)
+    # order: drop exactly the min-(doc_id,pos) row of each cnt>1 hash.
+    per_h = wins.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("w"),
     )
-    dup = marked.filter("cnt > 1 AND rn > 1").select("doc_id", "pos")
+    dup = (
+        wins.join(per_h.filter("cnt > 1"), "h")
+        .filter(
+            (F.col("doc_id") != F.col("w.doc_id"))
+            | (F.col("pos") != F.col("w.pos"))
+        )
+        .select("doc_id", "pos")
+    )
     wd = W.partitionBy("doc_id").orderBy("pos")
     cov = (
         dup.select(

@@ -23,6 +23,14 @@ k-means, BPE):
   displaced by better ones, and a new edge fills a -1 pad) crosses to
   the driver; ``localCheckpoint`` keeps plan depth O(1).
 
+Stopping rule (measured, round 9 — tools/nnd_curve.py records the
+recall-vs-round curve at n=32k in SCALING.json "nn_descent_curve"):
+stop when a round's recall gain falls below 0.01 absolute; in
+production, where recall is unobservable without ground truth, the
+per-round OBJECTIVE gain (returned by ``nn_descent``) is the proxy —
+the curve shows both plateau together. NND_ITERS pins the measured
+plateau for the shipped query form.
+
 Deterministic end to end (cosines rounded like the base graph, ties
 break by neighbor_id), so repeated runs return identical graphs —
 pinned by test along with recall-vs-brute-force improvement over the
@@ -53,6 +61,7 @@ def nn_descent(
     graph: DataFrame,
     k: int = KNN_K,
     iters: int = NND_ITERS,
+    round_hook=None,
 ) -> tuple[DataFrame, list[float]]:
     """Refine ``graph`` (query_id, neighbor_id, cosine) over vectors
     ``e`` (vec_id, embedding); returns (refined graph with dense per-
@@ -139,6 +148,10 @@ def nn_descent(
         objective.append(
             (row["s"] + (n_q * k - row["m"]) * -1.0) / (n_q * k)
         )
+        if round_hook is not None:
+            # measurement hook (tools/nnd_curve.py): observe the
+            # checkpointed graph after each round — no behavior change
+            round_hook(len(objective), g)
     wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     out = g.withColumn("rnk", F.row_number().over(wq).cast("long"))
     return out, objective

@@ -5307,3 +5307,58 @@ def test_media_meta_pipeline_goldens(spark, sf_dir):
             assert r["timescale"] == 1_000_000
         checked += 1
     assert checked > 300 and torn >= 2
+
+
+def test_dedup_substrings_boilerplate_skew_fixture(spark, tmp_path):
+    """Planted boilerplate skew (VERDICT r08 #2): 30% of docs share one
+    identical 60-token paragraph, so its K-windows are corpus-hot keys.
+    (a) Correctness: every sharer except the first (lowest doc_id)
+    reports the boilerplate windows as duplicated with full coverage of
+    the shared span; unique docs report none. (b) Plan shape: the
+    dup-marking stage must be a partial-aggregable groupBy + join back
+    — NO Window partitioned by the window hash — because a window
+    funnels the whole hot key into one task (AQE cannot split window
+    partitions) while a hash-aggregate combines it map-side and the
+    join back is AQE-skew-splittable."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        SUBSTR_K,
+        q_dedup_substrings,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(60))
+    rows = []
+    for i in range(200):
+        unique = " ".join(f"u{i}w{j}" for j in range(40))
+        if i % 10 < 3:  # 30% carry the boilerplate paragraph
+            rows.append((i, f"{unique} {boiler}", "en", "t", 0))
+        else:
+            rows.append((i, unique, "en", "t", 0))
+    d = str(tmp_path / "skewsf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    res = q_dedup_substrings(spark, d)
+    got = {r["doc_id"]: r for r in res.collect()}
+    sharers = sorted(i for i in range(200) if i % 10 < 3)
+    first = sharers[0]
+    # boilerplate span coverage: 60 tokens; its windows are the only
+    # cross-doc duplicates (unique prefixes differ per doc; windows
+    # STRADDLING the prefix/boiler boundary contain unique tokens)
+    for i in range(200):
+        r = got[i]
+        if i in sharers and i != first:
+            assert r["n_dup_windows"] == 60 - (SUBSTR_K - 1)
+            assert r["dup_cov"] == 60
+        else:
+            assert r["n_dup_windows"] in (None, 0), (i, r)
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # the only Window left is the per-doc coverage sweep (bounded by a
+    # single document's length, partitioned by doc_id) — none may be
+    # partitioned by the window-hash column
+    assert "windowspecdefinition(h#" not in plan

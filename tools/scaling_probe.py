@@ -66,7 +66,20 @@ DOC_QUERIES = {
     # derivations each — claimed near-linear
     "q_kn_score",
     "q_doremi_weights",
+    # ExactSubstr stride-1 window audit (round 9, VERDICT r08 #2):
+    # ~n_tokens exploded rows/doc; the r9 restructure replaced the
+    # per-hash Window with groupBy+join so hot boilerplate hashes
+    # combine map-side
+    "q_dedup_substrings",
 }
+# Skew variants: same query fns, but the synthesized corpus plants a
+# shared boilerplate paragraph into BOILER_FRAC of the docs — the
+# hot-window-hash case the r9 restructure of q_dedup_substrings exists
+# for. Probed beside the jittered corpus so the skew penalty is a
+# measured ratio, not an assertion.
+SKEW_QUERIES = {"q_dedup_substrings_skew": "q_dedup_substrings"}
+BOILER_FRAC = 0.3
+BOILER_TOKENS = 60
 EVENT_QUERIES = {"q_ts_similarity"}
 EVT_BASE = "/root/testdata/sf0.01/events.parquet"
 
@@ -141,6 +154,43 @@ def synth_docs_dir(n: int) -> str:
             "text": pa.array(new_texts, type=pa.string()),
             "lang": pa.array(new_langs, type=pa.string()),
             "source": pa.array(new_sources, type=pa.string()),
+            "n_chars": pa.array(
+                [len(t) for t in new_texts], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, out)
+    return d
+
+
+def synth_docs_skew_dir(n: int) -> str:
+    """The jittered doc corpus with a PLANTED boilerplate paragraph:
+    the same BOILER_TOKENS-token span appended to BOILER_FRAC of the
+    docs, so its stride-1 window hashes are corpus-hot keys growing
+    linearly with n (the license-header / nav-bar shape of real
+    crawls)."""
+    d = os.path.join(
+        WORK, f"docsk_n{n}_s{SEED}_p{TOKEN_JITTER}_b{BOILER_FRAC}"
+    )
+    out = os.path.join(d, "documents.parquet")
+    if os.path.exists(out):
+        return d
+    base_dir = synth_docs_dir(n)
+    base = pq.read_table(os.path.join(base_dir, "documents.parquet"))
+    texts = base.column("text").to_pylist()
+    boiler = " ".join(f"boilerplate{i}" for i in range(BOILER_TOKENS))
+    step = max(1, int(1 / BOILER_FRAC))
+    new_texts = [
+        (t + " " + boiler) if i % step == 0 else t
+        for i, t in enumerate(texts)
+    ]
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "doc_id": base.column("doc_id"),
+            "text": pa.array(new_texts, type=pa.string()),
+            "lang": base.column("lang"),
+            "source": base.column("source"),
             "n_chars": pa.array(
                 [len(t) for t in new_texts], type=pa.int64()
             ),
@@ -228,6 +278,7 @@ def main() -> int:
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
         q_dedup_minhash_banded,
         q_dedup_prefix,
+        q_dedup_substrings,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
         q_nn_descent,
@@ -255,6 +306,8 @@ def main() -> int:
         "q_kn_score": q_kn_score,
         "q_doremi_weights": q_doremi_weights,
         "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
+        "q_dedup_substrings": q_dedup_substrings,
+        "q_dedup_substrings_skew": q_dedup_substrings,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
@@ -276,7 +329,9 @@ def main() -> int:
         result["queries"].update(prev.get("queries", {}))
     for qname in names:
         fn = qfns[qname]
-        if qname in DOC_QUERIES:
+        if qname in SKEW_QUERIES:
+            fam_sizes, mk = doc_sizes, synth_docs_skew_dir
+        elif qname in DOC_QUERIES:
             fam_sizes, mk = doc_sizes, synth_docs_dir
         elif qname in EVENT_QUERIES:
             fam_sizes, mk = evt_sizes, synth_events_dir
@@ -294,6 +349,14 @@ def main() -> int:
             points.append([n, round(med, 3)])
             print(f"{qname} n={n}: median {med:.2f}s "
                   f"(min {min(times):.2f}) rows={cnt}", flush=True)
+        # Point-merge (round 9): a re-probe of a SUBSET of sizes (e.g.
+        # adding one expensive top octave with --sizes 128000) keeps
+        # the existing points for the other sizes and refits over the
+        # union — fresh timings win on collision.
+        prior = result["queries"].get(qname, {}).get("points", [])
+        by_n = {p[0]: p[1] for p in prior}
+        by_n.update({p[0]: p[1] for p in points})
+        points = [[n, by_n[n]] for n in sorted(by_n)]
         # least-squares slope in log-log space (needs >= 2 sizes)
         slope = None
         if len(points) >= 2:
