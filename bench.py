@@ -207,6 +207,11 @@ HEADLINE = [
     # Davies-Bouldin cluster-quality audit: inline fit vs frozen model
     "q_cluster_quality",
     "q_cluster_quality_model",
+    # round 9: readability battery, distinct-n diversity, kNN-graph
+    # PageRank centrality
+    "q_readability",
+    "q_ngram_diversity",
+    "q_pagerank",
 ]
 
 
@@ -306,6 +311,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
         q_nn_descent,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import (
+        q_pagerank as _pagerank_q,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
         q_knn_graph,
@@ -530,6 +538,9 @@ def _extra_queries():
         "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],
         "q_cluster_quality": q_cluster_quality,
         "q_cluster_quality_model": _cluster_quality_from_model,
+        "q_readability": UNREGISTERED_TEXT_QUERIES["q_readability"],
+        "q_ngram_diversity": UNREGISTERED_TEXT_QUERIES["q_ngram_diversity"],
+        "q_pagerank": _pagerank_q,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

@@ -1,0 +1,148 @@
+"""PageRank over the kNN graph (Brin & Page 1998; Page et al. 1999).
+
+Centrality over the similarity graph is a standard curation signal:
+high-rank nodes are the corpus's representative cores (what a
+coreset/prototype selection keeps), low-rank isolates are outliers —
+the graph-side complement to B61's centroid-distance outliers. The
+operator also completes the engine's iterative-graph battery (CC =
+q_dedup_components, refinement = NN-Descent, now the canonical
+random-surfer fixpoint).
+
+Spark shape (the engine's iterative-loop discipline):
+
+- the edge relation (src, dst, out-degree) is computed once and
+  ``localCheckpoint``-ed — per round ONE shuffle joins ranks to edges
+  on src and ONE partial-aggregable groupBy sums contributions per dst;
+- dangling mass (nodes with no out-edges — absent from a kNN graph,
+  present in general edge sets) redistributes uniformly, the standard
+  treatment;
+- every per-dst sum is an order-independent ``decimal(25,12)`` fold of
+  12-dp-rounded contributions, so the fixpoint is DETERMINISTIC across
+  partitionings and repeated runs return bit-identical ranks;
+- one scalar (the L1 delta — the stopping signal) crosses to the
+  driver per round; plan depth stays O(1) via ``localCheckpoint``.
+
+NON-SQL-EXPRESSIBLE (iterative); direct tests: exact-determinism
+across runs, an independent pure-python replay (Decimal arithmetic,
+same rounding ladder) at 1e-9, the uniform-graph closed form (every
+node rank = 1/n on a symmetric regular graph), and monotone-decreasing
+L1 deltas. Reference parity: none (no analytics in the 412-LoC
+reference); BASELINE.json north-star tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+_DEC = "decimal(25,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+) -> tuple[DataFrame, list[float]]:
+    """Ranks for the node set of ``edges`` (src, dst). Returns
+    ((node, rank), per-round L1 deltas). Ranks are 12-dp-rounded at
+    every step — the determinism contract."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(out_deg, "src").localCheckpoint(eager=False)
+    dangling = nodes.join(
+        edges.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint(eager=False)
+
+    base = (1.0 - damping) / n
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), 12).alias("rank")
+    ).localCheckpoint()
+    deltas: list[float] = []
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast(_DEC)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        d_row = (
+            dangling.join(ranks, "node")
+            .agg(F.sum(F.col("rank").cast(_DEC)).alias("m"))
+            .collect()[0]
+        )
+        d_mass = float(d_row["m"] or 0.0) / n
+        new = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(
+                            F.col("in_mass").cast("double"), F.lit(0.0)
+                        )
+                        + F.lit(d_mass)
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new.join(ranks.withColumnRenamed("rank", "old"), "node")
+            .agg(
+                F.sum(
+                    F.abs(F.col("rank") - F.col("old")).cast(_DEC)
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        deltas.append(float(delta))
+        ranks = new
+    return ranks, deltas
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, rank, rnk): PageRank over the directed kNN graph
+    (query -> neighbor edges from B72's IVF multi-probe graph), dense
+    rank by (rank DESC, node). (Unregistered, NON-SQL-EXPRESSIBLE —
+    iterative; direct tests: determinism, python-Decimal replay,
+    regular-graph closed form, shrinking deltas.)"""
+    from .similarity import ivf_assign, ivf_centroids, knn_graph
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    g = knn_graph(e, ivf_centroids(asg), asg)
+    edges = g.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    ranks, _ = pagerank(edges)
+    # a full-order rank over n nodes would single-partition sort at
+    # scale; the audit surfaces the TOP 100 central nodes only
+    # (orderBy+limit = TakeOrderedAndProject; the rank window then
+    # orders exactly 100 rows)
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(100)
+    w = W.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+UNREGISTERED_PAGERANK_QUERIES = {"q_pagerank": q_pagerank}
+UNREGISTERED_PAGERANK_ORACLES: dict = {}

@@ -618,3 +618,211 @@ FROM (
 
 UNREGISTERED_TEXT_QUERIES["q_burstiness"] = q_burstiness
 UNREGISTERED_TEXT_ORACLES["q_burstiness"] = BURSTINESS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Readability indices (round 9) — Flesch Reading Ease (Flesch 1948),
+# Flesch-Kincaid Grade Level (Kincaid et al. 1975), Automated
+# Readability Index (Senter & Smith 1967), Coleman-Liau (Coleman & Liau
+# 1975): the published per-document complexity battery a curation
+# pipeline reads beside the Gopher heuristics — too-low grade is
+# boilerplate/listicle, too-high is OCR garbage or formulae.
+#
+# Every count is an exact JVM expression with a DuckDB twin:
+# sentences = non-empty [.!?]+ segments containing a letter/digit
+# (floor 1), words = the shared tokenize, syllables = vowel-GROUP runs
+# per token (floor 1/token — the standard heuristic), letters = token
+# lengths. The four index formulas are identical double trees on both
+# engines, rounded 6 dp. Per-document narrow projection — zero
+# shuffles, scales by definition.
+# ---------------------------------------------------------------------------
+
+_VOWEL_RUNS = "[aeiouy]+"
+_SENT_SPLIT = "[.!?]+"
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, n_letters,
+    flesch_ease, fk_grade, ari, coleman_liau) for every doc with >= 1
+    token. (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    hand-computed fixtures in tests/test_unregistered_ops.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), _SENT_SPLIT),
+                lambda s: s.rlike("[A-Za-z0-9]"),
+            )
+        ),
+    )
+    sylls = F.aggregate(
+        F.transform(
+            ts,
+            lambda t: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(t, F.lit(_VOWEL_RUNS), 0)),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    letters = F.aggregate(
+        F.transform(ts, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = d.select(
+        "doc_id",
+        sents.cast("long").alias("n_sentences"),
+        F.size(ts).cast("long").alias("n_words"),
+        sylls.alias("n_syllables"),
+        letters.alias("n_letters"),
+    ).filter(F.col("n_words") >= 1)
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    c = F.col("n_letters").cast("double")
+    return base.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        "n_letters",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59), 6
+        ).alias("fk_grade"),
+        F.round(
+            F.lit(4.71) * (c / w) + F.lit(0.5) * (w / s) - F.lit(21.43), 6
+        ).alias("ari"),
+        F.round(
+            F.lit(0.0588) * (c / w * F.lit(100.0))
+            - F.lit(0.296) * (s / w * F.lit(100.0))
+            - F.lit(15.8),
+            6,
+        ).alias("coleman_liau"),
+    )
+
+
+READABILITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(1, len(list_filter(
+           regexp_split_to_array(text, '{_SENT_SPLIT}'),
+           s -> regexp_matches(s, '[A-Za-z0-9]')))) AS n_sentences,
+         {sql_tokens('text')} AS ts
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(len(ts) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ts,
+           t -> greatest(1, len(regexp_extract_all(t, '{_VOWEL_RUNS}'))))), 0)
+           AS BIGINT) AS n_syllables,
+         CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+           AS BIGINT) AS n_letters
+  FROM base
+  WHERE len(ts) >= 1
+)
+SELECT doc_id, n_sentences, n_words, n_syllables, n_letters,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         AS flesch_ease,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+         AS fk_grade,
+       round(4.71 * (CAST(n_letters AS DOUBLE) / n_words)
+             + 0.5 * (CAST(n_words AS DOUBLE) / n_sentences) - 21.43, 6)
+         AS ari,
+       round(0.0588 * (CAST(n_letters AS DOUBLE) / n_words * 100.0)
+             - 0.296 * (CAST(n_sentences AS DOUBLE) / n_words * 100.0)
+             - 15.8, 6)
+         AS coleman_liau
+FROM counted
+"""
+
+UNREGISTERED_TEXT_QUERIES["q_readability"] = q_readability
+UNREGISTERED_TEXT_ORACLES["q_readability"] = READABILITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+# Objective Function for Neural Conversation Models", NAACL): the
+# distinct-1/2/3 ratios — unique n-grams over total n-grams — the
+# standard degeneration/diversity audit; a corpus (or a model-generated
+# slice of one) whose distinct-2 collapses is loop-ridden even when
+# lengths look fine. Per-document narrow arithmetic (array_distinct
+# over in-row n-gram arrays), zero shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(ts, n: int):
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, distinct_1, distinct_2, distinct_3) — the
+    distinct-n ratios per document, NULL where fewer than n tokens
+    exist. (Unregistered — 50-slot cap; driver-grade DuckDB parity +
+    constructed loop/diverse fixtures in
+    tests/test_unregistered_ops.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokenize(F.col("text"))
+    base = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 1)
+    cols = [F.col("doc_id"), F.size("ts").cast("long").alias("n_tokens")]
+    for n in (1, 2, 3):
+        g = _ngrams(F.col("ts"), n)
+        cols.append(
+            F.when(
+                F.size(g) > 0,
+                F.round(
+                    F.size(F.array_distinct(g)).cast("double") / F.size(g), 6
+                ),
+            ).alias(f"distinct_{n}")
+        )
+    return base.select(*cols)
+
+
+def _sql_ngrams(n: int) -> str:
+    if n == 1:
+        return "ts"
+    joins = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(ts) >= {n} THEN "
+        f"list_transform(range(1, len(ts) - {n - 2}), i -> {joins}) "
+        f"ELSE [] END"
+    )
+
+
+NGRAM_DIVERSITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {sql_tokens('text')} AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CASE WHEN len({_sql_ngrams(1)}) > 0 THEN
+         round(CAST(len(list_distinct({_sql_ngrams(1)})) AS DOUBLE)
+               / len({_sql_ngrams(1)}), 6) END AS distinct_1,
+       CASE WHEN len({_sql_ngrams(2)}) > 0 THEN
+         round(CAST(len(list_distinct({_sql_ngrams(2)})) AS DOUBLE)
+               / len({_sql_ngrams(2)}), 6) END AS distinct_2,
+       CASE WHEN len({_sql_ngrams(3)}) > 0 THEN
+         round(CAST(len(list_distinct({_sql_ngrams(3)})) AS DOUBLE)
+               / len({_sql_ngrams(3)}), 6) END AS distinct_3
+FROM base
+WHERE len(ts) >= 1
+"""
+
+UNREGISTERED_TEXT_QUERIES["q_ngram_diversity"] = q_ngram_diversity
+UNREGISTERED_TEXT_ORACLES["q_ngram_diversity"] = NGRAM_DIVERSITY_ORACLE

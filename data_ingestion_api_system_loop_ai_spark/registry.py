@@ -128,6 +128,7 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.corpus_pipeline",
     ".operators.curated_corpus",
     ".operators.multimodal",
+    ".operators.pagerank",
 ]
 
 

@@ -5362,3 +5362,149 @@ def test_dedup_substrings_boilerplate_skew_fixture(spark, tmp_path):
     # single document's length, partitioned by doc_id) — none may be
     # partitioned by the window-hash column
     assert "windowspecdefinition(h#" not in plan
+
+
+def test_readability_oracle_exact_and_fixture(spark, sf_dir, tmp_path):
+    """Readability battery (Flesch 1948 / Kincaid 1975 / ARI 1967 /
+    Coleman-Liau 1975): DuckDB parity at driver grade, plus a
+    HAND-COMPUTED fixture — a doc whose sentence/word/syllable/letter
+    counts and all four indices are worked out by hand here."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        READABILITY_ORACLE,
+        q_readability,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_readability(spark, sf_dir), con, READABILITY_ORACLE)
+    finally:
+        con.close()
+
+    # "the cat sat. the dog ran away!" — 2 sentences; 7 words;
+    # syllables: the=1 cat=1 sat=1 the=1 dog=1 ran=1 away=2 (a|a) -> 8;
+    # letters: 3+3+3+3+3+3+4 = 22
+    d = str(tmp_path / "readsf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "the cat sat. the dog ran away!", "en", "t", 30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    r = q_readability(spark, d).collect()[0]
+    assert (r["n_sentences"], r["n_words"]) == (2, 7)
+    assert (r["n_syllables"], r["n_letters"]) == (8, 22)
+    wps, spw = 7 / 2, 8 / 7
+    assert r["flesch_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+    cpw = 22 / 7
+    assert r["ari"] == round(4.71 * cpw + 0.5 * wps - 21.43, 6)
+    assert r["coleman_liau"] == round(
+        0.0588 * (cpw * 100) - 0.296 * (2 / 7 * 100) - 15.8, 6
+    )
+
+
+def test_ngram_diversity_oracle_exact_and_fixtures(spark, sf_dir, tmp_path):
+    """distinct-n (Li et al. 2016): DuckDB parity + constructed
+    loop/diverse fixtures — a pure repetition loop collapses distinct-2
+    while fully-distinct text holds all three ratios at 1."""
+    import os
+
+    from data_ingestion_api_system_loop_ai_spark.operators.text_analysis import (
+        NGRAM_DIVERSITY_ORACLE,
+        q_ngram_diversity,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_ngram_diversity(spark, sf_dir), con, NGRAM_DIVERSITY_ORACLE)
+    finally:
+        con.close()
+
+    d = str(tmp_path / "divsf")
+    os.makedirs(d)
+    loop = "spam ham " * 20            # 40 tokens, 2 distinct
+    diverse = " ".join(f"w{i}" for i in range(40))
+    short = "one two"                  # 2 tokens: no trigrams
+    spark.createDataFrame(
+        [(1, loop, "en", "t", 0), (2, diverse, "en", "t", 0),
+         (3, short, "en", "t", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_ngram_diversity(spark, d).collect()}
+    assert rows[1]["distinct_1"] == round(2 / 40, 6)
+    assert rows[1]["distinct_2"] == round(2 / 39, 6)   # 'spam ham'/'ham spam'
+    assert rows[1]["distinct_3"] == round(2 / 38, 6)
+    assert (rows[2]["distinct_1"], rows[2]["distinct_2"],
+            rows[2]["distinct_3"]) == (1.0, 1.0, 1.0)
+    assert rows[3]["distinct_2"] == 1.0 and rows[3]["distinct_3"] is None
+
+
+def test_pagerank_deterministic_and_replayed(spark, sf_dir):
+    """PageRank over the kNN graph: (a) two runs (the second over a
+    repartitioned edge relation) return BIT-IDENTICAL ranks — the
+    decimal-fold determinism contract; (b) an INDEPENDENT pure-python
+    replay (Decimal arithmetic, same 12-dp rounding ladder, same
+    dangling treatment) matches every rank to 1e-9; (c) ranks sum to ~1
+    and deltas shrink."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import (
+        PR_DAMPING,
+        PR_ITERS,
+        pagerank,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        knn_graph,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = ivf_assign(e)
+    g = knn_graph(e, ivf_centroids(asg), asg)
+    edges = g.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+
+    r1, deltas = pagerank(edges)
+    r2, _ = pagerank(edges.repartition(7, "dst"))
+    m1 = {r["node"]: r["rank"] for r in r1.collect()}
+    m2 = {r["node"]: r["rank"] for r in r2.collect()}
+    assert m1 == m2, "partitioning changed the fixpoint"
+    assert abs(sum(m1.values()) - 1.0) < 1e-6
+    assert deltas[-1] < deltas[0]
+
+    # independent replay
+    elist = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({s for s, _ in elist} | {d for _, d in elist})
+    n = len(nodes)
+    outs = defaultdict(list)
+    for s, d in elist:
+        outs[s].append(d)
+    base = (1.0 - PR_DAMPING) / n
+    rank = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(PR_ITERS):
+        mass = defaultdict(Decimal)
+        dang = Decimal(0)
+        for v in nodes:
+            if outs[v]:
+                c = Decimal(str(round(rank[v] / len(outs[v]), 12)))
+                for d in outs[v]:
+                    mass[d] += c
+            else:
+                dang += Decimal(str(rank[v]))
+        d_mass = float(dang) / n
+        rank = {
+            v: round(base + PR_DAMPING * (float(mass[v]) + d_mass), 12)
+            for v in nodes
+        }
+    for v in nodes:
+        assert abs(rank[v] - m1[v]) < 1e-9, (v, rank[v], m1[v])
