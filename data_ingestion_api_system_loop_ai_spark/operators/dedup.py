@@ -1119,12 +1119,20 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absorbs the hot key before the shuffle and the join back is
     # AQE-skew-splittable. Same semantics as rn>1 under (doc_id, pos)
     # order: drop exactly the min-(doc_id,pos) row of each cnt>1 hash.
-    per_h = wins.groupBy("h").agg(
+    # The window relation feeds TWO consumers (the per-hash aggregate
+    # and the join back), which would re-run the explode+md5 featurize
+    # twice — and a repartition reuse barrier measurably does NOT
+    # canonicalize equal here (0 ReusedExchange, both subtrees raced).
+    # The proven fix is the lazy localCheckpoint boundary (the
+    # q_lm2_score/q_kn_score precedent): featurize once, materialize
+    # the slim (doc_id, pos, h) relation, both consumers read it.
+    wins_r = wins.localCheckpoint(eager=False)
+    per_h = wins_r.groupBy("h").agg(
         F.count("*").alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("w"),
     )
     dup = (
-        wins.join(per_h.filter("cnt > 1"), "h")
+        wins_r.join(per_h.filter("cnt > 1"), "h")
         .filter(
             (F.col("doc_id") != F.col("w.doc_id"))
             | (F.col("pos") != F.col("w.pos"))

@@ -321,6 +321,10 @@ def main() -> int:
         "token_jitter": TOKEN_JITTER,
         "reps": args.reps,
         "cpus": cpus,
+        # r9+: timings force full materialization through the noop
+        # sink; earlier rows used .count(), which under-measures any
+        # query whose tail Catalyst can prune
+        "harness": "noop_write",
         "queries": {},
     }
     if os.path.exists(args.out):  # merge: families are probed in
@@ -343,12 +347,21 @@ def main() -> int:
             times = []
             for _ in range(args.reps):
                 t0 = time.monotonic()
-                cnt = fn(spark, fam_dirs[n]).count()
+                # noop WRITE, never .count(): count() lets Catalyst
+                # eliminate prunable tails — e.g. q_dedup_substrings'
+                # final LEFT join against a unique-keyed aggregate is
+                # REMOVED entirely when no right-side column is
+                # referenced, so count() timed an empty pipeline
+                # (caught round 9: 1.28M docs "ran" in 0.5 s). The
+                # noop sink materializes every output column, same as
+                # bench.py.
+                df = fn(spark, fam_dirs[n])
+                df.write.format("noop").mode("overwrite").save()
                 times.append(time.monotonic() - t0)
             med = sorted(times)[len(times) // 2]
             points.append([n, round(med, 3)])
             print(f"{qname} n={n}: median {med:.2f}s "
-                  f"(min {min(times):.2f}) rows={cnt}", flush=True)
+                  f"(min {min(times):.2f})", flush=True)
         # Point-merge (round 9): a re-probe of a SUBSET of sizes (e.g.
         # adding one expensive top octave with --sizes 128000) keeps
         # the existing points for the other sizes and refits over the
