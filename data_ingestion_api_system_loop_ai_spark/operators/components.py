@@ -132,81 +132,6 @@ def q_dedup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank(
-    edges: DataFrame,
-    iterations: int = 10,
-    damping: float = 0.85,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    checkpoint_every: int = 1,
-) -> DataFrame:
-    """(node, rank) after ``iterations`` rounds of power-iteration
-    PageRank over a DIRECTED edge list (undirected callers pass both
-    directions). The second iterative graph shape beside connected
-    components — importance propagation rather than reachability, e.g.
-    ranking canonical documents inside big dedup clusters or weighting
-    a citation/link graph in a crawl-selection pipeline.
-
-    Per round: one equi-join of ranks onto edges (shuffle on src), one
-    sum-aggregate of contributions (shuffle on dst, map-side
-    combinable) — the same two-shuffle round as CC's label step, with
-    the rank relation fixed at |nodes| rows. Dangling mass (nodes with
-    no out-edges) is redistributed through a 1-row broadcast aggregate,
-    never a driver round-trip, so the loop body is fully lazy;
-    ``localCheckpoint`` truncates lineage every ``checkpoint_every``
-    rounds (the CC idiom) so the plan stays flat. Fixed iteration
-    count, deterministic up to float-sum ordering — the direct test
-    compares against an independently computed reference within 1e-9."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("out_deg")
-    )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    for i in range(iterations):
-        contribs = (
-            e.join(
-                ranks.join(deg, "node").withColumnRenamed("node", "src"), "src"
-            )
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        dang = ranks.join(deg, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dm") / n)
-                ).alias("rank"),
-            )
-        )
-        if (i + 1) % max(checkpoint_every, 1) == 0:
-            ranks = ranks.localCheckpoint()
-    e.unpersist()
-    return ranks
-
-
 # DuckDB twins: transitive closure by recursive CTE over the
 # bidirected pair graph, component = min reachable node (incl. self).
 # `pairs` must be a CTE named dd_pairs(doc_a, doc_b) — the caller

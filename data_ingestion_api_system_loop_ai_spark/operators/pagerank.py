@@ -82,14 +82,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        d_row = (
-            dangling.join(ranks, "node")
-            .agg(F.sum(F.col("rank").cast(_DEC)).alias("m"))
-            .collect()[0]
+        # the dangling mass rides the plan as a broadcast 1-row
+        # aggregate (exact decimal sum -> double) instead of a driver
+        # collect — one round-trip per round (the delta scalar), not two
+        d_mass = dangling.join(ranks, "node").agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("rank").cast(_DEC)).cast("double"),
+                    F.lit(0.0),
+                )
+                / F.lit(float(n))
+            ).alias("d_mass")
         )
-        d_mass = float(d_row["m"] or 0.0) / n
         new = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(d_mass))
             .select(
                 "node",
                 F.round(
@@ -99,7 +106,7 @@ def pagerank(
                         F.coalesce(
                             F.col("in_mass").cast("double"), F.lit(0.0)
                         )
-                        + F.lit(d_mass)
+                        + F.col("d_mass")
                     ),
                     12,
                 ).alias("rank"),

@@ -928,7 +928,7 @@ def test_pagerank_matches_reference_on_star_and_dangling(spark):
     """Star graph (undirected) + a dangling node: ranks match an
     independent computation within float tolerance, the hub outranks
     the leaves, and total mass stays 1."""
-    from data_ingestion_api_system_loop_ai_spark.operators.components import pagerank
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import pagerank
 
     star = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)]
     dangling = [(5, 1)]  # 5 points at the hub but has no in-edges back
@@ -936,8 +936,8 @@ def test_pagerank_matches_reference_on_star_and_dangling(spark):
     got = {
         r["node"]: r["rank"]
         for r in pagerank(
-            spark.createDataFrame(edges, "src long, dst long"), iterations=10
-        ).collect()
+            spark.createDataFrame(edges, "src long, dst long"), iters=10
+        )[0].collect()
     }
     want = _ref_pagerank(edges, iterations=10)
     assert set(got) == set(want)
@@ -950,14 +950,14 @@ def test_pagerank_matches_reference_on_star_and_dangling(spark):
 def test_pagerank_over_near_dup_pairs(spark, sf_dir):
     """PageRank runs over the real near-dup pair graph (both edge
     directions) and conserves rank mass."""
-    from data_ingestion_api_system_loop_ai_spark.operators.components import pagerank
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import pagerank
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import q_dedup_near
 
     pairs = q_dedup_near(spark, sf_dir)
     edges = pairs.selectExpr("doc_a as src", "doc_b as dst").unionByName(
         pairs.selectExpr("doc_b as src", "doc_a as dst")
     )
-    ranks = pagerank(edges, iterations=5).collect()
+    ranks = pagerank(edges, iters=5)[0].collect()
     assert len(ranks) > 0
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
 
