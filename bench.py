@@ -212,6 +212,7 @@ HEADLINE = [
     "q_readability",
     "q_ngram_diversity",
     "q_pagerank",
+    "q_pagerank_index",
 ]
 
 
@@ -397,6 +398,17 @@ def _extra_queries():
             spark, sf_dir, built[sf_dir]
         )
 
+    def _pagerank_from_index(spark, sf_dir):
+        from data_ingestion_api_system_loop_ai_spark.operators.pagerank import (
+            q_pagerank_from_index,
+        )
+
+        if sf_dir not in built:
+            p = os.path.join(ix_root, os.path.basename(sf_dir.rstrip("/")))
+            ann_index.build_ann_index(spark, sf_dir, p)
+            built[sf_dir] = p
+        return q_pagerank_from_index(spark, sf_dir, built[sf_dir])
+
     clf_built: dict = {}
 
     def _classifier_from_model(spark, sf_dir):
@@ -541,6 +553,7 @@ def _extra_queries():
         "q_readability": UNREGISTERED_TEXT_QUERIES["q_readability"],
         "q_ngram_diversity": UNREGISTERED_TEXT_QUERIES["q_ngram_diversity"],
         "q_pagerank": _pagerank_q,
+        "q_pagerank_index": _pagerank_from_index,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
         "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
             "q_dedup_substrings"

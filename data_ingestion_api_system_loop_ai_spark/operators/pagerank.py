@@ -153,3 +153,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNREGISTERED_PAGERANK_QUERIES = {"q_pagerank": q_pagerank}
 UNREGISTERED_PAGERANK_ORACLES: dict = {}
+
+
+def q_pagerank_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """The centrality audit in its PRODUCTION shape: the kNN edges come
+    from the persisted ANN index (frozen quantizer + stored inverted
+    lists — ``ann_index.q_knn_graph_from_index``), so no graph build
+    runs in the query path. Because the from-index graph is pinned
+    result-identical to the inline build and ``pagerank`` is
+    bit-deterministic, the ranks are pinned IDENTICAL to
+    ``q_pagerank`` (direct test)."""
+    from .ann_index import q_knn_graph_from_index
+
+    g = q_knn_graph_from_index(spark, sf_dir, index_path)
+    edges = g.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    ranks, _ = pagerank(edges)
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(100)
+    w = W.orderBy(F.col("rank").desc(), F.col("node"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

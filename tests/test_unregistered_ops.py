@@ -5508,3 +5508,29 @@ def test_pagerank_deterministic_and_replayed(spark, sf_dir):
         }
     for v in nodes:
         assert abs(rank[v] - m1[v]) < 1e-9, (v, rank[v], m1[v])
+
+
+def test_pagerank_from_index_matches_inline(spark, sf_dir, tmp_path):
+    """q_pagerank_from_index probes the FROZEN ANN index (no graph
+    build in the query path) and — because the from-index graph is
+    pinned identical to the inline build and the rank folds are
+    bit-deterministic — returns EXACTLY the inline q_pagerank rows."""
+    from data_ingestion_api_system_loop_ai_spark.operators.ann_index import (
+        build_ann_index,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import (
+        q_pagerank,
+        q_pagerank_from_index,
+    )
+
+    ix = str(tmp_path / "ix")
+    build_ann_index(spark, sf_dir, ix)
+    inline = {
+        (r["node"], r["rank"], r["rnk"])
+        for r in q_pagerank(spark, sf_dir).collect()
+    }
+    frozen = {
+        (r["node"], r["rank"], r["rnk"])
+        for r in q_pagerank_from_index(spark, sf_dir, ix).collect()
+    }
+    assert inline == frozen
