@@ -303,6 +303,7 @@ def _extra_queries():
 
     from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sdd
     from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        DEDUP_QUERIES,
         UNREGISTERED_DEDUP_QUERIES,
         q_dedup_containment,
         q_dedup_prefix,
@@ -555,9 +556,8 @@ def _extra_queries():
         "q_pagerank": _pagerank_q,
         "q_pagerank_index": _pagerank_from_index,
         "q_dedup_spans": UNREGISTERED_DEDUP_QUERIES["q_dedup_spans"],
-        "q_dedup_substrings": UNREGISTERED_DEDUP_QUERIES[
-            "q_dedup_substrings"
-        ],
+        # r10 rotation: registered (funded by q_kmv_overlap)
+        "q_dedup_substrings": DEDUP_QUERIES["q_dedup_substrings"],
         "q_domain_mix": UNREGISTERED_SAMPLING_QUERIES["q_domain_mix"],
         # whole-funnel build/probe split (VERDICT r07 #7)
         "q_curated_funnel": ccorp.q_curated_funnel,

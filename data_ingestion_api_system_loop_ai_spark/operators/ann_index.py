@@ -369,19 +369,37 @@ def q_knn_graph_from_index(
     return knn_graph(e, cent, asg)
 
 
+def q_knn_graph_budgeted_from_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """The SCALE-SAFE graph build probing the persisted index: the
+    assignments (and hence the seed graph's cells) come from the
+    stored inverted lists — zero quantizer training in the query path;
+    the budgeted seed + NN-Descent rounds are deterministic, so the
+    result is pinned IDENTICAL to the inline
+    ``nndescent.q_knn_graph_budgeted`` (direct test)."""
+    from .nndescent import knn_graph_budgeted
+
+    _require(index_path)
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = _read_units(spark, index_path, "assignments")
+    return knn_graph_budgeted(e, asg)
+
+
 def q_embedding_clusters_from_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
     """Semantic clusters probing the persisted ANN index: the kNN
     edges come from the stored quantizer/assignments (zero training in
     the query path), the component loop is unchanged — pinned
-    result-identical to the inline ``components.q_embedding_clusters``."""
+    result-identical to the inline ``components.q_embedding_clusters``
+    (both sides re-pointed at the budgeted build, VERDICT r09 #1)."""
     from .components import EMB_EDGE_TAU, connected_components
 
     _require(index_path)
     from pyspark.sql import functions as F
 
-    strong = q_knn_graph_from_index(spark, sf_dir, index_path).filter(
+    strong = q_knn_graph_budgeted_from_index(spark, sf_dir, index_path).filter(
         F.col("cosine") >= EMB_EDGE_TAU
     )
     cc = connected_components(strong, a_col="query_id", b_col="neighbor_id")

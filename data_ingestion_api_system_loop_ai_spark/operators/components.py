@@ -193,13 +193,18 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no strong edge stay out of the relation (singletons carry no
     cluster information). Iterative min-label propagation — the same
     non-SQL-expressible loop as the dedup components, pinned against
-    an independent pure-Python union-find in the direct test."""
+    an independent pure-Python union-find in the direct test.
+
+    Re-pointed (VERDICT r09 #1) at the scale-safe budgeted kNN build
+    (O(n·budget) seed + NN-Descent recovery) — the multi-probe build's
+    measured ~n^2.0 top octave made it the wrong substrate past 10⁵
+    vectors; the component loop is unchanged."""
     from ..sources.loader import load_table as _lt
-    from .similarity import ivf_assign, ivf_centroids, knn_graph
+    from .nndescent import knn_graph_budgeted
+    from .similarity import ivf_assign
 
     e = _lt(spark, sf_dir, "embeddings")
-    asg = ivf_assign(e)
-    strong = knn_graph(e, ivf_centroids(asg), asg).filter(
+    strong = knn_graph_budgeted(e, ivf_assign(e)).filter(
         F.col("cosine") >= EMB_EDGE_TAU
     )
     cc = connected_components(strong, a_col="query_id", b_col="neighbor_id")

@@ -1211,8 +1211,13 @@ SELECT nt.doc_id, CAST(nt.n_tokens AS INTEGER) AS n_tokens,
 FROM nt LEFT JOIN cov USING (doc_id)
 """
 
-UNREGISTERED_DEDUP_QUERIES["q_dedup_substrings"] = q_dedup_substrings
-UNREGISTERED_DEDUP_ORACLES["q_dedup_substrings"] = SUBSTR_DEDUP_ORACLE
+# Round-10 rotation (VERDICT r09 #6): REGISTERED, slot funded by
+# q_kmv_overlap (see operators/sketches.py). The best-evidenced
+# unregistered dedup query — independent-model parity, planted-skew
+# fixture, measured scaling rows (SCALING.json exp 0.662 plain /
+# 0.96 skew) — and its oracle is full DuckDB parity.
+DEDUP_QUERIES["q_dedup_substrings"] = q_dedup_substrings
+DEDUP_ORACLES["q_dedup_substrings"] = SUBSTR_DEDUP_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ shape — is identical for both, which is the part that matters for the
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1834,18 +1835,375 @@ def parse_mkv(payload: bytes) -> dict:
     return out
 
 
+# --- MPEG-1 Layer III (MP3) frame headers ---------------------------------
+#
+# Pure byte math like the MP4/MKV work (VERDICT r09 #3): a filtering
+# pipeline reads frame headers (bitrate/samplerate -> duration), never
+# the compressed audio. MPEG-1 Layer III tables only — the variant the
+# synthesizer emits; other versions raise (they'd silently mis-size
+# frames otherwise).
+
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]  # kbps, index 1..14 valid
+_MP3_SAMPLERATES = [44100, 48000, 32000]  # index 0..2; 3 reserved
+_MP3_SPF = 1152  # samples per MPEG-1 Layer III frame
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    samplerate: int = 44100,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally-valid MP3: n_frames MPEG-1 Layer III frames
+    (sync + header + seeded garbage payload, alternating padding bit)
+    followed by an ID3v1 TAG trailer. The trailer doubles as the tear
+    detector: it is the LAST 128 bytes, so any truncation removes it
+    and ``parse_mp3`` reports a torn stream (same metadata-at-the-end
+    discipline that makes MP4/MKV tears detectable: moov / Cluster sit
+    at the tail there)."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_SAMPLERATES.index(samplerate)
+    frames = b""
+    for i in range(n_frames):
+        padding = i % 2
+        flen = 144_000 * bitrate_kbps // samplerate + padding
+        hdr = bytes([
+            0xFF,
+            0xFB,  # sync(3) + MPEG-1(2) + Layer III(2) + no-CRC(1)
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            0x00,  # stereo, no flags
+        ])
+        frames += hdr + bytes(
+            (seed + i + j) % 256 for j in range(flen - 4)
+        )
+    tag = b"TAG" + bytes(125)
+    return frames + tag
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MPEG-1 Layer III sync-word walk -> duration/bitrate metadata +
+    frame-offset index. Contract: frames walk gaplessly and the stream
+    ends with the ID3v1 TAG trailer (the tear detector)."""
+    out: dict = {
+        "container": "mp3", "codec": None, "width": None, "height": None,
+        "duration_s": None, "n_samples": 0, "timescale": None,
+        "frame_offsets": None,
+    }
+    if len(payload) < 132:
+        raise ValueError("torn stream: shorter than one frame + TAG")
+    end = len(payload) - 128
+    if payload[end:end + 3] != b"TAG":
+        raise ValueError("torn stream: no ID3v1 trailer")
+    pos = 0
+    offs: list[int] = []
+    samplerate = None
+    total_samples = 0
+    while pos < end:
+        if pos + 4 > end:
+            raise ValueError(f"torn frame header at {pos}")
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost sync at {pos}")
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            raise ValueError(f"not MPEG-1 Layer III at {pos}")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x3
+        if not 1 <= br_idx <= 14 or sr_idx > 2:
+            raise ValueError(f"invalid bitrate/samplerate index at {pos}")
+        sr = _MP3_SAMPLERATES[sr_idx]
+        if samplerate is None:
+            samplerate = sr
+        elif sr != samplerate:
+            raise ValueError(f"samplerate change mid-stream at {pos}")
+        flen = 144_000 * _MP3_BITRATES[br_idx] // sr + ((b2 >> 1) & 1)
+        if pos + flen > end:
+            raise ValueError(f"torn frame at {pos}")
+        out["n_samples"] += 1
+        total_samples += _MP3_SPF
+        if len(offs) < _META_INDEX_K:
+            offs.append(pos)
+        pos += flen
+    if not out["n_samples"]:
+        raise ValueError("no MP3 frames before the trailer")
+    out["codec"] = "mp3"
+    out["timescale"] = samplerate
+    out["duration_s"] = round(total_samples / samplerate, 6)
+    out["frame_offsets"] = offs
+    return out
+
+
+# --- H.264 Annex-B elementary stream (NAL scan + SPS exp-Golomb) -----------
+
+def _ep_escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (00 00 0x -> 00 00 03 0x)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 0x03:
+            out.append(0x03)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_unescape(nal: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(nal):
+        b = nal[i]
+        if zeros >= 2 and b == 0x03:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _sps_rbsp(width: int, height: int, profile_idc: int,
+              level_idc: int) -> bytes:
+    """Build an SPS RBSP expressing exactly (width, height) via
+    macroblock counts + frame cropping (4:2:0 crop units = 2 px, so
+    even dims encode exactly)."""
+    bits: list[int] = []
+
+    def u(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        k = v + 1
+        u(0, k.bit_length() - 1)
+        u(k, k.bit_length())
+
+    u(profile_idc, 8)
+    u(0, 8)            # constraint flags + reserved
+    u(level_idc, 8)
+    ue(0)              # seq_parameter_set_id
+    if profile_idc >= 100:   # High-profile extras
+        ue(1)          # chroma_format_idc 4:2:0
+        ue(0)          # bit_depth_luma_minus8
+        ue(0)          # bit_depth_chroma_minus8
+        u(0, 1)        # qpprime_y_zero_transform_bypass_flag
+        u(0, 1)        # seq_scaling_matrix_present_flag
+    ue(0)              # log2_max_frame_num_minus4
+    ue(0)              # pic_order_cnt_type
+    ue(0)              # log2_max_pic_order_cnt_lsb_minus4
+    ue(1)              # max_num_ref_frames
+    u(0, 1)            # gaps_in_frame_num_value_allowed_flag
+    mbs_w = (width + 15) // 16
+    map_h = (height + 15) // 16
+    ue(mbs_w - 1)      # pic_width_in_mbs_minus1
+    ue(map_h - 1)      # pic_height_in_map_units_minus1
+    u(1, 1)            # frame_mbs_only_flag
+    u(0, 1)            # direct_8x8_inference_flag
+    crop_r = (mbs_w * 16 - width) // 2
+    crop_b = (map_h * 16 - height) // 2
+    if crop_r or crop_b:
+        u(1, 1)
+        ue(0)
+        ue(crop_r)
+        ue(0)
+        ue(crop_b)
+    else:
+        u(0, 1)
+    u(0, 1)            # vui_parameters_present_flag
+    u(1, 1)            # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        int("".join(map(str, bits[i:i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+
+
+_H264_START = b"\x00\x00\x00\x01"
+
+
+def encode_h264es(
+    width: int,
+    height: int,
+    n_frames: int,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+    seed: int = 0,
+) -> bytes:
+    """Minimal structurally-valid H.264 Annex-B elementary stream:
+    SPS(7) + PPS(8) + one IDR(5) + non-IDR(1) slices + END-OF-STREAM
+    NAL(10). The EOS NAL is the tear detector (last 5 bytes — any
+    truncation removes it). Slice payload bytes are drawn from
+    1..255 so no false start code can appear inside a payload."""
+    sps = _H264_START + b"\x67" + _ep_escape(
+        _sps_rbsp(width, height, profile_idc, level_idc)
+    )
+    pps_rbsp = bytes([0b11001000])  # ue(0) x2, u(1) x2 zeros, stop bit
+    pps = _H264_START + b"\x68" + _ep_escape(pps_rbsp)
+    out = sps + pps
+    for i in range(n_frames):
+        nal_type = 5 if i == 0 else 1
+        sz = 24 + ((seed * 7 + i * 13) % 64)
+        payload = bytes((seed + i + j) % 255 + 1 for j in range(sz))
+        out += _H264_START + bytes([nal_type]) + payload
+    return out + _H264_START + b"\x0a"
+
+
+def parse_h264(payload: bytes) -> dict:
+    """Annex-B NAL scan + SPS exp-Golomb parse -> profile/level,
+    exact cropped dimensions, VCL slice count and offsets. Contract:
+    the stream ends with an end-of-stream NAL (type 10) — its absence
+    means a torn stream."""
+    out: dict = {
+        "container": "h264", "codec": None, "width": None, "height": None,
+        "duration_s": None, "n_samples": 0, "timescale": None,
+        "frame_offsets": None,
+    }
+    # NAL boundaries: 3-byte start codes (a 4-byte code is a zero +
+    # 3-byte code; offsets below point at the NAL header byte)
+    starts: list[int] = []
+    i = payload.find(b"\x00\x00\x01")
+    while i != -1:
+        starts.append(i + 3)
+        i = payload.find(b"\x00\x00\x01", i + 3)
+    if not starts:
+        raise ValueError("no NAL start codes (torn or not Annex-B)")
+    offs: list[int] = []
+    sps_seen = False
+    last_type = None
+    for idx, s in enumerate(starts):
+        e = starts[idx + 1] - 3 if idx + 1 < len(starts) else len(payload)
+        # a 4-byte start code leaves its leading zero in the previous
+        # NAL's span; harmless for typing (we read the header byte)
+        if s >= len(payload):
+            raise ValueError(f"torn NAL header at {s}")
+        nal_type = payload[s] & 0x1F
+        last_type = nal_type
+        if nal_type == 7:
+            sps_seen = True
+            rbsp = _ep_unescape(payload[s + 1:e])
+            _parse_sps(rbsp, out)
+        elif 1 <= nal_type <= 5:
+            out["n_samples"] += 1
+            if len(offs) < _META_INDEX_K:
+                offs.append(s)
+    if not sps_seen:
+        raise ValueError("no SPS NAL (torn or not H.264)")
+    if last_type != 10:
+        raise ValueError("torn stream: no end-of-stream NAL")
+    out["frame_offsets"] = offs or None
+    return out
+
+
+def _parse_sps(rbsp: bytes, out: dict) -> None:
+    pos = 0  # bit cursor
+
+    def u(n: int) -> int:
+        nonlocal pos
+        if pos + n > len(rbsp) * 8:
+            raise ValueError("torn SPS")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((rbsp[pos // 8] >> (7 - pos % 8)) & 1)
+            pos += 1
+        return v
+
+    def ue() -> int:
+        zeros = 0
+        while u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("invalid exp-Golomb in SPS")
+        return (1 << zeros) - 1 + (u(zeros) if zeros else 0)
+
+    profile_idc = u(8)
+    u(8)  # constraint flags
+    level_idc = u(8)
+    ue()  # sps id
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma = ue()
+        if chroma == 3:
+            u(1)
+        ue()  # bit_depth_luma_minus8
+        ue()  # bit_depth_chroma_minus8
+        u(1)  # qpprime
+        if u(1):  # seq_scaling_matrix_present
+            raise ValueError("scaling matrices unsupported")
+    ue()  # log2_max_frame_num_minus4
+    poc_type = ue()
+    if poc_type == 0:
+        ue()
+    elif poc_type == 1:
+        u(1)
+        ue()
+        ue()
+        for _ in range(ue()):
+            ue()
+    ue()  # max_num_ref_frames
+    u(1)  # gaps flag
+    mbs_w = ue() + 1
+    map_h = ue() + 1
+    frame_mbs_only = u(1)
+    if not frame_mbs_only:
+        u(1)  # mb_adaptive_frame_field_flag
+    u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = ue(), ue(), ue(), ue()
+    # 4:2:0 crop units: 2 px horizontal, 2*(2-frame_mbs_only) vertical
+    vy = 2 * (2 - frame_mbs_only)
+    out["width"] = 16 * mbs_w - 2 * (crop_l + crop_r)
+    out["height"] = 16 * map_h * (2 - frame_mbs_only) - vy * (
+        crop_t + crop_b
+    )
+    out["codec"] = f"avc:p{profile_idc}.l{level_idc}"
+
+
+_H264_PROFILES = [66, 77, 100]     # baseline / main / high
+_H264_LEVELS = [30, 31, 40]
+
+
 def _container_spec(doc_id: int) -> dict:
     """Deterministic per-doc container spec — the single source of
-    truth the golden tests recompute against."""
-    container = "mp4" if doc_id % 2 == 0 else "mkv"
-    codec = (
-        _MP4_CODECS[(doc_id // 2) % 3]
-        if container == "mp4"
-        else _MKV_CODECS[(doc_id // 2) % 3]
-    )
+    truth the golden tests recompute against. Four families (r10 adds
+    the MP3 and H.264-ES rows, VERDICT r09 #3): doc_id % 4 ->
+    mp4 / mkv / mp3 / h264."""
+    fam = doc_id % 4
+    if fam == 0:
+        return {
+            "container": "mp4",
+            "codec": _MP4_CODECS[(doc_id // 4) % 3],
+            "width": 16 + (doc_id % 32) * 2,
+            "height": 16 + (doc_id % 16) * 2,
+            "n_frames": 1 + doc_id % 10,
+        }
+    if fam == 1:
+        return {
+            "container": "mkv",
+            "codec": _MKV_CODECS[(doc_id // 4) % 3],
+            "width": 16 + (doc_id % 32) * 2,
+            "height": 16 + (doc_id % 16) * 2,
+            "n_frames": 1 + doc_id % 10,
+        }
+    if fam == 2:
+        return {
+            "container": "mp3",
+            "codec": "mp3",
+            "bitrate_kbps": _MP3_BITRATES[1 + (doc_id // 4) % 14],
+            "samplerate": _MP3_SAMPLERATES[(doc_id // 4) % 3],
+            "n_frames": 1 + doc_id % 10,
+        }
+    profile = _H264_PROFILES[(doc_id // 4) % 3]
+    level = _H264_LEVELS[(doc_id // 4) % 3]
     return {
-        "container": container,
-        "codec": codec,
+        "container": "h264",
+        "codec": f"avc:p{profile}.l{level}",
+        "profile_idc": profile,
+        "level_idc": level,
         "width": 16 + (doc_id % 32) * 2,
         "height": 16 + (doc_id % 16) * 2,
         "n_frames": 1 + doc_id % 10,
@@ -1864,12 +2222,23 @@ def _synthesize_containers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                     s["width"], s["height"], s["n_frames"],
                     codec=s["codec"], seed=did,
                 )
-            else:
+            elif s["container"] == "mkv":
                 p = encode_mkv(
                     s["width"], s["height"], s["n_frames"],
                     codec_id=s["codec"],
                     duration_s=s["n_frames"] * 0.040,
                     seed=did,
+                )
+            elif s["container"] == "mp3":
+                p = encode_mp3(
+                    s["n_frames"], bitrate_kbps=s["bitrate_kbps"],
+                    samplerate=s["samplerate"], seed=did,
+                )
+            else:
+                p = encode_h264es(
+                    s["width"], s["height"], s["n_frames"],
+                    profile_idc=s["profile_idc"],
+                    level_idc=s["level_idc"], seed=did,
                 )
             if did % 97 == 0:
                 p = p[: max(4, len(p) // 2)]
@@ -1914,21 +2283,32 @@ def _parse_container_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 "timescale": None, "frame_offsets": None, "error": None,
             }
             try:
-                parser = parse_mp4 if r.container == "mp4" else parse_mkv
+                parser = {
+                    "mp4": parse_mp4, "mkv": parse_mkv,
+                    "mp3": parse_mp3, "h264": parse_h264,
+                }[r.container]
                 base.update(parser(payload))
-            except ValueError as exc:
+            except (ValueError, struct.error) as exc:
+                # struct.error: a malformed-but-in-bounds fixed-width
+                # field (e.g. an MKV Duration sized neither 8 nor 4)
+                # must surface as an error ROW, not kill the job
+                # (ADVICE r09)
                 base["error"] = str(exc)
             rows.append(base)
         yield pd.DataFrame(rows, columns=cols)
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Container-level metadata over MP4/MKV payloads: executor-side
-    synthesis -> pure-byte-math box/EBML walk in a second mapInPandas
-    stage (duration, codec id, resolution, sample count, frame-offset
-    index), torn payloads surfacing as error rows — the metadata layer
-    a 100 TB multimodal filter reads INSTEAD of decoding compressed
-    A/V. Narrow two-stage chain, payloads never visit the driver.
+    """Container-level metadata over MP4 / MKV / MP3 / H.264-ES
+    payloads: executor-side synthesis -> pure-byte-math parse in a
+    second mapInPandas stage (box walk, EBML walk, Layer-III frame
+    header walk, NAL scan + SPS exp-Golomb — duration, codec id,
+    resolution, sample count, frame-offset index), torn payloads
+    surfacing as error rows — the metadata layer a 100 TB multimodal
+    filter reads INSTEAD of decoding compressed A/V. Every format's
+    tear detector is its tail structure (moov / Cluster / ID3v1 TAG /
+    end-of-stream NAL), so a truncated payload always reports.
+    Narrow two-stage chain, payloads never visit the driver.
     Unregistered (payload bytes never exist in SQL); hand-packed-bytes
     goldens + spec round-trip + torn-arm direct tests in
     tests/test_unregistered_ops.py."""

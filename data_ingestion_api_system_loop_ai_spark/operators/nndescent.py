@@ -51,7 +51,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
-from .similarity import KNN_K, dot_expr, ivf_assign, ivf_centroids, knn_graph, norm_expr
+from .similarity import (
+    KNN_K,
+    KNN_SEED_BUDGET,
+    dot_expr,
+    ivf_assign,
+    knn_graph_seed,
+    norm_expr,
+)
 
 NND_ITERS = 2
 
@@ -157,13 +164,42 @@ def nn_descent(
     return out, objective
 
 
-def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF kNN graph refined by NND_ITERS NN-Descent rounds.
-    (Unregistered, NON-SQL-EXPRESSIBLE — iterative; direct tests pin
-    determinism, objective monotonicity, and recall >= the unrefined
-    IVF graph against the brute-force ground truth.)"""
-    e = load_table(spark, sf_dir, "embeddings")
-    asg = ivf_assign(e)
-    base = knn_graph(e, ivf_centroids(asg), asg)
-    out, _obj = nn_descent(e, base)
+def knn_graph_budgeted(
+    e: DataFrame,
+    asg: DataFrame,
+    k: int = KNN_K,
+    budget: int = KNN_SEED_BUDGET,
+    iters: int = NND_ITERS,
+) -> DataFrame:
+    """The SCALE-SAFE corpus kNN graph (VERDICT r09 #1): the O(n·budget)
+    single-probe seed (``similarity.knn_graph_seed``) refined by
+    ``iters`` NN-Descent rounds (O(n·k²) each) — every stage linear in
+    n except the quantizer's n·√n broadcast crossJoin, which is pure
+    whole-stage-codegen compute with no shuffle. Replaces
+    ``knn_graph``'s measured ~n^2.0 top octave (SCALING.json r9:
+    231 s at 128 k) with a measured near-linear build; recall vs the
+    exact graph is measured by tools/knn_budget_probe.py into
+    SCALING.json ``knn_graph_budgeted_recall``. Deterministic end to
+    end (same rounding/tiebreaks as the seed and the NND rounds)."""
+    seed = knn_graph_seed(asg, k=k, budget=budget)
+    out, _obj = nn_descent(e, seed, k=k, iters=iters)
     return out
+
+
+def q_knn_graph_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rnk): the production-scale kNN
+    graph build — budgeted seed + NN-Descent recovery. (Unregistered,
+    NON-SQL-EXPRESSIBLE — iterative; the SEED stage has driver-grade
+    DuckDB parity via ``similarity.KNN_SEED_ORACLE``; direct tests pin
+    determinism and recall >= the bare seed.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_budgeted(e, ivf_assign(e))
+
+
+def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph refined by NND_ITERS NN-Descent rounds. Re-pointed
+    (VERDICT r09 #1) at the O(n·budget) budgeted SEED graph instead of
+    the full multi-probe build, which makes it the SAME computation as
+    ``q_knn_graph_budgeted`` — kept as the SURVEY B75 name; pinned
+    identical by construction (one code path)."""
+    return q_knn_graph_budgeted(spark, sf_dir)

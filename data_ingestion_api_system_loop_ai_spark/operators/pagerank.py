@@ -49,7 +49,13 @@ def pagerank(
 ) -> tuple[DataFrame, list[float]]:
     """Ranks for the node set of ``edges`` (src, dst). Returns
     ((node, rank), per-round L1 deltas). Ranks are 12-dp-rounded at
-    every step — the determinism contract."""
+    every step — the determinism contract.
+
+    SIMPLE-GRAPH semantics: the edge relation is ``distinct()``-ed
+    first, so a duplicated (src, dst) row neither inflates out-degree
+    nor contributes twice (ADVICE r09 — the consolidated form had
+    silently become multigraph for non-deduped inputs)."""
+    edges = edges.select("src", "dst").distinct()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -132,12 +138,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query -> neighbor edges from B72's IVF multi-probe graph), dense
     rank by (rank DESC, node). (Unregistered, NON-SQL-EXPRESSIBLE —
     iterative; direct tests: determinism, python-Decimal replay,
-    regular-graph closed form, shrinking deltas.)"""
-    from .similarity import ivf_assign, ivf_centroids, knn_graph
+    regular-graph closed form, shrinking deltas.)
+
+    Re-pointed (VERDICT r09 #1) at the scale-safe budgeted kNN build
+    — same edges semantics (directed query -> neighbor top-k), a base
+    graph that survives 100 TB."""
+    from .nndescent import knn_graph_budgeted
+    from .similarity import ivf_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    asg = ivf_assign(e)
-    g = knn_graph(e, ivf_centroids(asg), asg)
+    g = knn_graph_budgeted(e, ivf_assign(e))
     edges = g.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -165,9 +175,9 @@ def q_pagerank_from_index(
     result-identical to the inline build and ``pagerank`` is
     bit-deterministic, the ranks are pinned IDENTICAL to
     ``q_pagerank`` (direct test)."""
-    from .ann_index import q_knn_graph_from_index
+    from .ann_index import q_knn_graph_budgeted_from_index
 
-    g = q_knn_graph_from_index(spark, sf_dir, index_path)
+    g = q_knn_graph_budgeted_from_index(spark, sf_dir, index_path)
     edges = g.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )

@@ -1026,6 +1026,169 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(e, ivf_centroids(asg), asg)
 
 
+KNN_SEED_BUDGET = 128
+# deterministic random-bridge candidates per node (LCG over the id
+# domain — identical BIGINT arithmetic on both engines, magnitudes kept
+# under 2^53 so DuckDB never hits its multiplication-overflow error)
+KNN_BRIDGE_R = 8
+_BRIDGE_MULT = 69069       # Marsaglia LCG multiplier
+_BRIDGE_STEP = 40503
+
+
+def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
+                   budget: int = KNN_SEED_BUDGET,
+                   bridges: int = KNN_BRIDGE_R) -> DataFrame:
+    """(query_id, neighbor_id, cosine): O(n·(budget+bridges)) SEED
+    graph — the scale-safe base the NN-Descent rounds refine (VERDICT
+    r09 #1).
+
+    Three structural choices vs ``knn_graph`` kill its measured ~n^2.0
+    top octave (231 s at 128 k):
+
+    - SINGLE probe: the probed cell is the node's own assignment cell,
+      already computed by the quantizer — the q×centroid crossJoin and
+      its n·√n-row window shuffle (each row carrying the 64-float
+      embedding — the dominant shuffle at 128 k) vanish entirely;
+    - PER-NODE CANDIDATE BUDGET: the candidate pool of each cell is
+      its first ``budget`` members by vec_id (deterministic, same
+      idiom as KNN_CELL_CAP), so every node scores <= ``budget``
+      cell pairs and total pair work is linear in n, however the cell
+      sizes grow;
+    - RANDOM BRIDGES: ``bridges`` extra candidates per node drawn by a
+      deterministic LCG over the id domain (the canonical NN-Descent
+      random-graph initialization). These are NOT for recall — they
+      make the refinement POSSIBLE: a single-probe seed is
+      cell-partitioned, its 2-hop closure is still cell-partitioned,
+      and NN-Descent measurably cannot improve it AT ALL (measured
+      r10: recall 0.1788 -> 0.1788 after 2 rounds at n=500). Bridges
+      connect the cell components so neighbor-of-neighbor propagation
+      crosses cells; the same measurement with bridges shows the
+      rounds recovering recall again.
+
+    The recall the budget gives up inside large cells is recovered by
+    the NN-Descent rounds (``knn_graph_budgeted``); the composed
+    build's recall is measured by tools/knn_budget_probe.py into
+    SCALING.json.
+
+    ``asg`` is localCheckpoint-ed: the query side, the candidate pool,
+    and the bridge endpoints all read it, and divergently-pruned
+    subtrees never canonicalize equal (pitfall: the n·√n assignment
+    crossJoin would run once per subtree)."""
+    asg = asg.localCheckpoint(eager=False)
+    q = asg.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "cell",
+    )
+    wc = W.partitionBy("cell").orderBy("neighbor_id")
+    cand = (
+        asg.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+            "cell",
+        )
+        .withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= budget)
+        .drop("_crn")
+    )
+    cell_pairs = q.join(cand, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # bridge candidates: dst_j = ((id % n)·MULT + j·STEP) % n, scored
+    # by a shuffle join of the n·bridges (query, dst) pairs to the
+    # vector relation — linear, no window, no crossJoin
+    n_row = F.broadcast(asg.agg(F.count("*").alias("_n")))
+    nb = asg.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+    )
+    bridge_pairs = (
+        q.drop("cell")
+        .crossJoin(n_row)
+        .select(
+            "query_id", "q_emb", "q_norm",
+            F.explode(F.sequence(F.lit(1), F.lit(bridges))).alias("_j"),
+            "_n",
+        )
+        .select(
+            "query_id", "q_emb", "q_norm",
+            (
+                (
+                    (F.col("query_id") % F.col("_n")) * _BRIDGE_MULT
+                    + F.col("_j") * _BRIDGE_STEP
+                )
+                % F.col("_n")
+            ).alias("neighbor_id"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(nb, "neighbor_id")
+    )
+    score = F.round(
+        dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
+    ).alias("cosine")
+    pairs = (
+        cell_pairs.select("query_id", "neighbor_id", score)
+        .unionByName(bridge_pairs.select("query_id", "neighbor_id", score))
+        # a bridge draw can duplicate a cell pair (same query, same
+        # neighbor, same cosine) — dedup so it can't occupy two rnk
+        # slots in the top-k
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# DuckDB twin of the seed stage (the NND rounds are non-SQL-
+# expressible; the seed is, and gets driver-grade parity in
+# tests/test_unregistered_ops.py)
+KNN_SEED_ORACLE = IVF_CELLS_CTE + f""",
+capped AS (
+  SELECT * FROM (
+    SELECT cells.*,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS crn
+    FROM cells
+  ) WHERE crn <= {KNN_SEED_BUDGET}
+),
+nstats AS (SELECT count(*) AS _n FROM embeddings),
+cell_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.v_norm * c.v_norm), 6) AS cosine
+  FROM cells q
+  JOIN capped c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+),
+bridge_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.v_norm * c.v_norm), 6) AS cosine
+  FROM (
+    SELECT vec_id, embedding, v_norm,
+           ((vec_id % _n) * {_BRIDGE_MULT} + j * {_BRIDGE_STEP}) % _n
+             AS nid
+    FROM cells, nstats, range(1, {KNN_BRIDGE_R} + 1) t(j)
+  ) q
+  JOIN cells c ON c.vec_id = q.nid AND c.vec_id <> q.vec_id
+),
+pairs AS (
+  SELECT query_id, neighbor_id, max(cosine) AS cosine
+  FROM (SELECT * FROM cell_pairs UNION ALL SELECT * FROM bridge_pairs)
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {KNN_K}
+"""
+
+
 def knn_cell_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell, cell_size) for every IVF cell past ``KNN_CELL_CAP`` — the
     no-silent-caps companion to ``knn_graph`` (the

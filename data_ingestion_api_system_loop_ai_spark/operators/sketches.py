@@ -664,19 +664,22 @@ FROM a, b, uest, ie
 """
 
 
-# Registered in the late-round-5 rotation (slot funded by
-# q_batch_chunking, whose chunk rule stays hash-checked inside
-# q_pipeline_e2e): the KMV overlap's sketch is deterministic integer
-# state, so this is an EXACT value-hash row, not an approximation
-# check.
 SKETCH_QUERIES = {
-    "q_kmv_overlap": q_kmv_overlap,
     # Registered in the round-8 rotation (slot funded by q_domain_mix,
     # whose boundary-crossing keep rule stays hash-checked inside the
     # registered q_temperature_mix and the funnel's mix stage).
     "q_hist_quantiles": q_hist_quantiles,
 }
 SKETCH_ORACLES = {
-    "q_kmv_overlap": KMV_OVERLAP_ORACLE,
     "q_hist_quantiles": HIST_QUANTILES_ORACLE,
 }
+
+# Round-10 rotation (VERDICT r09 #6): q_kmv_overlap's slot funds
+# q_dedup_substrings. The eviction loses nothing — the KMV row is a
+# 1-row sketch readout (weakest discriminating power on the board)
+# whose hash-exactness stays pinned by the driver-grade DuckDB parity
+# in tests/test_unregistered_ops.py::
+# test_kmv_overlap_oracle_parity_and_accuracy (held a slot rounds
+# 5-9, always green).
+UNREGISTERED_SKETCH_QUERIES = {"q_kmv_overlap": q_kmv_overlap}
+UNREGISTERED_SKETCH_ORACLES = {"q_kmv_overlap": KMV_OVERLAP_ORACLE}

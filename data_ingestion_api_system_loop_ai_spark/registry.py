@@ -129,6 +129,8 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.curated_corpus",
     ".operators.multimodal",
     ".operators.pagerank",
+    # r10 rotation: q_kmv_overlap's slot funds q_dedup_substrings
+    ".operators.sketches",
 ]
 
 

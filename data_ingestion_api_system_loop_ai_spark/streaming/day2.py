@@ -59,6 +59,7 @@ def day2_ingest_writer(
     rollup_path: str,
     scan_path: str,
     serving: ServingTable,
+    effect_hook=None,
 ):
     """``foreachBatch`` callable running the full day-2 cycle on each
     micro-batch of (doc_id, lang, text) rows. ``serving`` must be keyed
@@ -67,7 +68,15 @@ def day2_ingest_writer(
         stream.writeStream.foreachBatch(
             day2_ingest_writer(spark, ix, out, roll, scan, table)
         ).option("checkpointLocation", ckpt)
-    """
+
+    ``effect_hook(stage, batch_id)`` is a FAULT-INJECTION point called
+    after each effect lands (stages ``scan_written`` /
+    ``corpus_written`` / ``rollup_done`` / ``serving_done``) — the
+    crash-matrix test (VERDICT r09 #4) raises from it to kill the
+    cycle between every adjacent effect pair and then proves the
+    replay converges. Production leaves it None; it exists precisely
+    so the exactly-once argument is TESTED at each seam instead of
+    asserted."""
     rollup_write = rollup_stream_writer(
         spark, rollup_path, DAY2_ROLLUP_NAME, ["lang"], "n_chars"
     )
@@ -98,15 +107,21 @@ def day2_ingest_writer(
             scan.write.mode("overwrite").parquet(
                 os.path.join(scan_path, f"batch={unit}")
             )
+            if effect_hook is not None:
+                effect_hook("scan_written", batch_id)
             # 2. corpus unit (overwrite: idempotent)
             clean.write.mode("overwrite").parquet(
                 os.path.join(out_path, f"unit={unit}")
             )
+            if effect_hook is not None:
+                effect_hook("corpus_written", batch_id)
             # 3. rollup refresh (skips if its manifest unit exists)
             rollup_write(
                 clean.select("lang", F.length("text").alias("n_chars")),
                 batch_id,
             )
+            if effect_hook is not None:
+                effect_hook("rollup_done", batch_id)
             # 4. serving upsert (seq = batch id: replays tie with
             # themselves in the max-seq merge)
             serving.upsert(
@@ -117,6 +132,8 @@ def day2_ingest_writer(
                     F.lit(batch_id).cast("long").alias("seq"),
                 )
             )
+            if effect_hook is not None:
+                effect_hook("serving_done", batch_id)
             # 5. index unit + marker — the commit point of the batch
             build_dedup_index(
                 clean.select("doc_id", "text"),

@@ -111,6 +111,9 @@ class ServingTable:
             self.bucket_cols = cfg["bucket_cols"]
         except FileNotFoundError:
             pass
+        # lookup()'s literal-cast types, cached per version (ADVICE
+        # r09: one parquet footer read per point lookup otherwise)
+        self._key_types_cache: tuple[int, dict] | None = None
 
     def _save_config(self) -> None:
         cfg_path = os.path.join(self.path, _CONFIG)
@@ -308,13 +311,23 @@ class ServingTable:
             # hash(7012 AS BIGINT), and a bare F.lit(python_int) is an
             # INT while stored keys are typically BIGINT — the pruned
             # lookup would hash to the WRONG bucket and silently miss.
-            # Cast each literal to the stored column's type (one parquet
-            # footer read of an arbitrary bucket directory).
-            any_b = next(iter(manifest))
-            stored = spark.read.parquet(
-                self._bucket_dir(any_b, manifest[any_b])
-            ).schema
-            types = {f.name: f.dataType for f in stored.fields}
+            # Cast each literal to the stored column's type. The
+            # resolved types are CACHED on the instance keyed by the
+            # commit version (ADVICE r09) — the footer read happens
+            # once per version, not once per point lookup; a new
+            # commit (schema could evolve) invalidates the cache.
+            if (
+                self._key_types_cache is not None
+                and self._key_types_cache[0] == v
+            ):
+                types = self._key_types_cache[1]
+            else:
+                any_b = next(iter(manifest))
+                stored = spark.read.parquet(
+                    self._bucket_dir(any_b, manifest[any_b])
+                ).schema
+                types = {f.name: f.dataType for f in stored.fields}
+                self._key_types_cache = (v, types)
             b = (
                 spark.range(1)
                 .select(

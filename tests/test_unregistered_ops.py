@@ -2397,11 +2397,12 @@ def test_hybrid_rank_oracle_exact_and_rrf_semantics(spark, sf_dir):
 
 
 def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
-    """NN-Descent refinement: (1) recall against the brute-force top-k
-    ground truth is at least the unrefined IVF graph's (neighbors only
-    ever improve); (2) the per-round mean-cosine objective is
-    non-decreasing; (3) two runs return identical graphs; (4) per-query
-    rnk stays dense 1..k'."""
+    """NN-Descent refinement over the BUDGETED seed graph (the r10
+    re-point — q_nn_descent == q_knn_graph_budgeted by construction):
+    (1) recall against the brute-force top-k ground truth beats the
+    unrefined seed's (neighbors only ever improve); (2) the per-round
+    mean-cosine objective is non-decreasing; (3) two runs return
+    identical graphs; (4) per-query rnk stays dense 1..k'."""
     from pyspark.sql import functions as F
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -2412,8 +2413,7 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
         KNN_K,
         dot_expr,
         ivf_assign,
-        ivf_centroids,
-        knn_graph,
+        knn_graph_seed,
         norm_expr,
     )
     from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
@@ -2453,9 +2453,9 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
     asg = ivf_assign(e)
     base_edges = {
         (r["query_id"], r["neighbor_id"])
-        for r in knn_graph(e, ivf_centroids(asg), asg).collect()
+        for r in knn_graph_seed(asg).collect()
     }
-    base2 = knn_graph(e, ivf_centroids(asg), asg)
+    base2 = knn_graph_seed(ivf_assign(e))
     refined, obj = nn_descent(e, base2)
     refined_edges = {
         (r["query_id"], r["neighbor_id"]) for r in refined.collect()
@@ -2465,10 +2465,14 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
     nnd_recall = len(refined_edges & truth) / len(truth)
     # the synthetic embeddings are RANDOM high-dim vectors — the
     # hardest case for NN-Descent (no intrinsic low-dim structure for
-    # neighbor-of-neighbor propagation to exploit); measured here:
-    # 0.30 -> 0.46 in two rounds, +50% relative
+    # neighbor-of-neighbor propagation to exploit); measured over the
+    # budgeted seed here: 0.19 -> 0.25 in two rounds, +30% relative
+    # (the production-shape recall on CLUSTERED corpora is measured by
+    # tools/knn_budget_probe.py into SCALING.json). Without the seed's
+    # random bridges this gain is exactly 0.0 — the r10 finding that a
+    # cell-partitioned seed's 2-hop closure never leaves the cell.
     assert nnd_recall > base_recall
-    assert nnd_recall > base_recall + 0.1
+    assert nnd_recall > base_recall * 1.2
     assert all(b2 >= a2 - 1e-9 for a2, b2 in zip(obj, obj[1:]))
 
     again = {
@@ -2482,6 +2486,59 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_knn_graph_budgeted_seed_oracle_and_pin(spark, sf_dir):
+    """The scale-safe kNN build (VERDICT r09 #1): (1) the O(n·budget)
+    seed stage is DuckDB-parity exact (single-probe own cell, per-cell
+    pool capped at KNN_SEED_BUDGET by vec_id, top-k by (cosine desc,
+    id)); (2) q_knn_graph_budgeted == q_nn_descent edge-for-edge (one
+    code path — the B75/B120 merge); (3) the budget binds: with a
+    3000-row single-cell corpus every reported neighbor comes from the
+    first KNN_SEED_BUDGET vec_ids."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        nndescent as nnd,
+        similarity as sim,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    e = sim.load_table(spark, sf_dir, "embeddings")
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            sim.knn_graph_seed(sim.ivf_assign(e)), con, sim.KNN_SEED_ORACLE
+        )
+    finally:
+        con.close()
+
+    budgeted = sorted(
+        map(tuple, nnd.q_knn_graph_budgeted(spark, sf_dir).collect())
+    )
+    via_nnd = sorted(map(tuple, nnd.q_nn_descent(spark, sf_dir).collect()))
+    assert budgeted == via_nnd
+
+    # budget binds in a giant cell: identical vectors all land in one
+    # cell; candidates must come from the first KNN_SEED_BUDGET ids
+    n = 3000
+    giant = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    seed_rows = sim.knn_graph_seed(sim.ivf_assign(giant)).collect()
+    assert {r["query_id"] for r in seed_rows} == set(range(n))
+    assert all(
+        r["neighbor_id"] < sim.KNN_SEED_BUDGET
+        for r in seed_rows
+        # pool = first budget members of the cell BY VEC_ID; the seed
+        # relation itself is ~sqrt(n) systematic ids, all < n
+    )
 
 
 def test_temperature_mix_oracle_exact_and_targets(spark, sf_dir):
@@ -2848,18 +2905,18 @@ def test_embedding_clusters_match_union_find(spark, sf_dir):
         EMB_EDGE_TAU,
         q_embedding_clusters,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        knn_graph_budgeted,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
         ivf_assign,
-        ivf_centroids,
-        knn_graph,
     )
     from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    asg = ivf_assign(e)
     edges = [
         (r["query_id"], r["neighbor_id"])
-        for r in knn_graph(e, ivf_centroids(asg), asg)
+        for r in knn_graph_budgeted(e, ivf_assign(e))
         .filter(f"cosine >= {EMB_EDGE_TAU}")
         .collect()
     ]
@@ -5264,14 +5321,112 @@ def test_parse_mkv_hand_packed_golden():
         parse_mkv(buf[: len(buf) // 2])
 
 
-def test_media_meta_pipeline_goldens(spark, sf_dir):
-    """q_media_meta end to end: every non-torn asset parses to the
-    exact container/codec/dims/sample-count its _container_spec
-    implies, duration is n_frames * 40 ms on both container families,
-    frame offsets are strictly increasing and verifiably point into
-    the payload (MP4: recomputed chunk base; MKV: SimpleBlock ids),
-    torn assets (doc_id % 97 == 0) carry an error and nothing else."""
+def test_parse_mp3_hand_packed_golden():
+    """parse_mp3 against HAND-PACKED MPEG-1 Layer III bytes built here
+    independently of encode_mp3: two 128 kbps / 44.1 kHz frames
+    (padding 0 then 1 -> 417/418 bytes), ID3v1 trailer; duration =
+    2 * 1152 / 44100; torn/invalid arms."""
+    import pytest
+
     from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        parse_mp3,
+    )
+
+    # header: FF FB | br_idx=9 (128k) << 4 | sr_idx=0 (44.1k) << 2 |
+    # padding << 1
+    f1 = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    f2 = bytes([0xFF, 0xFB, 0x92, 0x00]) + b"\xaa" * 414
+    tag = b"TAG" + bytes(125)
+    buf = f1 + f2 + tag
+    m = parse_mp3(buf)
+    assert m["codec"] == "mp3"
+    assert m["n_samples"] == 2
+    assert m["timescale"] == 44100
+    assert m["duration_s"] == round(2 * 1152 / 44100, 6)
+    assert m["frame_offsets"] == [0, 417]
+    assert m["width"] is None and m["height"] is None
+
+    with pytest.raises(ValueError, match="ID3v1"):
+        parse_mp3(buf[: len(buf) // 2])          # trailer gone
+    with pytest.raises(ValueError, match="torn frame"):
+        parse_mp3(f1 + f2[:100] + tag)           # frame cut, TAG intact
+    with pytest.raises(ValueError, match="not MPEG-1"):
+        # version bits say MPEG-2 (b1 = 0xF3)
+        parse_mp3(bytes([0xFF, 0xF3, 0x90, 0x00]) + bytes(413) + tag)
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_mp3(b"\x00" * 417 + tag)
+    with pytest.raises(ValueError, match="invalid bitrate"):
+        # bitrate index 0 (free-format, unsupported)
+        parse_mp3(bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(413) + tag)
+
+
+def test_parse_h264_hand_packed_golden():
+    """parse_h264 against a HAND-PACKED Annex-B stream built here
+    independently of encode_h264es: a bit-by-bit hand-assembled SPS
+    (baseline 66, level 30, 4x3 macroblocks, no cropping -> 64x48 =
+    bytes 42 00 1E F4 23 88), PPS, two slices, EOS NAL; plus the
+    cropped/high-profile arms via encoder round-trip and the
+    emulation-prevention escape pair."""
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _ep_escape,
+        _ep_unescape,
+        encode_h264es,
+        parse_h264,
+    )
+
+    sc = b"\x00\x00\x00\x01"
+    sps = sc + b"\x67" + bytes([0x42, 0x00, 0x1E, 0xF4, 0x23, 0x88])
+    pps = sc + b"\x68" + bytes([0b11001000])
+    idr = sc + b"\x65" + b"\x11" * 20
+    sl = sc + b"\x41" + b"\x22" * 16
+    eos = sc + b"\x0a"
+    buf = sps + pps + idr + sl + eos
+    m = parse_h264(buf)
+    assert m["codec"] == "avc:p66.l30"
+    assert (m["width"], m["height"]) == (64, 48)
+    assert m["n_samples"] == 2
+    assert m["duration_s"] is None and m["timescale"] is None
+    # offsets point at the slice NAL header bytes
+    assert [buf[o] & 0x1F for o in m["frame_offsets"]] == [5, 1]
+
+    with pytest.raises(ValueError, match="end-of-stream"):
+        parse_h264(sps + pps + idr)              # truncated: EOS gone
+    with pytest.raises(ValueError, match="no SPS"):
+        parse_h264(pps + idr + eos)
+    with pytest.raises(ValueError, match="start codes"):
+        parse_h264(b"\x42" * 64)
+
+    # cropped dims (odd macroblock remainder) + High-profile SPS arm,
+    # cross-checked through the encoder
+    for prof in (66, 100):
+        p = encode_h264es(50, 34, 3, profile_idc=prof, level_idc=40)
+        m2 = parse_h264(p)
+        assert (m2["width"], m2["height"]) == (50, 34)
+        assert m2["codec"] == f"avc:p{prof}.l40"
+        assert m2["n_samples"] == 3
+
+    # emulation prevention: escape/unescape are exact inverses and the
+    # escaped form never contains a start code
+    rbsp = b"\x00\x00\x01\x00\x00\x00\x02\x00\x00\x03\x7f"
+    esc = _ep_escape(rbsp)
+    assert b"\x00\x00\x01" not in esc
+    assert _ep_unescape(esc) == rbsp
+
+
+def test_media_meta_pipeline_goldens(spark, sf_dir):
+    """q_media_meta end to end over all FOUR container families
+    (mp4/mkv/mp3/h264 by doc_id % 4): every non-torn asset parses to
+    the exact container/codec/dims/sample-count its _container_spec
+    implies, durations follow each family's clock (40 ms/frame video,
+    1152-sample Layer III frames, none for an elementary stream),
+    frame offsets are strictly increasing and verifiably point into
+    the payload, torn assets (doc_id % 97 == 0) carry an error and
+    nothing else — the tail-structure tear detectors (moov / Cluster /
+    ID3v1 TAG / EOS NAL) make that guarantee structural."""
+    from data_ingestion_api_system_loop_ai_spark.operators.multimodal import (
+        _MP3_SPF,
         _container_spec,
         _mp4_frame_sizes,
         q_media_meta,
@@ -5280,22 +5435,24 @@ def test_media_meta_pipeline_goldens(spark, sf_dir):
     rows = {r["asset_id"]: r for r in q_media_meta(spark, sf_dir).collect()}
     assert len(rows) >= 400
     checked = torn = 0
+    fams = set()
     for did, r in rows.items():
         s = _container_spec(did)
         assert r["container"] == s["container"]
         if did % 97 == 0:
-            assert r["error"] is not None
+            assert r["error"] is not None, (did, s["container"])
             assert r["codec"] is None and r["width"] is None
             torn += 1
             continue
         assert r["error"] is None, (did, r["error"])
         assert r["codec"] == s["codec"]
-        assert (r["width"], r["height"]) == (s["width"], s["height"])
         assert r["n_samples"] == s["n_frames"]
-        assert abs(r["duration_s"] - s["n_frames"] * 0.040) < 1e-6
         offs = r["frame_offsets"]
         assert offs is not None and list(offs) == sorted(set(offs))
+        fams.add(s["container"])
         if s["container"] == "mp4":
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+            assert abs(r["duration_s"] - s["n_frames"] * 0.040) < 1e-6
             assert r["timescale"] == 1000
             # first frame sits right after ftyp (28 bytes: brand +
             # minor + 3 compatible brands) + the 8-byte mdat header
@@ -5303,9 +5460,28 @@ def test_media_meta_pipeline_goldens(spark, sf_dir):
             sizes = _mp4_frame_sizes(s["n_frames"], did)
             for i in range(1, len(offs)):
                 assert offs[i] - offs[i - 1] == sizes[i - 1]
-        else:
+        elif s["container"] == "mkv":
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+            assert abs(r["duration_s"] - s["n_frames"] * 0.040) < 1e-6
             assert r["timescale"] == 1_000_000
+        elif s["container"] == "mp3":
+            assert r["width"] is None and r["height"] is None
+            assert r["timescale"] == s["samplerate"]
+            assert abs(
+                r["duration_s"]
+                - s["n_frames"] * _MP3_SPF / s["samplerate"]
+            ) < 1e-5
+            assert offs[0] == 0
+            flen = 144_000 * s["bitrate_kbps"] // s["samplerate"]
+            for i in range(1, len(offs)):
+                # alternating padding bit: frame i-1 has padding
+                # (i-1) % 2
+                assert offs[i] - offs[i - 1] == flen + ((i - 1) % 2)
+        else:  # h264 elementary stream: no container clock
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+            assert r["duration_s"] is None and r["timescale"] is None
         checked += 1
+    assert fams == {"mp4", "mkv", "mp3", "h264"}
     assert checked > 300 and torn >= 2
 
 

@@ -1,0 +1,143 @@
+"""Recall audit for the scale-safe kNN build (VERDICT r09 #1).
+
+``q_knn_graph_budgeted`` trades the multi-probe build's measured
+~n^2.0 top octave (SCALING.json r9: 231 s at 128 k) for an
+O(n·budget) seed + NN-Descent recovery. This tool MEASURES what that
+trade costs in recall, instead of asserting it:
+
+- synthesize n jittered vectors (the scaling probe's corpus — cluster
+  structure preserved, copies off the exact-dup path);
+- ground truth: exact top-k for a deterministic SAMPLE of queries
+  (every ``n // n_sample``-th vec_id) by numpy cosine against the
+  FULL corpus — sampled recall@k is the standard ANN metric and keeps
+  the oracle O(sample · n) instead of O(n²);
+- measure recall of (a) the bare budgeted seed, (b) the composed
+  budgeted build (seed + NND_ITERS rounds), and — at sizes where the
+  old build is still affordable — (c) the multi-probe ``q_knn_graph``
+  for comparison;
+- writes ``knn_graph_budgeted_recall`` into SCALING.json (merge
+  semantics), where SURVEY §6 transcribes it.
+
+Usage: python tools/knn_budget_probe.py [--n 32000] [--sample 500]
+       [--with-multiprobe] [--out SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))  # repo root (the package)
+sys.path.insert(0, _TOOLS)                   # sibling tools
+
+from scaling_probe import synth_dir  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32000)
+    ap.add_argument("--sample", type=int, default=500)
+    ap.add_argument("--with-multiprobe", action="store_true")
+    ap.add_argument("--out", default="SCALING.json")
+    args = ap.parse_args()
+
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        NND_ITERS,
+        knn_graph_budgeted,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        KNN_BRIDGE_R,
+        KNN_K,
+        KNN_SEED_BUDGET,
+        ivf_assign,
+        ivf_centroids,
+        knn_graph,
+        knn_graph_seed,
+    )
+    from data_ingestion_api_system_loop_ai_spark.session import get_spark
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    d = synth_dir(args.n)
+
+    # ---- exact ground truth for the sampled queries (numpy)
+    tbl = pq.read_table(os.path.join(d, "embeddings.parquet"))
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n = emb.shape[0]
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    stride = max(1, n // args.sample)
+    qids = np.arange(0, n, stride)[: args.sample]
+    truth: dict[int, set[int]] = {}
+    for q in qids:
+        cos = unit @ unit[q]
+        cos[q] = -2.0  # exclude self, like the graph does
+        order = np.lexsort((np.arange(n), -np.round(cos, 6)))
+        truth[int(q)] = set(int(i) for i in order[:KNN_K])
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("knn-budget-probe", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qset = {int(q) for q in qids}
+
+    def sampled_recall(g) -> float:
+        rows = g.filter(g.query_id.isin(list(qset))).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
+        return round(hits / (len(truth) * KNN_K), 4)
+
+    e = load_table(spark, d, "embeddings")
+    t0 = time.monotonic()
+    seed = knn_graph_seed(ivf_assign(e)).localCheckpoint()
+    seed_recall = sampled_recall(seed)
+    print(f"n={n} seed recall {seed_recall}", flush=True)
+
+    budgeted = knn_graph_budgeted(e, ivf_assign(e)).localCheckpoint()
+    budgeted_secs = round(time.monotonic() - t0, 1)
+    budgeted_recall = sampled_recall(budgeted)
+    print(
+        f"n={n} budgeted recall {budgeted_recall} "
+        f"({budgeted_secs}s incl. seed)", flush=True,
+    )
+
+    entry = {
+        "n": args.n,
+        "k": KNN_K,
+        "budget": KNN_SEED_BUDGET,
+        "bridges": KNN_BRIDGE_R,
+        "nnd_iters": NND_ITERS,
+        "sample": len(truth),
+        "seed_recall": seed_recall,
+        "budgeted_recall": budgeted_recall,
+        "total_seconds": budgeted_secs,
+    }
+    if args.with_multiprobe:
+        asg = ivf_assign(e)
+        mp = knn_graph(e, ivf_centroids(asg), asg).localCheckpoint()
+        entry["multiprobe_recall"] = sampled_recall(mp)
+        print(f"n={n} multi-probe recall {entry['multiprobe_recall']}",
+              flush=True)
+
+    result = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            result = json.load(f)
+    # keyed by n so several sizes accumulate
+    slot = result.setdefault("knn_graph_budgeted_recall", {})
+    slot[str(args.n)] = entry
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(entry))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

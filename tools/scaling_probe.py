@@ -365,8 +365,16 @@ def main() -> int:
         # Point-merge (round 9): a re-probe of a SUBSET of sizes (e.g.
         # adding one expensive top octave with --sizes 128000) keeps
         # the existing points for the other sizes and refits over the
-        # union — fresh timings win on collision.
-        prior = result["queries"].get(qname, {}).get("points", [])
+        # union — fresh timings win on collision. The harness is
+        # recorded PER ENTRY (ADVICE r09): prior points measured under
+        # a different harness (e.g. the pre-r9 count() timings) are
+        # DROPPED before merging, never mixed into one fitted curve.
+        prev_entry = result["queries"].get(qname, {})
+        prior = (
+            prev_entry.get("points", [])
+            if prev_entry.get("harness") == result["harness"]
+            else []
+        )
         by_n = {p[0]: p[1] for p in prior}
         by_n.update({p[0]: p[1] for p in points})
         points = [[n, by_n[n]] for n in sorted(by_n)]
@@ -382,7 +390,11 @@ def main() -> int:
                 3,
             )
             print(f"{qname}: fitted exponent {slope}", flush=True)
-        result["queries"][qname] = {"points": points, "exponent": slope}
+        result["queries"][qname] = {
+            "points": points,
+            "exponent": slope,
+            "harness": result["harness"],
+        }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
