@@ -1472,3 +1472,132 @@ def test_day2_incremental_ingest_end_to_end(spark, sf_dir, tmp_path):
         0,
     )
     assert table2.latest_version() == before
+
+
+def test_day2_crash_matrix_replay_converges(spark, sf_dir, tmp_path):
+    """VERDICT r09 #4 — parameterized kill between EVERY adjacent
+    effect pair of the day-2 cycle (scan -> corpus -> rollup ->
+    serving -> index marker): for each of the four crash points, batch
+    1 is killed right after the named effect lands, the batch is then
+    replayed without the fault, and the final four-store state (corpus
+    content, rollup values, serving content+reports, and dedup-index
+    verdicts) is IDENTICAL to the never-crashed golden run. The
+    ServingTable type-hash bug argued this composition has latent
+    seams; this drives each one."""
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        read_deduped,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.rollup import read_rollup
+    from data_ingestion_api_system_loop_ai_spark.streaming.day2 import (
+        DAY2_ROLLUP_NAME,
+        day2_ingest_writer,
+    )
+    from data_ingestion_api_system_loop_ai_spark.streaming.serving import (
+        ServingTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    exact_hist = (
+        docs.filter(F.col("doc_id") < 100)
+        .filter(F.length("text") > 200)
+        .select("text")
+        .first()["text"]
+    )
+    secret = "sk-9fQ2xY7wLpZ4VbN8"
+    fresh_a = "alpha day two crash matrix document tokens " * 8
+    fresh_b = "bravo day two crash matrix document tokens " * 8
+    leak_text = f"config leak {secret} inside otherwise plain prose " * 4
+    batches = [
+        [(8000, "en", fresh_a), (8001, "de", exact_hist)],
+        # b1 (the killed batch): dup of b0's kept doc, a leak, a fresh
+        [(8010, "en", fresh_a), (8011, "fr", leak_text), (8012, "es", fresh_b)],
+    ]
+
+    def run(root, effect_hook=None, crash_expected=False):
+        ix = str(root / "ix")
+        out = str(root / "corpus")
+        roll = str(root / "rollup")
+        scan = str(root / "scan")
+        build_dedup_index(history, ix)
+        table = ServingTable(
+            str(root / "serving"), key_cols=["doc_id"], seq_col="seq",
+            num_buckets=4,
+        )
+        writer = day2_ingest_writer(
+            spark, ix, out, roll, scan, table, effect_hook=effect_hook
+        )
+        crashed = False
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "doc_id long, lang string, text string"
+            )
+            try:
+                writer(df, i)
+            except RuntimeError as exc:
+                assert "injected crash" in str(exc)
+                crashed = True
+                # restart: a fresh writer WITHOUT the fault replays
+                # the same batch id (what the stream checkpoint does)
+                day2_ingest_writer(spark, ix, out, roll, scan, table)(
+                    df, i
+                )
+        assert crashed == crash_expected
+        return ix, out, roll, scan, table
+
+    def snapshot(ix, out, roll, scan, table):
+        corpus = {
+            (r["doc_id"], r["lang"], r["text"])
+            for r in read_deduped(spark, out, ix).collect()
+        }
+        rollup = {
+            r["lang"]: (r["cnt"], int(r["sum_m"]))
+            for r in read_rollup(spark, roll, DAY2_ROLLUP_NAME).collect()
+        }
+        serving = {
+            (r["doc_id"], r["lang"], r["n_chars"], r["seq"])
+            for r in table.current(spark).collect()
+        }
+        reports = {
+            (r["doc_id"], r["n_secret_like"])
+            for r in spark.read.parquet(scan).collect()
+        }
+        # index behavior: a probe batch of every text seen so far must
+        # be all-dup (state equivalence via verdicts, not file bytes)
+        probe = spark.createDataFrame(
+            [(9000, fresh_a), (9001, exact_hist), (9002, fresh_b)],
+            "doc_id long, text string",
+        )
+        from data_ingestion_api_system_loop_ai_spark.operators.incremental_dedup import (
+            incremental_dedup,
+        )
+        verdicts = {
+            (r["doc_id"], r["status"])
+            for r in incremental_dedup(spark, probe, ix).collect()
+        }
+        return corpus, rollup, serving, reports, verdicts
+
+    golden_root = tmp_path / "golden"
+    golden_root.mkdir()
+    golden = snapshot(*run(golden_root))
+    assert {c[0] for c in golden[0]} == {8000, 8012}
+    # every probe text is already represented -> all exact dups
+    assert golden[4] == {
+        (9000, "exact_dup"), (9001, "exact_dup"), (9002, "exact_dup"),
+    }
+
+    stages = [
+        "scan_written", "corpus_written", "rollup_done", "serving_done",
+    ]
+    for stage in stages:
+        def hook(s, batch_id, _stage=stage):
+            if s == _stage and batch_id == 1:
+                raise RuntimeError(f"injected crash after {s}")
+
+        root = tmp_path / f"crash_{stage}"
+        root.mkdir()
+        got = snapshot(*run(root, effect_hook=hook, crash_expected=True))
+        assert got == golden, f"state diverged after crash at {stage}"

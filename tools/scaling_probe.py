@@ -71,6 +71,9 @@ DOC_QUERIES = {
     # per-hash Window with groupBy+join so hot boilerplate hashes
     # combine map-side
     "q_dedup_substrings",
+    # iterative CC over the MinHash near-dup pairs (round 10,
+    # VERDICT r09 #5): O(rounds x (join+agg)) by design
+    "q_dedup_components",
 }
 # Skew variants: same query fns, but the synthesized corpus plants a
 # shared boilerplate paragraph into BOILER_FRAC of the docs — the
@@ -270,7 +273,12 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from data_ingestion_api_system_loop_ai_spark.operators.components import (
+        q_dedup_components,
         q_embedding_clusters,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.kmeans import q_kmeans
+    from data_ingestion_api_system_loop_ai_spark.operators.pagerank import (
+        q_pagerank,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.corpus_pipeline import (
         q_corpus_funnel,
@@ -281,6 +289,7 @@ def main() -> int:
         q_dedup_substrings,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        q_knn_graph_budgeted,
         q_nn_descent,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
@@ -298,8 +307,12 @@ def main() -> int:
 
     qfns = {
         "q_knn_graph": q_knn_graph,
+        "q_knn_graph_budgeted": q_knn_graph_budgeted,
         "q_embedding_clusters": q_embedding_clusters,
         "q_nn_descent": q_nn_descent,
+        "q_pagerank": q_pagerank,
+        "q_kmeans": q_kmeans,
+        "q_dedup_components": q_dedup_components,
         "q_dedup_minhash_banded": q_dedup_minhash_banded,
         "q_dedup_prefix": q_dedup_prefix,
         "q_corpus_funnel": q_corpus_funnel,
