@@ -739,6 +739,17 @@ def _drain_throughput(spark, n_queues: int = 64) -> dict:
     }
 
 
+def _release_dead_blocks(spark) -> None:
+    """Unpersist every persistent RDD (all are localCheckpoint leftovers
+    of queries that already finished — see the call-site comment for why
+    nothing live can be hit). Non-blocking; runs between timed windows."""
+    from data_ingestion_api_system_loop_ai_spark.plans.lifecycle import (
+        release_all_persistent,
+    )
+
+    release_all_persistent(spark)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -799,6 +810,7 @@ def main() -> None:
         builds[probe.replace("q_", "build_for_")] = round(
             time.monotonic() - t0, 3
         )
+    _release_dead_blocks(spark)  # warm-up/build leftovers
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -810,6 +822,17 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.monotonic() - t0)
+            # between queries (OUTSIDE the timed window): drop the
+            # finished query's leftover localCheckpoint blocks. Every
+            # cross-query artifact in this harness is a DISK path
+            # (built/km_built/tm_built/clf_built hold parquet dirs, the
+            # loader never caches), so no later query can read a
+            # released block — without the sweep, 118 queries x n_runs
+            # accumulate dead blocks that squeeze execution memory and
+            # skew LATER queries' timings (the r9 q_semdedup 3.9 ->
+            # 5.2 s drift with its file untouched is the suspected
+            # symptom; the A/B is recorded in SURVEY §6)
+            _release_dead_blocks(spark)
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }

@@ -66,11 +66,12 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    from ..plans.lifecycle import local_checkpoint_handle
+
+    labels, release_labels = local_checkpoint_handle(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
@@ -90,7 +91,13 @@ def connected_components(
                 (F.coalesce("n_min", F.col("component")) < F.col("component"))
                 .alias("_chg"),
             )
-        ).localCheckpoint()  # truncate lineage; loop stays O(1) plan depth
+        )
+        # truncate lineage; loop stays O(1) plan depth. Round r-1's
+        # label blocks are released once round r is materialized
+        # (checkpoint lifecycle, round 10 — plans/lifecycle.py)
+        updated, release_updated = local_checkpoint_handle(updated)
+        release_labels()
+        release_labels = release_updated
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:

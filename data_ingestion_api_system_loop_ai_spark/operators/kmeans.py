@@ -122,13 +122,28 @@ def kmeans_fit(
     per-round objective). The objective is the mean cosine of vectors
     to their assigned (normalized) centroid — non-decreasing across
     rounds up to float noise, which the tests pin."""
-    centroids = kmeans_seeds(e, k).localCheckpoint()
+    from ..plans.lifecycle import local_checkpoint_handle
+
+    # checkpoint lifecycle (round 10, plans/lifecycle.py): round r-1's
+    # assignment/centroid blocks are released as soon as round r is
+    # materialized; only the returned (asg, centroids) pair outlives
+    # the fit
+    centroids, release_cent = local_checkpoint_handle(kmeans_seeds(e, k))
     objective: list[float] = []
-    asg = None
+    asg, release_asg = None, None
     for _ in range(iters):
-        asg = kmeans_assign(e, centroids).localCheckpoint()
+        new_asg, release_new_asg = local_checkpoint_handle(
+            kmeans_assign(e, centroids)
+        )
+        if release_asg is not None:
+            release_asg()
+        asg, release_asg = new_asg, release_new_asg
         objective.append(asg.agg(F.avg("cos")).collect()[0][0])
-        centroids = _recompute(e, asg).localCheckpoint()
+        new_cent, release_new_cent = local_checkpoint_handle(
+            _recompute(e, asg)
+        )
+        release_cent()
+        centroids, release_cent = new_cent, release_new_cent
     return asg, centroids, objective
 
 

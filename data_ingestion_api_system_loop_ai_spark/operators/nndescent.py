@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..plans.lifecycle import local_checkpoint_handle
 from ..sources.loader import load_table
 from .similarity import (
     KNN_K,
@@ -82,10 +83,18 @@ def nn_descent(
     cosine >= -1 — whereas the naive mean over present edges can
     DECREASE when an under-filled query gains a genuine but low-cosine
     neighbor."""
-    v = e.select(
-        "vec_id", "embedding", norm_expr("embedding").alias("v_norm")
-    ).localCheckpoint()
-    g = graph.select("query_id", "neighbor_id", "cosine").localCheckpoint()
+    # checkpoint LIFECYCLE (round 10): every round's checkpoint is
+    # released the moment the next round is materialized — a long
+    # session (118-query bench, multi-size scaling probe) otherwise
+    # accumulates dead blocks from finished rounds/queries until they
+    # squeeze execution memory (see plans/lifecycle.py). Only the FINAL
+    # round's graph stays persisted: the returned DataFrame reads it.
+    v, release_v = local_checkpoint_handle(
+        e.select("vec_id", "embedding", norm_expr("embedding").alias("v_norm"))
+    )
+    g, release_g = local_checkpoint_handle(
+        graph.select("query_id", "neighbor_id", "cosine")
+    )
     # fixed slot universe for the padded objective: the refinement
     # never introduces query nodes (candidates come from existing
     # edges), so the base graph's query count pins the denominator
@@ -143,12 +152,15 @@ def nn_descent(
         wq = W.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), "neighbor_id"
         )
-        g = (
+        g, release_new = local_checkpoint_handle(
             merged.withColumn("rnk", F.row_number().over(wq).cast("long"))
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "cosine")
-            .localCheckpoint()
         )
+        # the new round is materialized (eager checkpoint): the previous
+        # round's blocks are provably dead — release them now
+        release_g()
+        release_g = release_new
         row = g.agg(
             F.sum("cosine").alias("s"), F.count("*").alias("m")
         ).collect()[0]
@@ -159,6 +171,9 @@ def nn_descent(
             # measurement hook (tools/nnd_curve.py): observe the
             # checkpointed graph after each round — no behavior change
             round_hook(len(objective), g)
+    # the vector relation fed only the in-loop scoring joins; the final
+    # graph checkpoint (which the returned plan reads) stays persisted
+    release_v()
     wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     out = g.withColumn("rnk", F.row_number().over(wq).cast("long"))
     return out, objective
@@ -181,8 +196,14 @@ def knn_graph_budgeted(
     exact graph is measured by tools/knn_budget_probe.py into
     SCALING.json ``knn_graph_budgeted_recall``. Deterministic end to
     end (same rounding/tiebreaks as the seed and the NND rounds)."""
-    seed = knn_graph_seed(asg, k=k, budget=budget)
+    # own the assignment checkpoint so it can be RELEASED: nn_descent's
+    # first act is an eager checkpoint of the seed graph, after which
+    # the assignment blocks (n rows x 64-float embeddings — the largest
+    # checkpoint in the build) are dead weight for the rest of the run
+    asg_ck, release_asg = local_checkpoint_handle(asg, eager=False)
+    seed = knn_graph_seed(asg_ck, k=k, budget=budget, checkpoint=False)
     out, _obj = nn_descent(e, seed, k=k, iters=iters)
+    release_asg()
     return out
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.lifecycle import local_checkpoint_handle
 from ..sources.loader import load_table
 
 PR_DAMPING = 0.85
@@ -56,25 +57,34 @@ def pagerank(
     nor contributes twice (ADVICE r09 — the consolidated form had
     silently become multigraph for non-deduped inputs)."""
     edges = edges.select("src", "dst").distinct()
-    nodes = (
+    # checkpoint lifecycle (round 10, plans/lifecycle.py): the loop
+    # releases round r-1's rank blocks once round r's delta is read,
+    # and the static relations (nodes/edges/dangling) before returning
+    # — only the FINAL rank checkpoint outlives the call
+    nodes, release_nodes = local_checkpoint_handle(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.join(out_deg, "src").localCheckpoint(eager=False)
-    dangling = nodes.join(
-        edges.select(F.col("src").alias("node")).distinct(),
-        "node",
-        "left_anti",
-    ).localCheckpoint(eager=False)
+    e, release_e = local_checkpoint_handle(
+        edges.join(out_deg, "src"), eager=False
+    )
+    dangling, release_dangling = local_checkpoint_handle(
+        nodes.join(
+            edges.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ),
+        eager=False,
+    )
 
     base = (1.0 - damping) / n
-    ranks = nodes.select(
-        "node", F.round(F.lit(1.0 / n), 12).alias("rank")
-    ).localCheckpoint()
+    ranks, release_ranks = local_checkpoint_handle(
+        nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    )
     deltas: list[float] = []
     for _ in range(iters):
         contribs = (
@@ -100,7 +110,7 @@ def pagerank(
                 / F.lit(float(n))
             ).alias("d_mass")
         )
-        new = (
+        new, release_new = local_checkpoint_handle(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(d_mass))
             .select(
@@ -117,7 +127,6 @@ def pagerank(
                     12,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
         delta = (
             new.join(ranks.withColumnRenamed("rank", "old"), "node")
@@ -129,7 +138,12 @@ def pagerank(
             .collect()[0]["d"]
         )
         deltas.append(float(delta))
-        ranks = new
+        # the delta was the last reader of the previous round's ranks
+        release_ranks()
+        ranks, release_ranks = new, release_new
+    release_nodes()
+    release_e()
+    release_dangling()
     return ranks, deltas
 
 

@@ -1037,7 +1037,8 @@ _BRIDGE_STEP = 40503
 
 def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
                    budget: int = KNN_SEED_BUDGET,
-                   bridges: int = KNN_BRIDGE_R) -> DataFrame:
+                   bridges: int = KNN_BRIDGE_R,
+                   checkpoint: bool = True) -> DataFrame:
     """(query_id, neighbor_id, cosine): O(n·(budget+bridges)) SEED
     graph — the scale-safe base the NN-Descent rounds refine (VERDICT
     r09 #1).
@@ -1073,8 +1074,12 @@ def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
     ``asg`` is localCheckpoint-ed: the query side, the candidate pool,
     and the bridge endpoints all read it, and divergently-pruned
     subtrees never canonicalize equal (pitfall: the n·√n assignment
-    crossJoin would run once per subtree)."""
-    asg = asg.localCheckpoint(eager=False)
+    crossJoin would run once per subtree). An owner that already
+    checkpointed ``asg`` (and manages its lifecycle — see
+    ``plans/lifecycle.py``) passes ``checkpoint=False`` so the data is
+    not persisted twice."""
+    if checkpoint:
+        asg = asg.localCheckpoint(eager=False)
     q = asg.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

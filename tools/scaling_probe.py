@@ -371,6 +371,21 @@ def main() -> int:
                 df = fn(spark, fam_dirs[n])
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.monotonic() - t0)
+                # measurement isolation (round 10): drop the finished
+                # rep's localCheckpoint leftovers OUTSIDE the timed
+                # window — nothing crosses reps except disk inputs.
+                # Without release (neither in the operators nor here) a
+                # multi-size session accumulates dead blocks that
+                # inflate later (= larger) sizes: q_knn_graph_budgeted
+                # at 128k measured a 232 s median before the
+                # plans/lifecycle work vs 66 s after (same algorithm);
+                # this sweep catches what operators do not own (their
+                # returned relation's final checkpoint)
+                from data_ingestion_api_system_loop_ai_spark.plans.lifecycle import (
+                    release_all_persistent,
+                )
+
+                release_all_persistent(spark)
             med = sorted(times)[len(times) // 2]
             points.append([n, round(med, 3)])
             print(f"{qname} n={n}: median {med:.2f}s "
