@@ -373,17 +373,19 @@ def q_knn_graph_budgeted_from_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
     """The SCALE-SAFE graph build probing the persisted index: the
-    assignments (and hence the seed graph's cells) come from the
-    stored inverted lists — zero quantizer training in the query path;
-    the budgeted seed + NN-Descent rounds are deterministic, so the
-    result is pinned IDENTICAL to the inline
+    assignments (and hence the seed graph's cells) AND the quantizer's
+    seed relation (the two-probe seed's ``ivf_second_cell`` input)
+    come from the stored index — zero quantizer training in the query
+    path; the budgeted seed + NN-Descent rounds are deterministic, so
+    the result is pinned IDENTICAL to the inline
     ``nndescent.q_knn_graph_budgeted`` (direct test)."""
     from .nndescent import knn_graph_budgeted
 
     _require(index_path)
     e = load_table(spark, sf_dir, "embeddings")
     asg = _read_units(spark, index_path, "assignments")
-    return knn_graph_budgeted(e, asg)
+    seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
+    return knn_graph_budgeted(e, asg, seeds=seeds)
 
 
 def q_embedding_clusters_from_index(

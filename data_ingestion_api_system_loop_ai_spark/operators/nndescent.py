@@ -185,6 +185,7 @@ def knn_graph_budgeted(
     k: int = KNN_K,
     budget: int = KNN_SEED_BUDGET,
     iters: int = NND_ITERS,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """The SCALE-SAFE corpus kNN graph (VERDICT r09 #1): the O(n·budget)
     single-probe seed (``similarity.knn_graph_seed``) refined by
@@ -196,12 +197,22 @@ def knn_graph_budgeted(
     exact graph is measured by tools/knn_budget_probe.py into
     SCALING.json ``knn_graph_budgeted_recall``. Deterministic end to
     end (same rounding/tiebreaks as the seed and the NND rounds)."""
+    # the two-probe seed needs the quantizer's seed relation
+    # (``ivf_second_cell``): inline callers derive it from the table —
+    # the SAME deterministic systematic sample the assignment used —
+    # while the from-index path passes the index's stored seeds
+    if seeds is None:
+        from .similarity import ivf_seeds
+
+        seeds = ivf_seeds(e)
     # own the assignment checkpoint so it can be RELEASED: nn_descent's
     # first act is an eager checkpoint of the seed graph, after which
     # the assignment blocks (n rows x 64-float embeddings — the largest
     # checkpoint in the build) are dead weight for the rest of the run
     asg_ck, release_asg = local_checkpoint_handle(asg, eager=False)
-    seed = knn_graph_seed(asg_ck, k=k, budget=budget, checkpoint=False)
+    seed = knn_graph_seed(
+        asg_ck, k=k, budget=budget, checkpoint=False, seeds=seeds
+    )
     out, _obj = nn_descent(e, seed, k=k, iters=iters)
     release_asg()
     return out

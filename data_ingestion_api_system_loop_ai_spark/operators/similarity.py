@@ -1033,23 +1033,69 @@ KNN_SEED_BUDGET = 128
 KNN_BRIDGE_R = 8
 _BRIDGE_MULT = 69069       # Marsaglia LCG multiplier
 _BRIDGE_STEP = 40503
+# cells probed by the budgeted SEED (round 10): the single-probe seed
+# measured recall 0.39 at 32 k and NN-Descent PLATEAUED at 0.52 by
+# round 2 (flat through round 8) — on near-random vectors the rounds
+# cannot escape the seed's intra-cell locality, so the seed itself
+# must cross cells. The second probe reuses the assignment crossJoin
+# shape (16-byte aggregation rows, no corpus-sized window shuffle —
+# the thing that made the old multi-probe build n^1.5 SHUFFLE-bound
+# rather than compute-bound).
+KNN_SEED_PROBES = 2
+
+
+def ivf_second_cell(asg: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(vec_id, cell2): each vector's SECOND-nearest seed (max cosine
+    among seeds other than its assigned cell, ties to the smallest
+    seed id) — the cross-cell probe of the budgeted seed graph.
+
+    Cost shape: one more n x sqrt(n) broadcast crossJoin of pure
+    whole-stage-codegen compute; the aggregate struct carries (cosine,
+    -seed_id, seed_id) — 24 bytes, never an embedding — and the
+    map-side partial max reduces every vector to one row before the
+    exchange, so the stage is CPU-bound with a byte-tiny shuffle."""
+    best2 = F.max(
+        F.struct(
+            (
+                dot_expr("embedding", "seed_emb")
+                / (F.col("v_norm") * F.col("seed_norm"))
+            ).alias("c"),
+            (-F.col("seed_id")).alias("neg"),
+            F.col("seed_id").alias("cell2"),
+        )
+    ).alias("b2")
+    return (
+        asg.select("vec_id", "embedding", "v_norm", "cell")
+        .crossJoin(F.broadcast(seeds))
+        .filter(F.col("seed_id") != F.col("cell"))
+        .groupBy("vec_id")
+        .agg(best2)
+        .select("vec_id", F.col("b2.cell2").alias("cell2"))
+    )
 
 
 def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
                    budget: int = KNN_SEED_BUDGET,
                    bridges: int = KNN_BRIDGE_R,
-                   checkpoint: bool = True) -> DataFrame:
-    """(query_id, neighbor_id, cosine): O(n·(budget+bridges)) SEED
-    graph — the scale-safe base the NN-Descent rounds refine (VERDICT
-    r09 #1).
+                   checkpoint: bool = True,
+                   seeds: DataFrame | None = None,
+                   probes: int = KNN_SEED_PROBES) -> DataFrame:
+    """(query_id, neighbor_id, cosine): O(n·(probes·budget+bridges))
+    SEED graph — the scale-safe base the NN-Descent rounds refine
+    (VERDICT r09 #1).
 
-    Three structural choices vs ``knn_graph`` kill its measured ~n^2.0
-    top octave (231 s at 128 k):
+    Three structural choices vs ``knn_graph`` kill its top-octave
+    blowup (honest re-measure round 10: 117 s at 128 k, ~n^1.5):
 
-    - SINGLE probe: the probed cell is the node's own assignment cell,
-      already computed by the quantizer — the q×centroid crossJoin and
-      its n·√n-row window shuffle (each row carrying the 64-float
-      embedding — the dominant shuffle at 128 k) vanish entirely;
+    - CHEAP probes: the first probed cell is the node's own assignment
+      cell, already computed by the quantizer; the second (round 10 —
+      single-probe recall plateaued at 0.52 under NN-Descent because
+      the rounds cannot escape intra-cell locality) is one more
+      broadcast-argmax pass over the seed relation
+      (``ivf_second_cell``) whose aggregation rows carry 24 bytes, not
+      embeddings — the q×centroid crossJoin and its n·√n-row window
+      shuffle (each row carrying the 64-float embedding — the dominant
+      shuffle at 128 k) vanish entirely;
     - PER-NODE CANDIDATE BUDGET: the candidate pool of each cell is
       its first ``budget`` members by vec_id (deterministic, same
       idiom as KNN_CELL_CAP), so every node scores <= ``budget``
@@ -1101,6 +1147,24 @@ def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
     cell_pairs = q.join(cand, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    if probes >= 2:
+        if seeds is None:
+            raise ValueError(
+                "knn_graph_seed(probes>=2) needs the seed relation "
+                "(ivf_seeds inline, or the index's stored seeds)"
+            )
+        q2 = (
+            q.drop("cell")
+            .join(
+                ivf_second_cell(asg, seeds).withColumnRenamed(
+                    "vec_id", "query_id"
+                ),
+                "query_id",
+            )
+        )
+        probe2_pairs = q2.join(
+            cand, q2["cell2"] == cand["cell"]
+        ).filter(F.col("neighbor_id") != F.col("query_id"))
     # bridge candidates: dst_j = ((id % n)·MULT + j·STEP) % n, scored
     # by a shuffle join of the n·bridges (query, dst) pairs to the
     # vector relation — linear, no window, no crossJoin
@@ -1134,12 +1198,17 @@ def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
     score = F.round(
         dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")), 6
     ).alias("cosine")
+    scored = cell_pairs.select("query_id", "neighbor_id", score)
+    if probes >= 2:
+        scored = scored.unionByName(
+            probe2_pairs.select("query_id", "neighbor_id", score)
+        )
     pairs = (
-        cell_pairs.select("query_id", "neighbor_id", score)
+        scored
         .unionByName(bridge_pairs.select("query_id", "neighbor_id", score))
-        # a bridge draw can duplicate a cell pair (same query, same
-        # neighbor, same cosine) — dedup so it can't occupy two rnk
-        # slots in the top-k
+        # a bridge or second-probe draw can duplicate a cell pair (same
+        # query, same neighbor, same cosine) — dedup so it can't occupy
+        # two rnk slots in the top-k
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
     )
@@ -1163,12 +1232,32 @@ capped AS (
   ) WHERE crn <= {KNN_SEED_BUDGET}
 ),
 nstats AS (SELECT count(*) AS _n FROM embeddings),
+av2 AS (
+  SELECT cells.vec_id,
+         max({{'c': {_DOT.format(a='cells.embedding', b='seed_emb')}
+                    / (cells.v_norm * seed_norm),
+              'neg': -seed_id, 'cell2': seed_id}}) AS b2
+  FROM cells, seeds
+  WHERE seed_id <> cells.cell
+  GROUP BY cells.vec_id
+),
+cells2 AS (
+  SELECT vec_id, struct_extract(b2, 'cell2') AS cell2 FROM av2
+),
 cell_pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT.format(a='q.embedding', b='c.embedding')}
                / (q.v_norm * c.v_norm), 6) AS cosine
   FROM cells q
   JOIN capped c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+),
+probe2_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.embedding', b='c.embedding')}
+               / (q.v_norm * c.v_norm), 6) AS cosine
+  FROM cells q
+  JOIN cells2 q2 ON q2.vec_id = q.vec_id
+  JOIN capped c ON c.cell = q2.cell2 AND c.vec_id <> q.vec_id
 ),
 bridge_pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1184,7 +1273,9 @@ bridge_pairs AS (
 ),
 pairs AS (
   SELECT query_id, neighbor_id, max(cosine) AS cosine
-  FROM (SELECT * FROM cell_pairs UNION ALL SELECT * FROM bridge_pairs)
+  FROM (SELECT * FROM cell_pairs UNION ALL
+        SELECT * FROM probe2_pairs UNION ALL
+        SELECT * FROM bridge_pairs)
   GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, cosine FROM (

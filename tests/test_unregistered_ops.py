@@ -2450,12 +2450,16 @@ def test_nn_descent_improves_recall_and_is_deterministic(spark, sf_dir):
         .collect()
     }
 
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_seeds,
+    )
+
     asg = ivf_assign(e)
     base_edges = {
         (r["query_id"], r["neighbor_id"])
-        for r in knn_graph_seed(asg).collect()
+        for r in knn_graph_seed(asg, seeds=ivf_seeds(e)).collect()
     }
-    base2 = knn_graph_seed(ivf_assign(e))
+    base2 = knn_graph_seed(ivf_assign(e), seeds=ivf_seeds(e))
     refined, obj = nn_descent(e, base2)
     refined_edges = {
         (r["query_id"], r["neighbor_id"]) for r in refined.collect()
@@ -2511,7 +2515,11 @@ def test_knn_graph_budgeted_seed_oracle_and_pin(spark, sf_dir):
     con = duckdb_con(sf_dir)
     try:
         compare(
-            sim.knn_graph_seed(sim.ivf_assign(e)), con, sim.KNN_SEED_ORACLE
+            sim.knn_graph_seed(
+                sim.ivf_assign(e), seeds=sim.ivf_seeds(e)
+            ),
+            con,
+            sim.KNN_SEED_ORACLE,
         )
     finally:
         con.close()
@@ -2531,7 +2539,9 @@ def test_knn_graph_budgeted_seed_oracle_and_pin(spark, sf_dir):
         .cast("array<float>")
         .alias("embedding"),
     )
-    seed_rows = sim.knn_graph_seed(sim.ivf_assign(giant)).collect()
+    seed_rows = sim.knn_graph_seed(
+        sim.ivf_assign(giant), seeds=sim.ivf_seeds(giant)
+    ).collect()
     assert {r["query_id"] for r in seed_rows} == set(range(n))
     assert all(
         r["neighbor_id"] < sim.KNN_SEED_BUDGET

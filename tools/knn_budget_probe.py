@@ -56,8 +56,10 @@ def main() -> int:
         KNN_BRIDGE_R,
         KNN_K,
         KNN_SEED_BUDGET,
+        KNN_SEED_PROBES,
         ivf_assign,
         ivf_centroids,
+        ivf_seeds,
         knn_graph,
         knn_graph_seed,
     )
@@ -96,7 +98,9 @@ def main() -> int:
 
     e = load_table(spark, d, "embeddings")
     t0 = time.monotonic()
-    seed = knn_graph_seed(ivf_assign(e)).localCheckpoint()
+    seed = knn_graph_seed(
+        ivf_assign(e), seeds=ivf_seeds(e)
+    ).localCheckpoint()
     seed_recall = sampled_recall(seed)
     print(f"n={n} seed recall {seed_recall}", flush=True)
 
@@ -112,6 +116,7 @@ def main() -> int:
         "n": args.n,
         "k": KNN_K,
         "budget": KNN_SEED_BUDGET,
+        "probes": KNN_SEED_PROBES,
         "bridges": KNN_BRIDGE_R,
         "nnd_iters": NND_ITERS,
         "sample": len(truth),

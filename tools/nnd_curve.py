@@ -53,6 +53,14 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--sample", type=int, default=500)
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument(
+        "--base",
+        choices=("multiprobe", "budgeted-seed"),
+        default="budgeted-seed",
+        help="round-0 graph: the old IVF multi-probe build, or the "
+        "two-probe budgeted seed the shipped q_knn_graph_budgeted "
+        "refines (round 10)",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -62,7 +70,9 @@ def main() -> int:
         KNN_K,
         ivf_assign,
         ivf_centroids,
+        ivf_seeds,
         knn_graph,
+        knn_graph_seed,
     )
     from data_ingestion_api_system_loop_ai_spark.session import get_spark
     from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
@@ -103,9 +113,12 @@ def main() -> int:
     e = load_table(spark, d, "embeddings")
     asg = ivf_assign(e)
     t0 = time.monotonic()
-    base = knn_graph(e, ivf_centroids(asg), asg).localCheckpoint()
+    if args.base == "multiprobe":
+        base = knn_graph(e, ivf_centroids(asg), asg).localCheckpoint()
+    else:
+        base = knn_graph_seed(asg, seeds=ivf_seeds(e)).localCheckpoint()
     curve = [[0, sampled_recall(base)]]
-    print(f"round 0 (IVF graph): recall {curve[0][1]}", flush=True)
+    print(f"round 0 ({args.base}): recall {curve[0][1]}", flush=True)
 
     def hook(rnd: int, g) -> None:
         rec = sampled_recall(g)
@@ -126,6 +139,7 @@ def main() -> int:
     entry = {
         "n": args.n,
         "k": KNN_K,
+        "base": args.base,
         "sample": len(truth),
         "recall_by_round": curve,
         "objective_by_round": [round(o, 6) for o in obj],

@@ -344,6 +344,13 @@ def main() -> int:
         with open(args.out) as f:  # separate runs
             prev = json.load(f)
         result["queries"].update(prev.get("queries", {}))
+        # preserve sibling sections other tools own (e.g.
+        # knn_budget_probe's recall block, the NND curve) — a timing
+        # re-probe must never erase measured evidence (round 10: a
+        # probe rewrite silently dropped knn_graph_budgeted_recall)
+        for key, val in prev.items():
+            if key not in result:
+                result[key] = val
     for qname in names:
         fn = qfns[qname]
         if qname in SKEW_QUERIES:
