@@ -66,6 +66,9 @@ HEADLINE = [
     "q_multimodal_meta",
     "q_media_pipeline",
     "q_media_meta",
+    # round 10: perceptual-hash image dedup (decode+hash mapInPandas,
+    # exact-content groupBy, pigeonhole-banded near pairs)
+    "q_phash_dedup",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
@@ -224,6 +227,9 @@ def _extra_queries():
         q_media_meta,
         q_media_pipeline,
         q_multimodal_meta,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.phash import (
+        q_phash_dedup as _phash_dedup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
@@ -593,6 +599,8 @@ def _extra_queries():
         # round-9: MP4 box walk + MKV/EBML parse over synthesized
         # containers (two narrow mapInPandas stages)
         "q_media_meta": q_media_meta,
+        # round-10: perceptual-hash image dedup (B120)
+        "q_phash_dedup": _phash_dedup,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

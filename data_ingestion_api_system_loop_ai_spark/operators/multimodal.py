@@ -78,9 +78,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
     """Binary PPM (P6): `P6\\n<w> <h>\\n255\\n` + w*h RGB triplets.
     Pixel bytes are a deterministic function of (seed, position)."""
-    header = f"P6\n{width} {height}\n255\n".encode("ascii")
     n = width * height * 3
-    return header + bytes((seed * 31 + i * 7) % 256 for i in range(n))
+    return encode_ppm_raw(
+        width, height, bytes((seed * 31 + i * 7) % 256 for i in range(n))
+    )
+
+
+def encode_ppm_raw(width: int, height: int, raster: bytes) -> bytes:
+    """PPM from CALLER-SUPPLIED RGB bytes (len == w*h*3) — the raster-
+    input form the perceptual-hash fixtures use (operators/phash.py) to
+    plant cross-format and perturbed-copy duplicates."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length != w*h*3")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + raster
 
 
 def _png_pixel_row(width: int, seed: int, y: int) -> bytes:
@@ -98,13 +108,18 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+def encode_png(
+    width: int, height: int, seed: int = 0, row_fn=None
+) -> bytes:
     """REAL PNG (VERDICT r04 #5: one entropy-coded codec with zero new
     dependencies): 8-bit RGB, zlib-DEFLATE IDAT split across two chunks
     (multi-chunk reassembly is part of the format), per-chunk CRC32,
     and scanline filters cycling through all five types (None/Sub/Up/
     Average/Paeth) so the decoder's unfilter arithmetic — not just its
-    header parse — is exercised on every image."""
+    header parse — is exercised on every image. ``row_fn(width, seed,
+    y) -> bytes`` overrides the pixel source (default: the shared
+    sawtooth generator) — the raster-input form the perceptual-hash
+    fixtures use (operators/phash.py)."""
     import struct
     import zlib
 
@@ -121,7 +136,7 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     raw = bytearray()
     prev = bytes(width * bpp)
     for y in range(height):
-        row = _png_pixel_row(width, seed, y)
+        row = (row_fn or _png_pixel_row)(width, seed, y)
         ftype = y % 5
         raw.append(ftype)
         for i in range(len(row)):
@@ -706,10 +721,23 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline JFIF decode summary row — the metadata/px_sum form
+    ``decode_real`` returns. Pixel work happens in
+    ``_decode_jpeg_pixels``; this wrapper only sums."""
+    w, h, px = _decode_jpeg_pixels(payload)
+    return {
+        "width": w, "height": h, "duration_s": 0.0,
+        "n_frames": 1, "sample_rate": None, "px_sum": int(px.sum()),
+    }
+
+
+def _decode_jpeg_pixels(payload: bytes):
     """Baseline JFIF decode: marker walk, DQT/DHT/SOF0/SOS parse,
-    Huffman entropy decode, dequant, float64 IDCT, YCbCr->RGB,
-    px_sum over the RGB bytes. Rejects progressive/subsampled/
-    12-bit/restart-interval variants explicitly."""
+    Huffman entropy decode, dequant, float64 IDCT, YCbCr->RGB.
+    Returns (width, height, int64 ndarray of shape (h, w, 3)) — the
+    full RGB raster (perceptual hashing consumes it; ``_decode_jpeg``
+    sums it). Rejects progressive/subsampled/12-bit/restart-interval
+    variants explicitly."""
     import struct
 
     import numpy as np
@@ -843,10 +871,104 @@ def _decode_jpeg(payload: bytes) -> dict:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     px = np.clip(np.round(rgb), 0, 255).astype(np.int64)
-    return {
-        "width": w, "height": h, "duration_s": 0.0,
-        "n_frames": 1, "sample_rate": None, "px_sum": int(px.sum()),
-    }
+    return w, h, px
+
+
+def _png_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB raster bytes) of an 8-bit-RGB PNG — the
+    pixel path ``decode_real`` sums for its golden checksum and the
+    perceptual-hash operator consumes whole (operators/phash.py).
+    Raises ValueError on torn/unsupported streams."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, w, h, idat, saw_iend = 8, None, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        crc_bytes = payload[pos + 8 + size : pos + 12 + size]
+        if len(data) < size or len(crc_bytes) < 4:
+            raise ValueError("torn PNG chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            w, h, bd, ct, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bd != 8 or ct != 2 or inter:
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + size
+    if w is None or not saw_iend or not idat:
+        raise ValueError("torn PNG stream")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    bpp, stride = 3, 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline length mismatch")
+    prev = bytes(w * bpp)
+    out = bytearray()
+    for y in range(h):
+        ftype = raw[y * stride]
+        if ftype > 4:
+            raise ValueError(f"PNG bad filter type {ftype}")
+        line = raw[y * stride + 1 : (y + 1) * stride]
+        recon = bytearray(w * bpp)
+        for i in range(w * bpp):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = (line[i] + a) % 256
+            elif ftype == 2:
+                v = (line[i] + b) % 256
+            elif ftype == 3:
+                v = (line[i] + (a + b) // 2) % 256
+            else:
+                v = (line[i] + _paeth(a, b, c)) % 256
+            recon[i] = v
+        out += recon
+        prev = bytes(recon)
+    return w, h, bytes(out)
+
+
+def _ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB raster bytes) of a binary P6 PPM.
+    Raises ValueError on torn/oversized-maxval streams."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a PPM stream")
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    if len(toks) < 3:
+        raise ValueError("torn PPM header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval > 255 or len(payload) < i + 1 + 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, bytes(payload[i + 1 : i + 1 + 3 * w * h])
 
 
 def decode_real(payload: bytes, kind: str | None = None) -> dict:
@@ -872,66 +994,10 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        pos, w, h, idat, saw_iend = 8, None, None, bytearray(), False
-        while pos + 12 <= len(payload):
-            (size,) = struct.unpack(">I", payload[pos : pos + 4])
-            typ = payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + size]
-            crc_bytes = payload[pos + 8 + size : pos + 12 + size]
-            if len(data) < size or len(crc_bytes) < 4:
-                raise ValueError("torn PNG chunk")
-            (crc,) = struct.unpack(">I", crc_bytes)
-            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-                raise ValueError("PNG chunk CRC mismatch")
-            if typ == b"IHDR":
-                w, h, bd, ct, _comp, _filt, inter = struct.unpack(
-                    ">IIBBBBB", data
-                )
-                if bd != 8 or ct != 2 or inter:
-                    raise ValueError("unsupported PNG variant")
-            elif typ == b"IDAT":
-                idat += data
-            elif typ == b"IEND":
-                saw_iend = True
-                break
-            pos += 12 + size
-        if w is None or not saw_iend or not idat:
-            raise ValueError("torn PNG stream")
-        try:
-            raw = zlib.decompress(bytes(idat))
-        except zlib.error as exc:
-            raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-        bpp, stride = 3, 1 + w * 3
-        if len(raw) != h * stride:
-            raise ValueError("PNG scanline length mismatch")
-        prev = bytes(w * bpp)
-        px_sum = 0
-        for y in range(h):
-            ftype = raw[y * stride]
-            if ftype > 4:
-                raise ValueError(f"PNG bad filter type {ftype}")
-            line = raw[y * stride + 1 : (y + 1) * stride]
-            recon = bytearray(w * bpp)
-            for i in range(w * bpp):
-                a = recon[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if ftype == 0:
-                    v = line[i]
-                elif ftype == 1:
-                    v = (line[i] + a) % 256
-                elif ftype == 2:
-                    v = (line[i] + b) % 256
-                elif ftype == 3:
-                    v = (line[i] + (a + b) // 2) % 256
-                else:
-                    v = (line[i] + _paeth(a, b, c)) % 256
-                recon[i] = v
-            px_sum += sum(recon)
-            prev = bytes(recon)
+        w, h, raster = _png_raster(payload)
         return {
             "width": w, "height": h, "duration_s": 0.0,
-            "n_frames": 1, "sample_rate": None, "px_sum": px_sum,
+            "n_frames": 1, "sample_rate": None, "px_sum": sum(raster),
         }
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         try:
@@ -1007,29 +1073,10 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
             raise ValueError(f"torn GIF stream: {exc}") from exc
     if payload[:2] == b"P6":
         # header tokens: P6, width, height, maxval; `#` comments legal
-        toks: list[bytes] = []
-        i = 2
-        while len(toks) < 3 and i < len(payload):
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            toks.append(payload[i:j])
-            i = j
-        if len(toks) < 3:
-            raise ValueError("torn PPM header")
-        w, h, maxval = (int(t) for t in toks)
-        if maxval > 255 or len(payload) < i + 1 + 3 * w * h:
-            raise ValueError("truncated PPM pixel data")
+        w, h, raster = _ppm_raster(payload)
         return {
             "width": w, "height": h, "duration_s": 0.0,
-            "n_frames": 1, "sample_rate": None,
-            "px_sum": sum(payload[i + 1 : i + 1 + 3 * w * h]),
+            "n_frames": 1, "sample_rate": None, "px_sum": sum(raster),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, rate, block, data_size = 12, None, None, None

@@ -131,6 +131,8 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.pagerank",
     # r10 rotation: q_kmv_overlap's slot funds q_dedup_substrings
     ".operators.sketches",
+    # r10: perceptual-hash image dedup (B120)
+    ".operators.phash",
 ]
 
 
