@@ -67,8 +67,10 @@ HEADLINE = [
     "q_media_pipeline",
     "q_media_meta",
     # round 10: perceptual-hash image dedup (decode+hash mapInPandas,
-    # exact-content groupBy, pigeonhole-banded near pairs)
+    # exact-content groupBy, pigeonhole-banded near pairs) and HTML
+    # boilerplate extraction (pure JVM string ops, DuckDB-oracle-exact)
     "q_phash_dedup",
+    "q_html_extract",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
@@ -227,6 +229,9 @@ def _extra_queries():
         q_media_meta,
         q_media_pipeline,
         q_multimodal_meta,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.html_extract import (
+        q_html_extract as _html_extract,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.phash import (
         q_phash_dedup as _phash_dedup,
@@ -599,8 +604,10 @@ def _extra_queries():
         # round-9: MP4 box walk + MKV/EBML parse over synthesized
         # containers (two narrow mapInPandas stages)
         "q_media_meta": q_media_meta,
-        # round-10: perceptual-hash image dedup (B120)
+        # round-10: perceptual-hash image dedup (B120) + HTML
+        # boilerplate extraction (B121)
         "q_phash_dedup": _phash_dedup,
+        "q_html_extract": _html_extract,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

@@ -78,7 +78,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, spread_small_scan
 
 PHASH_DOWN = 32       # downsample box (32x32 luma)
 PHASH_BLOCK = 8       # low-frequency DCT block kept (8x8 -> 64 bits)
@@ -322,7 +322,14 @@ def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the doc_id relation is byte-tiny (one parquet split), but every
+    # row fans out into milliseconds of Python decode+hash work — the
+    # CPU-heavy-small-scan case spread_small_scan exists for (without
+    # it the whole synth+hash pipeline ran as ONE task: measured 38.9 s
+    # for ~1.2 s of 32-core work at sf0.1)
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     return d.mapInPandas(_synth_batch, "asset_id long, payload binary")
 
 
@@ -381,7 +388,12 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Torn payloads surface as error rows with null hash columns.
     (Unregistered, NON-SQL-EXPRESSIBLE — payload bytes never exist in
     SQL; direct tests replay every hash and brute-force every pair.)"""
-    hashes = phash_hashes(spark, sf_dir)
+    # the hash relation feeds FOUR subtrees (content groups, band
+    # pairs, the verdict join, the error arm) — checkpoint it so the
+    # Python decode+hash stages run once, not once per branch (the
+    # blocks are 17 bytes/asset; the returned plan reads them, so they
+    # stay persisted — the documented final-checkpoint shape)
+    hashes = phash_hashes(spark, sf_dir).localCheckpoint()
     good = hashes.filter(F.col("phash").isNotNull())
     content = good.groupBy("phash").agg(
         F.min("asset_id").alias("content_id")

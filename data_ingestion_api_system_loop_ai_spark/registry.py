@@ -131,8 +131,10 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.pagerank",
     # r10 rotation: q_kmv_overlap's slot funds q_dedup_substrings
     ".operators.sketches",
-    # r10: perceptual-hash image dedup (B120)
+    # r10: perceptual-hash image dedup (B120), HTML boilerplate
+    # extraction (B121)
     ".operators.phash",
+    ".operators.html_extract",
 ]
 
 
