@@ -1,0 +1,267 @@
+"""URL canonicalization + URL-level dedup — B123.
+
+Web-scale corpora are keyed by URL before any content hashing runs
+(the CommonCrawl / C4 / RefinedWeb recipes all dedup on a CANONICAL
+url first — it is ~free and removes the bulk of re-crawl duplicates
+that byte hashing would pay full price for). The canonicalization is
+the RFC 3986 §6 normalization ladder plus the crawl-pipeline extras:
+
+1. scheme and host lowercased (RFC 3986 §6.2.2.1);
+2. leading ``www.`` stripped from the host (crawl-dedup convention —
+   the same origin serves both);
+3. default ports dropped (``:80`` for http, ``:443`` for https;
+   RFC 3986 §6.2.3), non-default ports KEPT;
+4. duplicate path slashes collapsed, trailing slash stripped (except
+   the root path), empty path -> ``/``;
+5. tracking parameters removed (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid`` — the Google/Meta/Microsoft click-id families);
+6. surviving query parameters sorted by byte order (a stable
+   canonical order so ``?a=1&b=2`` and ``?b=2&a=1`` collide);
+7. fragment dropped (never sent to the server).
+
+Out of scope (documented, not silently wrong): percent-encoding case
+normalization and IDN/punycode — the synthesized fixtures contain
+neither, and both are per-byte rewrites that would need a lambda
+uppercase unavailable in the shared SQL subset.
+
+Spark shape, and why it holds at 100 TB: parsing and normalization
+are pure JVM string/array expressions inside whole-stage codegen
+(regexp_extract / regexp_replace / filter / array_sort / array_join)
+— zero Python, zero UDFs; the dup rollup is ONE groupBy on the
+canonical key with a join-back (the repo's hot-key idiom from
+``q_dedup_substrings``: a viral URL with 10^6 re-crawls becomes one
+aggregate row, never a window partition that lands on one task).
+
+Fixtures: URLs are synthesized IN SQL from the documents table (messy
+case / default ports / duplicate slashes / trailing slashes /
+shuffled query params / tracking params / fragments, all driven by
+doc_id arithmetic; the page identity rides ``doc_id % 17`` so every
+SF yields real collision groups while the mess rides other residues),
+with the synthesis string shared VERBATIM by the Spark plan
+and the DuckDB oracle — the whole operator, synthesis included,
+carries driver-grade parity, plus hand-built golden URLs for every
+normalization rule in the direct tests.
+
+Reference parity: none (no URL handling in the 412-LoC reference);
+BASELINE.json north-star tier ("deduplication" at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+# names whose parameters are dropped before canonical comparison; the
+# utm_ family is matched by prefix (substr, NOT LIKE — '_' is a LIKE
+# wildcard and the escape syntax differs across engines)
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid")
+
+# URL synthesis — ONE SQL expression string shared verbatim by the
+# Spark plan (F.expr) and the DuckDB oracle. {doc_id} is a column
+# reference. Design: the PAGE IDENTITY (everything the canonical form
+# keeps — scheme, site, non-default port, item id, section param) is
+# driven by g = doc_id % 17, so every SF's documents table yields real
+# collision groups (>= 2 docs per g from 34 docs up); the MESS (case,
+# www., shown default ports, duplicate/trailing slashes, param order,
+# tracking params, fragments) is driven by doc_id's other residues, so
+# group members differ in raw form. Every rule the canonicalizer
+# implements is planted.
+URL_SQL = (
+    "concat("
+    # scheme: identity by g%2, case mess by doc_id%2
+    "CASE WHEN ({doc_id} % 17) % 2 = 0 THEN "
+    "(CASE {doc_id} % 2 WHEN 0 THEN 'HTTP' ELSE 'http' END) ELSE "
+    "(CASE {doc_id} % 2 WHEN 0 THEN 'HTTPS' ELSE 'https' END) END,"
+    "'://',"
+    # host: www-prefix mess by doc_id%3, case mess by doc_id%2,
+    # site identity by g%5
+    "CASE {doc_id} % 3 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.' ELSE '' END,"
+    "CASE {doc_id} % 2 WHEN 0 THEN 'Site' ELSE 'site' END,"
+    "cast(({doc_id} % 17) % 5 as string),"
+    "CASE {doc_id} % 2 WHEN 0 THEN '.Example.COM' ELSE '.example.com' END,"
+    # port: canonical-affecting :8080 tied to identity (g%7=0); else a
+    # canonical-neutral default port is SHOWN for doc_id%5=0
+    "CASE WHEN ({doc_id} % 17) % 7 = 0 THEN ':8080' "
+    "WHEN {doc_id} % 5 = 0 THEN "
+    "(CASE WHEN ({doc_id} % 17) % 2 = 0 THEN ':80' ELSE ':443' END) "
+    "ELSE '' END,"
+    # path: duplicate-slash mess by doc_id%2, item identity g,
+    # trailing-slash mess by doc_id%3
+    "CASE {doc_id} % 2 WHEN 0 THEN '/news//item-' ELSE '/news/item-' END,"
+    "cast({doc_id} % 17 as string),"
+    "CASE {doc_id} % 3 WHEN 1 THEN '/' ELSE '' END,"
+    # query: id + section are identity (g, g%3); order and tracking
+    # params are mess by doc_id%3
+    "CASE {doc_id} % 3 "
+    "WHEN 0 THEN concat('?utm_source=feed&id=', cast({doc_id} % 17 as string),"
+    " '&section=', cast(({doc_id} % 17) % 3 as string)) "
+    "WHEN 1 THEN concat('?section=', cast(({doc_id} % 17) % 3 as string),"
+    " '&id=', cast({doc_id} % 17 as string),"
+    " '&utm_campaign=x&fbclid=abc123') "
+    "ELSE concat('?id=', cast({doc_id} % 17 as string),"
+    " '&section=', cast(({doc_id} % 17) % 3 as string)) END,"
+    "CASE {doc_id} % 4 WHEN 0 THEN '#comments' ELSE '' END"
+    ")"
+)
+
+# component extraction — one regex, shared verbatim (char classes
+# only: Java and RE2 agree). Groups: 1 scheme, 2 authority, 3 path,
+# 4 query (with '?'), 5 fragment (with '#').
+URL_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)([?][^#]*)?([#].*)?$"
+
+# the parameter-keep predicate, shared verbatim inside both engines'
+# list lambdas ({p} is the lambda variable)
+_KEEP_PRED = (
+    "NOT (substr({p}, 1, 4) = 'utm_' OR "
+    "regexp_extract({p}, '^([^=]*)', 1) IN ('fbclid','gclid','msclkid'))"
+)
+
+
+def synthesize_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): deterministic messy fixture URLs from the
+    documents table."""
+    return docs.select(
+        "doc_id",
+        F.expr(URL_SQL.format(doc_id="doc_id")).alias("url"),
+    )
+
+
+def canonicalize_urls(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical_url): the normalization ladder in pure
+    codegen expressions — no shuffle, no Python."""
+    parts = urls.select(
+        "doc_id",
+        "url",
+        F.lower(F.expr(f"regexp_extract(url, '{URL_RE}', 1)")).alias("scheme"),
+        F.expr(f"regexp_extract(url, '{URL_RE}', 2)").alias("authority"),
+        F.expr(f"regexp_extract(url, '{URL_RE}', 3)").alias("path"),
+        F.expr(f"regexp_extract(url, '{URL_RE}', 4)").alias("query"),
+    )
+    host = F.expr(
+        "regexp_replace(lower(regexp_extract(authority, '^([^:]*)', 1)),"
+        " '^www[.]', '')"
+    )
+    port = F.expr("regexp_extract(authority, ':([0-9]+)$', 1)")
+    canon_port = (
+        F.when(port == "", F.lit(""))
+        .when((F.col("scheme") == "http") & (port == "80"), F.lit(""))
+        .when((F.col("scheme") == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    squashed = F.expr("regexp_replace(path, '/+', '/')")
+    canon_path = (
+        F.when(squashed == "", F.lit("/"))
+        .when(squashed == "/", F.lit("/"))
+        .otherwise(F.expr("regexp_replace(regexp_replace(path, '/+', '/'), '/$', '')"))
+    )
+    kept = F.expr(
+        "array_join(array_sort(filter(split(substr(query, 2), '&'),"
+        f" p -> {_KEEP_PRED.format(p='p')})), '&')"
+    )
+    canon_query = F.when(
+        (F.col("query") == "") | (kept == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), kept))
+    return parts.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"), F.lit("://"), host, canon_port, canon_path,
+            canon_query,
+        ).alias("canonical_url"),
+    )
+
+
+def url_dedup(canon: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical_url, n_dups, keep): group rollup on the
+    canonical key, joined back — keep = the smallest doc_id of each
+    canonical group (the crawl-pipeline "first fetch wins" rule).
+
+    groupBy+join-back, NOT a window over the canonical key: a viral
+    URL's group becomes one aggregate row instead of one window
+    partition pinned to one task (the q_dedup_substrings hot-key
+    lesson, measured linear under a planted 30% hot key)."""
+    groups = canon.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.min("doc_id").alias("_keep_id"),
+    )
+    return (
+        canon.join(groups, "canonical_url")
+        .select(
+            "doc_id",
+            "url",
+            "canonical_url",
+            "n_dups",
+            (F.col("doc_id") == F.col("_keep_id")).alias("keep"),
+        )
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup over synthesized messy URLs keyed by
+    the documents table. (Unregistered — 50-slot cap; driver-grade
+    DuckDB parity over the WHOLE pipeline, synthesis included, plus
+    per-rule golden URLs in tests/test_urls.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return url_dedup(canonicalize_urls(synthesize_urls(docs)))
+
+
+# DuckDB twin — same URL_SQL synthesis string, same URL_RE, same keep
+# predicate; list_filter/list_sort/array_to_string are the engine-local
+# spellings of the identical lambda pipeline.
+URL_DEDUP_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id,
+         {URL_SQL.format(doc_id="doc_id")} AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{URL_RE}', 1)) AS scheme,
+         regexp_extract(url, '{URL_RE}', 2) AS authority,
+         regexp_extract(url, '{URL_RE}', 3) AS path,
+         regexp_extract(url, '{URL_RE}', 4) AS query
+  FROM urls
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' ||
+         regexp_replace(lower(regexp_extract(authority, '^([^:]*)', 1)),
+                        '^www[.]', '') ||
+         CASE WHEN regexp_extract(authority, ':([0-9]+)$', 1) = '' THEN ''
+              WHEN scheme = 'http'
+                   AND regexp_extract(authority, ':([0-9]+)$', 1) = '80'
+                THEN ''
+              WHEN scheme = 'https'
+                   AND regexp_extract(authority, ':([0-9]+)$', 1) = '443'
+                THEN ''
+              ELSE ':' || regexp_extract(authority, ':([0-9]+)$', 1) END ||
+         CASE WHEN regexp_replace(path, '/+', '/', 'g') IN ('', '/')
+                THEN '/'
+              ELSE regexp_replace(
+                     regexp_replace(path, '/+', '/', 'g'), '/$', '') END ||
+         CASE WHEN query = '' OR array_to_string(list_sort(list_filter(
+                     string_split(substr(query, 2), '&'),
+                     p -> {_KEEP_PRED.format(p="p")})), '&') = ''
+                THEN ''
+              ELSE '?' || array_to_string(list_sort(list_filter(
+                     string_split(substr(query, 2), '&'),
+                     p -> {_KEEP_PRED.format(p="p")})), '&') END
+           AS canonical_url
+  FROM parts
+),
+groups AS (
+  SELECT canonical_url,
+         CAST(count(*) AS BIGINT) AS n_dups,
+         min(doc_id) AS _keep_id
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.doc_id, c.url, c.canonical_url, g.n_dups,
+       c.doc_id = g._keep_id AS keep
+FROM canon c JOIN groups g USING (canonical_url)
+"""
+
+
+UNREGISTERED_URL_QUERIES = {"q_url_dedup": q_url_dedup}
+UNREGISTERED_URL_ORACLES = {"q_url_dedup": URL_DEDUP_ORACLE}

@@ -135,6 +135,10 @@ _UNREGISTERED_MODULES: list[str] = [
     # extraction (B121)
     ".operators.phash",
     ".operators.html_extract",
+    # r10 second session: URL canonicalization dedup (B123), WARC
+    # record framing (B122)
+    ".operators.urls",
+    ".operators.warc",
 ]
 
 

@@ -1,0 +1,182 @@
+"""WARC record framing (B122, ``operators/warc.py``).
+
+Hand-packed byte goldens independent of the synthesizer, spec
+round-trip, torn/garbage arms, and the composed pipeline's
+driver-grade DuckDB parity (WARC bytes -> response body -> B121
+extraction == B121's oracle minus the torn documents).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_api_system_loop_ai_spark.operators.html_extract import (
+    q_html_extract,
+)
+from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+    TORN_MOD,
+    WARC_PIPELINE_ORACLE,
+    build_warc_file,
+    parse_warc,
+    q_warc_extract,
+    q_warc_pipeline,
+)
+
+from .oracle_utils import compare, duckdb_con
+
+
+# ------------------------------------------------- hand-packed goldens
+
+def test_parse_warc_hand_packed_golden():
+    # framed by hand with a hard-coded Content-Length — independent of
+    # build_warc_file. Payload: 17 + 25 + 2 + 15 = 59 bytes.
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://e.com/1\r\n"
+        b"Content-Length: 59\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"\r\n"
+        b"<p>hi there</p>"
+        b"\r\n\r\n"
+    )
+    recs = parse_warc(raw)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["error"] is None
+    assert r["warc_type"] == "response"
+    assert r["record_id"] == "<urn:uuid:1>"
+    assert r["target_uri"] == "http://e.com/1"
+    assert r["content_length"] == 59
+    assert r["http_status"] == 200
+    assert r["body"] == "<p>hi there</p>"
+
+
+def test_parse_warc_framing_is_length_driven_not_sentinel_scan():
+    # the body legally contains the bytes "WARC/1.0\r\n" — a sentinel
+    # scanner would split here; the Content-Length walk must not
+    body = b"leading WARC/1.0\r\ntrailing"
+    payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+    recs = parse_warc(raw)
+    assert len(recs) == 1
+    assert recs[0]["error"] is None
+    assert recs[0]["body"] == body.decode()
+
+
+def test_parse_warc_two_records_and_salvage():
+    ok = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Length: 4\r\n\r\n"
+        b"abcd"
+        b"\r\n\r\n"
+    )
+    torn = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: 1000\r\n\r\n"
+        b"only a few bytes"
+    )
+    recs = parse_warc(ok + torn)
+    assert len(recs) == 2
+    assert recs[0]["error"] is None and recs[0]["warc_type"] == "warcinfo"
+    assert recs[1]["error"] is not None
+    assert "truncated" in recs[1]["error"]
+
+
+def test_parse_warc_garbage_arms():
+    assert "version" in parse_warc(b"HTTP/1.1 200\r\n\r\n")[0]["error"]
+    assert "colon" in parse_warc(
+        b"WARC/1.0\r\nno colon here\r\n\r\n"
+    )[0]["error"]
+    assert "Content-Length" in parse_warc(
+        b"WARC/1.0\r\nWARC-Type: request\r\n\r\n"
+    )[0]["error"]
+    # payload present but the 4-byte separator is not
+    assert "separator" in parse_warc(
+        b"WARC/1.0\r\nContent-Length: 2\r\n\r\nabXX"
+    )[0]["error"]
+    # bad HTTP status line inside a response record
+    bad = b"NOT-HTTP nothing"
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"Content-Length: {len(bad)}\r\n\r\n".encode()
+        + bad + b"\r\n\r\n"
+    )
+    assert "status line" in parse_warc(raw)[0]["error"]
+
+
+# ------------------------------------------------------- round-trip
+
+def test_build_parse_round_trip():
+    html = "<html><body><p>round trip é中</p></body></html>"
+    recs = parse_warc(build_warc_file(42, html))
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert all(r["error"] is None for r in recs)
+    info, req, resp = recs
+    assert info["target_uri"] is None
+    assert req["target_uri"] == resp["target_uri"]
+    assert resp["target_uri"] == "http://site2.example.com/news/item-8"
+    assert resp["http_status"] == 200
+    assert resp["body"] == html  # byte-identical through utf-8 framing
+    # Content-Length counts BYTES of the multibyte body, not chars
+    assert resp["content_length"] > len(html)
+
+
+# ----------------------------------------------------- engine surface
+
+def test_warc_extract_record_table(spark, sf_dir):
+    rows = q_warc_extract(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for did, recs in by_doc.items():
+        recs.sort(key=lambda r: r["rec_no"])
+        if did % TORN_MOD == 0:
+            assert recs[-1]["error"] is not None
+            assert all(r["error"] is None for r in recs[:-1])
+        else:
+            assert [r["warc_type"] for r in recs] == [
+                "warcinfo", "request", "response",
+            ]
+            assert all(r["error"] is None for r in recs)
+            assert recs[2]["http_status"] == 200
+            assert recs[2]["body_chars"] > 0
+    # the torn arm exists at every SF (doc_id 0 is always present)
+    assert any(did % TORN_MOD == 0 for did in by_doc)
+
+
+def test_warc_pipeline_oracle_parity(spark, sf_dir):
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_warc_pipeline(spark, sf_dir), con, WARC_PIPELINE_ORACLE)
+    finally:
+        con.close()
+
+
+def test_warc_pipeline_pins_to_html_extract(spark, sf_dir):
+    # the WARC stage is a byte-identical carrier: the composed pipeline
+    # equals B121 on every non-torn document
+    via_warc = {
+        r["doc_id"]: tuple(r)
+        for r in q_warc_pipeline(spark, sf_dir).collect()
+    }
+    direct = {
+        r["doc_id"]: tuple(r)
+        for r in q_html_extract(spark, sf_dir).collect()
+        if r["doc_id"] % TORN_MOD != 0
+    }
+    assert via_warc == direct
