@@ -236,6 +236,12 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.phash import (
         q_phash_dedup as _phash_dedup,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        q_url_dedup as _url_dedup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+        q_warc_pipeline as _warc_pipeline,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
         q_tpch_q18,
@@ -608,6 +614,10 @@ def _extra_queries():
         # boilerplate extraction (B121)
         "q_phash_dedup": _phash_dedup,
         "q_html_extract": _html_extract,
+        # round-10 second session: URL canonicalization dedup (B123) +
+        # WARC framing composed through B121 (B122)
+        "q_url_dedup": _url_dedup,
+        "q_warc_pipeline": _warc_pipeline,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,
