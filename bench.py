@@ -242,6 +242,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.warc import (
         q_warc_pipeline as _warc_pipeline,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.robots import (
+        q_robots_filter as _robots_filter,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
         q_tpch_q18,
@@ -618,6 +621,7 @@ def _extra_queries():
         # WARC framing composed through B121 (B122)
         "q_url_dedup": _url_dedup,
         "q_warc_pipeline": _warc_pipeline,
+        "q_robots_filter": _robots_filter,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

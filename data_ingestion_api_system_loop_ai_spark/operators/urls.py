@@ -209,8 +209,10 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB twin — same URL_SQL synthesis string, same URL_RE, same keep
 # predicate; list_filter/list_sort/array_to_string are the engine-local
-# spellings of the identical lambda pipeline.
-URL_DEDUP_ORACLE = f"""
+# spellings of the identical lambda pipeline. URL_CANON_CTE ends at the
+# `canon(doc_id, url, canonical_url)` relation so B124's robots oracle
+# can reuse the whole synthesis+canonicalization chain verbatim.
+URL_CANON_CTE = f"""
 WITH urls AS (
   SELECT doc_id,
          {URL_SQL.format(doc_id="doc_id")} AS url
@@ -250,7 +252,10 @@ canon AS (
                      p -> {_KEEP_PRED.format(p="p")})), '&') END
            AS canonical_url
   FROM parts
-),
+)
+"""
+
+URL_DEDUP_ORACLE = URL_CANON_CTE + """,
 groups AS (
   SELECT canonical_url,
          CAST(count(*) AS BIGINT) AS n_dups,

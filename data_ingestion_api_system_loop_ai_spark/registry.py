@@ -139,6 +139,8 @@ _UNREGISTERED_MODULES: list[str] = [
     # record framing (B122)
     ".operators.urls",
     ".operators.warc",
+    # r10 second session: robots.txt crawl-policy filtering (B124)
+    ".operators.robots",
 ]
 
 
