@@ -245,6 +245,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.robots import (
         q_robots_filter as _robots_filter,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
+        q_crawl_funnel_report as _crawl_funnel_report,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
         q_tpch_q18,
@@ -622,6 +625,9 @@ def _extra_queries():
         "q_url_dedup": _url_dedup,
         "q_warc_pipeline": _warc_pipeline,
         "q_robots_filter": _robots_filter,
+        # the composed ingest capstone: WARC -> robots -> extract ->
+        # URL dedup, one verdict row per doc, aggregated
+        "q_crawl_funnel_report": _crawl_funnel_report,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

@@ -1,0 +1,172 @@
+"""Crawl-ingest funnel capstone — B125.
+
+The ingest-side sibling of ``build_training_corpus``: composes the
+round-10 ingest stages into the single verdict pass a crawl pipeline
+runs per fetched page —
+
+1. FETCH   (B122): WARC record framing; a torn file means the page
+   never arrived (``verdict = 'torn'``);
+2. POLICY  (B124): RFC 9309 robots verdict on the page's canonical
+   URL (``'blocked'``);
+3. EXTRACT (B121): boilerplate removal over the HTTP response body —
+   pages whose main content is below the funnel floor
+   (< MIN_CONTENT_CHARS kept chars) are ``'thin'``;
+4. DEDUP   (B123): URL-canonicalization first-fetch-wins
+   (``'url_dup'``);
+5. survivors are ``'kept'``.
+
+Precedence is the pipeline order: a torn page is 'torn' even if its
+URL would also have been blocked — each stage only sees what the
+previous one passed, and the verdict names the FIRST gate that fired
+(the q_funnel_explain drop-attribution discipline).
+
+Spark shape: the WARC stage is the two mapInPandas passes it already
+is; everything downstream is JVM expressions and three doc_id
+equi-joins of per-doc relations (no fan-out — every stage emits one
+row per doc). The oracle composes the stage oracles: B121's
+full-pipeline extraction oracle (valid because the response body
+round-trips byte-identically, proven by B122's equality pin), B124's
+robots chain, B123's canonical groups — so the WHOLE funnel,
+synthesis included, is DuckDB-checkable except the torn-detection
+itself, which enters the oracle as the same ``doc_id % TORN_MOD``
+residue the synthesizer plants (and which B122's direct tests verify
+the parser actually detects).
+
+Reference parity: none; BASELINE.json north-star capstone tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .html_extract import HTML_EXTRACT_ORACLE, extract_main_content
+from .robots import (
+    ROBOTS_FILTER_ORACLE,
+    parse_robots_rules,
+    robots_filter,
+    synthesize_robots,
+)
+from .urls import URL_DEDUP_ORACLE, canonicalize_urls, synthesize_urls
+from .warc import TORN_MOD, warc_files, warc_records
+
+MIN_CONTENT_CHARS = 40
+
+
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fetched, allowed, content_chars, keep_url, verdict):
+    one verdict row per crawled document, verdict = the first gate
+    that fired in pipeline order (torn → blocked → thin → url_dup →
+    kept). (Unregistered — 50-slot cap; driver-grade DuckDB parity of
+    the composed funnel in tests/test_crawl_funnel.py.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    recs = warc_records(warc_files(spark, sf_dir))
+    fetched = recs.groupBy("doc_id").agg(
+        F.max(
+            ((F.col("warc_type") == "response") & F.col("error").isNull())
+            .cast("int")
+        ).alias("_f")
+    ).select("doc_id", (F.col("_f") == 1).alias("fetched"))
+    bodies = recs.filter(
+        (F.col("warc_type") == "response") & F.col("error").isNull()
+    ).select("doc_id", F.col("body").alias("html"))
+
+    canon = canonicalize_urls(synthesize_urls(docs))
+    policy = robots_filter(
+        canon.select("doc_id", "canonical_url"),
+        parse_robots_rules(synthesize_robots(spark)),
+    ).select("doc_id", "allowed")
+
+    content = extract_main_content(bodies).select("doc_id", "content_chars")
+
+    groups = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("_keep_id")
+    )
+    keep_url = canon.join(groups, "canonical_url").select(
+        "doc_id", (F.col("doc_id") == F.col("_keep_id")).alias("keep_url")
+    )
+
+    joined = (
+        docs.join(fetched, "doc_id")
+        .join(policy, "doc_id")
+        .join(keep_url, "doc_id")
+        .join(content, "doc_id", "left")
+    )
+    verdict = (
+        F.when(~F.col("fetched"), F.lit("torn"))
+        .when(~F.col("allowed"), F.lit("blocked"))
+        .when(
+            F.coalesce(F.col("content_chars"), F.lit(0))
+            < MIN_CONTENT_CHARS,
+            F.lit("thin"),
+        )
+        .when(~F.col("keep_url"), F.lit("url_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id", "fetched", "allowed", "content_chars", "keep_url",
+        verdict.alias("verdict"),
+    )
+
+
+def q_crawl_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(verdict, n_docs): the funnel's drop attribution — every doc
+    lands in exactly one bucket, so the counts sum to the corpus."""
+    return (
+        q_crawl_funnel(spark, sf_dir)
+        .groupBy("verdict")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _subq(sql: str) -> str:
+    return "(" + sql + ")"
+
+
+# The composed oracle: stage oracles as subqueries (each carries its
+# own WITH chain — DuckDB scopes them per subquery, so the shared CTE
+# names never collide), torn-ness as the planted residue.
+CRAWL_FUNNEL_ORACLE = f"""
+WITH fetched AS (
+  SELECT doc_id, doc_id % {TORN_MOD} <> 0 AS fetched FROM documents
+),
+policy AS (
+  SELECT doc_id, allowed FROM {_subq(ROBOTS_FILTER_ORACLE)}
+),
+keepu AS (
+  SELECT doc_id, keep AS keep_url FROM {_subq(URL_DEDUP_ORACLE)}
+),
+content AS (
+  SELECT doc_id, content_chars FROM {_subq(HTML_EXTRACT_ORACLE)}
+  WHERE doc_id % {TORN_MOD} <> 0
+)
+SELECT f.doc_id, f.fetched, p.allowed, c.content_chars, k.keep_url,
+       CASE WHEN NOT f.fetched THEN 'torn'
+            WHEN NOT p.allowed THEN 'blocked'
+            WHEN coalesce(c.content_chars, 0) < {MIN_CONTENT_CHARS}
+              THEN 'thin'
+            WHEN NOT k.keep_url THEN 'url_dup'
+            ELSE 'kept' END AS verdict
+FROM fetched f
+JOIN policy p USING (doc_id)
+JOIN keepu k USING (doc_id)
+LEFT JOIN content c USING (doc_id)
+"""
+
+CRAWL_FUNNEL_REPORT_ORACLE = f"""
+SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs
+FROM {_subq(CRAWL_FUNNEL_ORACLE)}
+GROUP BY verdict
+"""
+
+
+UNREGISTERED_CRAWL_QUERIES = {
+    "q_crawl_funnel": q_crawl_funnel,
+    "q_crawl_funnel_report": q_crawl_funnel_report,
+}
+UNREGISTERED_CRAWL_ORACLES = {
+    "q_crawl_funnel": CRAWL_FUNNEL_ORACLE,
+    "q_crawl_funnel_report": CRAWL_FUNNEL_REPORT_ORACLE,
+}

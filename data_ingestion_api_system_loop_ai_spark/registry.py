@@ -139,8 +139,10 @@ _UNREGISTERED_MODULES: list[str] = [
     # record framing (B122)
     ".operators.urls",
     ".operators.warc",
-    # r10 second session: robots.txt crawl-policy filtering (B124)
+    # r10 second session: robots.txt crawl-policy filtering (B124),
+    # crawl-ingest funnel capstone (B125)
     ".operators.robots",
+    ".operators.crawl_funnel",
 ]
 
 

@@ -74,6 +74,12 @@ DOC_QUERIES = {
     # iterative CC over the MinHash near-dup pairs (round 10,
     # VERDICT r09 #5): O(rounds x (join+agg)) by design
     "q_dedup_components",
+    # ingest trio + boilerplate removal (round 10 third session,
+    # B121-B124): per-doc projections / bounded joins — claimed linear
+    "q_html_extract",
+    "q_url_dedup",
+    "q_warc_pipeline",
+    "q_robots_filter",
 }
 # Skew variants: same query fns, but the synthesized corpus plants a
 # shared boilerplate paragraph into BOILER_FRAC of the docs — the
@@ -304,6 +310,18 @@ def main() -> int:
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
         UNREGISTERED_TIMESERIES_QUERIES,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.html_extract import (
+        q_html_extract,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.robots import (
+        q_robots_filter,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        q_url_dedup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+        q_warc_pipeline,
+    )
 
     qfns = {
         "q_knn_graph": q_knn_graph,
@@ -321,6 +339,10 @@ def main() -> int:
         "q_ts_similarity": UNREGISTERED_TIMESERIES_QUERIES["q_ts_similarity"],
         "q_dedup_substrings": q_dedup_substrings,
         "q_dedup_substrings_skew": q_dedup_substrings,
+        "q_html_extract": q_html_extract,
+        "q_url_dedup": q_url_dedup,
+        "q_warc_pipeline": q_warc_pipeline,
+        "q_robots_filter": q_robots_filter,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
