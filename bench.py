@@ -248,6 +248,9 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
         q_crawl_funnel_report as _crawl_funnel_report,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.charset import (
+        q_charset_sniff as _charset_sniff,
+    )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
         q_tpch_q18,
@@ -628,6 +631,7 @@ def _extra_queries():
         # the composed ingest capstone: WARC -> robots -> extract ->
         # URL dedup, one verdict row per doc, aggregated
         "q_crawl_funnel_report": _crawl_funnel_report,
+        "q_charset_sniff": _charset_sniff,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

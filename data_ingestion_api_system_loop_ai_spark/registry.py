@@ -143,6 +143,8 @@ _UNREGISTERED_MODULES: list[str] = [
     # crawl-ingest funnel capstone (B125)
     ".operators.robots",
     ".operators.crawl_funnel",
+    # r10 second session: charset sniffing (B126)
+    ".operators.charset",
 ]
 
 

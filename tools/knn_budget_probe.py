@@ -46,6 +46,12 @@ def main() -> int:
     ap.add_argument("--sample", type=int, default=500)
     ap.add_argument("--with-multiprobe", action="store_true")
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument(
+        "--budget", type=int, default=None,
+        help="override KNN_SEED_BUDGET — measures the budget-vs-recall "
+             "trade at fixed n (the 'hold recall across octaves by "
+             "growing the budget linearly' claim)",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -96,26 +102,30 @@ def main() -> int:
         hits = sum(len(got.get(q, set()) & truth[q]) for q in truth)
         return round(hits / (len(truth) * KNN_K), 4)
 
+    budget = args.budget if args.budget is not None else KNN_SEED_BUDGET
+
     e = load_table(spark, d, "embeddings")
     t0 = time.monotonic()
     seed = knn_graph_seed(
-        ivf_assign(e), seeds=ivf_seeds(e)
+        ivf_assign(e), budget=budget, seeds=ivf_seeds(e)
     ).localCheckpoint()
     seed_recall = sampled_recall(seed)
-    print(f"n={n} seed recall {seed_recall}", flush=True)
+    print(f"n={n} b={budget} seed recall {seed_recall}", flush=True)
 
-    budgeted = knn_graph_budgeted(e, ivf_assign(e)).localCheckpoint()
+    budgeted = knn_graph_budgeted(
+        e, ivf_assign(e), budget=budget
+    ).localCheckpoint()
     budgeted_secs = round(time.monotonic() - t0, 1)
     budgeted_recall = sampled_recall(budgeted)
     print(
-        f"n={n} budgeted recall {budgeted_recall} "
+        f"n={n} b={budget} budgeted recall {budgeted_recall} "
         f"({budgeted_secs}s incl. seed)", flush=True,
     )
 
     entry = {
         "n": args.n,
         "k": KNN_K,
-        "budget": KNN_SEED_BUDGET,
+        "budget": budget,
         "probes": KNN_SEED_PROBES,
         "bridges": KNN_BRIDGE_R,
         "nnd_iters": NND_ITERS,
@@ -135,9 +145,15 @@ def main() -> int:
     if os.path.exists(args.out):
         with open(args.out) as f:
             result = json.load(f)
-    # keyed by n so several sizes accumulate
+    # keyed by n (default budget) or n_b{budget} (override) so several
+    # sizes AND budget points accumulate without clobbering each other
+    key = (
+        str(args.n)
+        if args.budget is None or args.budget == KNN_SEED_BUDGET
+        else f"{args.n}_b{budget}"
+    )
     slot = result.setdefault("knn_graph_budgeted_recall", {})
-    slot[str(args.n)] = entry
+    slot[key] = entry
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(entry))
