@@ -71,6 +71,13 @@ HEADLINE = [
     # boilerplate extraction (pure JVM string ops, DuckDB-oracle-exact)
     "q_phash_dedup",
     "q_html_extract",
+    # round-10 third session: the crawl-ingest chain (B122-B126) and
+    # its composed capstone
+    "q_url_dedup",
+    "q_warc_pipeline",
+    "q_robots_filter",
+    "q_crawl_funnel_report",
+    "q_charset_sniff",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
