@@ -78,6 +78,7 @@ HEADLINE = [
     "q_robots_filter",
     "q_crawl_funnel_report",
     "q_charset_sniff",
+    "q_zorder_layout",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
@@ -257,6 +258,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.charset import (
         q_charset_sniff as _charset_sniff,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.layout import (
+        q_zorder_layout as _zorder_layout,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
@@ -639,6 +643,7 @@ def _extra_queries():
         # URL dedup, one verdict row per doc, aggregated
         "q_crawl_funnel_report": _crawl_funnel_report,
         "q_charset_sniff": _charset_sniff,
+        "q_zorder_layout": _zorder_layout,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

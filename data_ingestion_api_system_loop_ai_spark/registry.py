@@ -143,8 +143,10 @@ _UNREGISTERED_MODULES: list[str] = [
     # crawl-ingest funnel capstone (B125)
     ".operators.robots",
     ".operators.crawl_funnel",
-    # r10 second session: charset sniffing (B126)
+    # r10 second session: charset sniffing (B126), z-order layout
+    # audit (B127)
     ".operators.charset",
+    ".operators.layout",
 ]
 
 
