@@ -270,3 +270,146 @@ FROM canon c JOIN groups g USING (canonical_url)
 
 UNREGISTERED_URL_QUERIES = {"q_url_dedup": q_url_dedup}
 UNREGISTERED_URL_ORACLES = {"q_url_dedup": URL_DEDUP_ORACLE}
+
+
+# --------------------------------------------------------------------
+# Day-2 operation: incremental URL dedup against a PERSISTED canonical
+# index (the crawl-side twin of operators/incremental_dedup.py — a new
+# fetch batch arrives every trigger; which URLs has the 100 TB of
+# history already fetched, WITHOUT rescanning history?). Same unit
+# transaction discipline: every ingest lands its canonical rows under
+# ``canon/unit=<label>/`` and becomes visible only when its marker
+# commits (``sources/commit_protocol.py``); replaying a batch re-derives
+# the same label and overwrites its own directory before re-committing,
+# so a crash anywhere in the window leaves an invisible torn unit, and
+# the probe re-aggregates min(canonical_id) per canonical across units,
+# so even a double-committed canonical can never multiply probe rows.
+
+import os as _os
+import shutil as _shutil
+
+from ..sources import commit_protocol as _cp
+
+_URL_INDEX_SCHEMA = "canonical_url string, canonical_id long"
+
+
+def _read_url_index(
+    spark: SparkSession, index_path: str, exclude_unit: str | None = None
+) -> DataFrame:
+    """(canonical_url, canonical_id) over COMMITTED units only; a
+    missing index is EMPTY HISTORY (the first batch seeds it).
+    ``exclude_unit`` drops one unit from the view — the replay path's
+    own already-published rows (see ``ingest_url_batch``)."""
+    units = [
+        u for u in _cp.committed_units(index_path) if u != exclude_unit
+    ]
+    if not units:
+        return spark.createDataFrame([], _URL_INDEX_SCHEMA)
+    return spark.read.schema(_URL_INDEX_SCHEMA).parquet(
+        *[_os.path.join(index_path, "canon", f"unit={u}") for u in units]
+    )
+
+
+def incremental_url_dedup(
+    spark: SparkSession,
+    new_urls: DataFrame,
+    index_path: str,
+    exclude_unit: str | None = None,
+) -> DataFrame:
+    """Classify each (doc_id, url) of the batch against the index AND
+    the rest of its own batch: ``url_dup`` (canonical URL present in
+    history — matched_id is history's first fetch — or claimed by an
+    earlier doc_id in this batch), else ``kept``. Returns (doc_id,
+    canonical_url, status, matched_id). One canonicalization
+    projection + one broadcast-sized probe join + one in-batch
+    groupBy: O(|batch|), never O(history)."""
+    canon = canonicalize_urls(new_urls).select("doc_id", "canonical_url")
+    # the probe slice: history rows for THIS batch's canonicals only,
+    # re-aggregated to one canonical_id per URL (duplicate units can
+    # never multiply probe rows)
+    keys = canon.select("canonical_url").distinct()
+    hist = (
+        _read_url_index(spark, index_path, exclude_unit=exclude_unit)
+        .join(F.broadcast(keys), "canonical_url", "left_semi")
+        .groupBy("canonical_url")
+        .agg(F.min("canonical_id").alias("hist_id"))
+    )
+    # in-batch first-fetch-wins via groupBy+join-back (hot-key safe,
+    # same idiom as url_dedup)
+    firsts = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    joined = canon.join(hist, "canonical_url", "left").join(
+        firsts, "canonical_url"
+    )
+    is_dup = F.col("hist_id").isNotNull() | (
+        F.col("doc_id") > F.col("first_id")
+    )
+    return joined.select(
+        "doc_id",
+        "canonical_url",
+        F.when(is_dup, F.lit("url_dup")).otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(
+            is_dup, F.coalesce(F.col("hist_id"), F.col("first_id"))
+        ).alias("matched_id"),
+    )
+
+
+def ingest_url_batch(
+    spark: SparkSession,
+    new_urls: DataFrame,
+    index_path: str,
+    unit: str | None = None,
+) -> DataFrame:
+    """The day-2 cycle for one batch: classify, then append the KEPT
+    docs' canonicals as one committed unit. Replay-idempotent: the
+    same ``unit`` label overwrites its own directory and re-commits
+    the marker (marker LAST — a crash between the parquet write and
+    the commit leaves the unit invisible and the replay converges).
+    Returns the classification relation.
+
+    The OTHER crash window (the r9 dedup_stream_writer lesson): a
+    crash after this unit's marker committed but before the caller
+    recorded the batch means the replay probes an index that already
+    contains the batch's own canonicals — every doc would classify as
+    a dup of itself. An ever-published unit label therefore skips the
+    writes and classifies with ITS OWN unit excluded from the view,
+    returning the identical pre-publish verdicts."""
+    label = unit or _cp.next_unit_label(index_path)
+    names, superseded = _cp.marker_state(index_path)
+    if label in names or label in superseded:
+        return incremental_url_dedup(
+            spark, new_urls, index_path, exclude_unit=label
+        )
+    verdicts = incremental_url_dedup(spark, new_urls, index_path)
+    kept = verdicts.filter(F.col("status") == "kept").select(
+        "canonical_url", F.col("doc_id").alias("canonical_id")
+    )
+    # materialize the verdicts BEFORE the index append lands: the
+    # classification must be computed against pre-batch history (lazy
+    # evaluation after the write would see the batch's own rows)
+    verdicts = verdicts.localCheckpoint()
+    kept.write.mode("overwrite").parquet(
+        _os.path.join(index_path, "canon", f"unit={label}")
+    )
+    _cp.commit_unit(index_path, label)
+    return verdicts
+
+
+def build_url_index(
+    urls: DataFrame, index_path: str, spark: SparkSession
+) -> str:
+    """Bootstrap the canonical index from a day-1 corpus as unit
+    u000000 (overwrite semantics)."""
+    for sub in ("canon", _cp.COMMITS_DIR):
+        _shutil.rmtree(_os.path.join(index_path, sub), ignore_errors=True)
+    canon = canonicalize_urls(urls)
+    groups = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    groups.write.mode("overwrite").parquet(
+        _os.path.join(index_path, "canon", "unit=u000000")
+    )
+    _cp.commit_unit(index_path, "u000000")
+    return "u000000"

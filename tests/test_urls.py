@@ -125,3 +125,143 @@ def test_url_dedup_viral_group_rollup(spark):
     assert sum(r["keep"] for r in hot) == 1
     cold = [r for r in out if "cold" in r["canonical_url"]]
     assert len(cold) == 1 and cold[0]["keep"] and cold[0]["n_dups"] == 1
+
+
+# ------------------------------------------------ day-2 incremental
+
+def _mk_urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_incremental_url_dedup_two_batches(spark, tmp_path):
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        build_url_index,
+        incremental_url_dedup,
+        ingest_url_batch,
+    )
+
+    ix = str(tmp_path / "urlix")
+    day1 = _mk_urls(
+        spark,
+        [
+            (1, "http://a.com/x?utm_source=s"),
+            (2, "HTTP://WWW.A.com/x/"),       # same canonical as 1
+            (3, "https://b.com/y"),
+        ],
+    )
+    build_url_index(day1, ix, spark)
+
+    day2 = _mk_urls(
+        spark,
+        [
+            (10, "http://a.com/x"),            # dup of history (canon=1)
+            (11, "https://c.com/new"),         # fresh
+            (12, "https://c.com/new#frag"),    # in-batch dup of 11
+            (13, "https://b.com:443/y"),       # dup of history (canon=3)
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ingest_url_batch(spark, day2, ix, unit="u000001").collect()
+    }
+    assert out[10]["status"] == "url_dup" and out[10]["matched_id"] == 1
+    assert out[11]["status"] == "kept" and out[11]["matched_id"] is None
+    assert out[12]["status"] == "url_dup" and out[12]["matched_id"] == 11
+    assert out[13]["status"] == "url_dup" and out[13]["matched_id"] == 3
+
+    # day-3 batch sees day-2's kept canonical in history now
+    day3 = _mk_urls(spark, [(20, "https://c.com/new?fbclid=z")])
+    v = incremental_url_dedup(spark, day3, ix).collect()[0]
+    assert v["status"] == "url_dup" and v["matched_id"] == 11
+
+
+def test_incremental_url_dedup_replay_idempotent(spark, tmp_path):
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        _read_url_index,
+        build_url_index,
+        incremental_url_dedup,
+        ingest_url_batch,
+    )
+
+    ix = str(tmp_path / "urlix")
+    build_url_index(_mk_urls(spark, [(1, "http://a.com/x")]), ix, spark)
+    batch = _mk_urls(spark, [(10, "http://d.com/z"), (11, "http://a.com/x")])
+    first = sorted(
+        map(tuple, ingest_url_batch(spark, batch, ix, unit="u000001").collect())
+    )
+    # replay the SAME unit (crash after commit, reprocessed trigger)
+    second = sorted(
+        map(tuple, ingest_url_batch(spark, batch, ix, unit="u000001").collect())
+    )
+    assert first == second
+    # index state identical: one canonical row for d.com/z, probe-side
+    # re-aggregation keeps later batches correct either way
+    rows = _read_url_index(spark, ix).collect()
+    assert [
+        (r["canonical_url"], r["canonical_id"])
+        for r in rows
+        if "d.com" in r["canonical_url"]
+    ] == [("http://d.com/z", 10)]
+    probe = incremental_url_dedup(
+        spark, _mk_urls(spark, [(30, "http://d.com/z/")]), ix
+    ).collect()[0]
+    assert probe["status"] == "url_dup" and probe["matched_id"] == 10
+
+
+def test_incremental_url_dedup_crash_window(spark, tmp_path):
+    import os as _o
+
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        build_url_index,
+        incremental_url_dedup,
+    )
+
+    ix = str(tmp_path / "urlix")
+    build_url_index(_mk_urls(spark, [(1, "http://a.com/x")]), ix, spark)
+    # simulate a crash BETWEEN the unit parquet write and the marker
+    # commit: write rows under an uncommitted unit by hand
+    torn = _mk_urls(spark, [(99, "http://torn.com/p")])
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        canonicalize_urls,
+    )
+    from pyspark.sql import functions as F
+
+    canonicalize_urls(torn).select(
+        "canonical_url", F.col("doc_id").alias("canonical_id")
+    ).write.mode("overwrite").parquet(_o.path.join(ix, "canon", "unit=u000009"))
+    # no marker -> invisible: the same URL classifies as KEPT
+    v = incremental_url_dedup(
+        spark, _mk_urls(spark, [(100, "http://torn.com/p")]), ix
+    ).collect()[0]
+    assert v["status"] == "kept"
+
+
+def test_incremental_matches_from_scratch_union(spark, tmp_path):
+    # first-fetch-wins across days == batch url_dedup over the union,
+    # when doc_ids increase with time (the crawl invariant)
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        build_url_index,
+        canonicalize_urls,
+        ingest_url_batch,
+        url_dedup,
+    )
+
+    ix = str(tmp_path / "urlix")
+    day1 = _mk_urls(
+        spark,
+        [(1, "http://a.com/x"), (2, "http://b.com/y?utm_source=s")],
+    )
+    day2 = _mk_urls(
+        spark,
+        [
+            (10, "HTTP://A.com/x/"),
+            (11, "http://c.com/z"),
+            (12, "http://c.com/z#f"),
+        ],
+    )
+    build_url_index(day1, ix, spark)
+    v2 = ingest_url_batch(spark, day2, ix, unit="u000001").collect()
+    inc_kept = {1, 2} | {r["doc_id"] for r in v2 if r["status"] == "kept"}
+    batch = url_dedup(canonicalize_urls(day1.unionByName(day2))).collect()
+    scratch_kept = {r["doc_id"] for r in batch if r["keep"]}
+    assert inc_kept == scratch_kept
