@@ -377,19 +377,20 @@ def ingest_url_batch(
     writes and classifies with ITS OWN unit excluded from the view,
     returning the identical pre-publish verdicts."""
     label = unit or _cp.next_unit_label(index_path)
+    # ALWAYS classify with this batch's own unit excluded from the
+    # view: before publish the exclusion is a no-op, after publish it
+    # hides exactly the batch's own rows — so the returned relation is
+    # stable under lazy re-evaluation at ANY point of the cycle (no
+    # checkpoint needed, nothing leaks per batch)
+    verdicts = incremental_url_dedup(
+        spark, new_urls, index_path, exclude_unit=label
+    )
     names, superseded = _cp.marker_state(index_path)
     if label in names or label in superseded:
-        return incremental_url_dedup(
-            spark, new_urls, index_path, exclude_unit=label
-        )
-    verdicts = incremental_url_dedup(spark, new_urls, index_path)
+        return verdicts  # effects already fully published
     kept = verdicts.filter(F.col("status") == "kept").select(
         "canonical_url", F.col("doc_id").alias("canonical_id")
     )
-    # materialize the verdicts BEFORE the index append lands: the
-    # classification must be computed against pre-batch history (lazy
-    # evaluation after the write would see the batch's own rows)
-    verdicts = verdicts.localCheckpoint()
     kept.write.mode("overwrite").parquet(
         _os.path.join(index_path, "canon", f"unit={label}")
     )
