@@ -398,6 +398,49 @@ def ingest_url_batch(
     return verdicts
 
 
+def compact_url_index(spark: SparkSession, index_path: str) -> dict:
+    """Consolidate every committed unit into ONE (the
+    ``compact_dedup_index`` discipline): re-aggregate min(canonical_id)
+    per canonical URL — the invariant the probe re-derives on every
+    read, now materialized — into a single ``c``-unit whose marker
+    retires the source units in the same atomic rename. Cleanup of
+    superseded directories is lazy and restartable. Single-maintainer
+    assumption, like the dedup compactor. Returns {"unit",
+    "compacted_units", "rows"}."""
+    units = _cp.committed_units(index_path)
+    if len(units) <= 1:
+        return {
+            "unit": units[0] if units else None,
+            "compacted_units": 0,
+            "rows": None,
+        }
+    label = _cp.next_unit_label(index_path, prefix="c")
+    merged = (
+        _read_url_index(spark, index_path)
+        .groupBy("canonical_url")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(index_path, "canon", f"unit={label}")
+    )
+    _cp.commit_unit(index_path, label, supersedes=units)
+    _names, all_superseded = _cp.marker_state(index_path)
+    for u in sorted(all_superseded):
+        _shutil.rmtree(
+            _os.path.join(index_path, "canon", f"unit={u}"),
+            ignore_errors=True,
+        )
+        try:
+            _os.remove(_os.path.join(index_path, _cp.COMMITS_DIR, u))
+        except FileNotFoundError:
+            pass
+    return {
+        "unit": label,
+        "compacted_units": len(units),
+        "rows": _read_url_index(spark, index_path).count(),
+    }
+
+
 def build_url_index(
     urls: DataFrame, index_path: str, spark: SparkSession
 ) -> str:

@@ -265,3 +265,43 @@ def test_incremental_matches_from_scratch_union(spark, tmp_path):
     batch = url_dedup(canonicalize_urls(day1.unionByName(day2))).collect()
     scratch_kept = {r["doc_id"] for r in batch if r["keep"]}
     assert inc_kept == scratch_kept
+
+
+def test_compact_url_index(spark, tmp_path):
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        _read_url_index,
+        build_url_index,
+        compact_url_index,
+        incremental_url_dedup,
+        ingest_url_batch,
+    )
+
+    ix = str(tmp_path / "urlix")
+    build_url_index(_mk_urls(spark, [(1, "http://a.com/x")]), ix, spark)
+    ingest_url_batch(
+        spark, _mk_urls(spark, [(10, "http://b.com/y")]), ix, unit="u000001"
+    )
+    ingest_url_batch(
+        spark,
+        # a re-crawl of a.com/x: dup, contributes nothing to the index
+        _mk_urls(spark, [(20, "http://c.com/z"), (21, "HTTP://A.com/x/")]),
+        ix,
+        unit="u000002",
+    )
+    before = sorted(map(tuple, _read_url_index(spark, ix).collect()))
+    res = compact_url_index(spark, ix)
+    assert res["compacted_units"] == 3 and res["unit"].startswith("c")
+    after = sorted(map(tuple, _read_url_index(spark, ix).collect()))
+    # identical logical content, one unit, probes unchanged
+    assert before == after and res["rows"] == 3
+    from data_ingestion_api_system_loop_ai_spark.sources.commit_protocol import (
+        committed_units,
+    )
+
+    assert committed_units(ix) == [res["unit"]]
+    v = incremental_url_dedup(
+        spark, _mk_urls(spark, [(30, "http://b.com/y#f")]), ix
+    ).collect()[0]
+    assert v["status"] == "url_dup" and v["matched_id"] == 10
+    # compacting a compacted index is a no-op
+    assert compact_url_index(spark, ix)["compacted_units"] == 0
