@@ -52,6 +52,11 @@ def main() -> int:
              "trade at fixed n (the 'hold recall across octaves by "
              "growing the budget linearly' claim)",
     )
+    ap.add_argument(
+        "--nnd-iters", type=int, default=None,
+        help="override NND_ITERS — measures whether an extra recovery "
+             "round closes a recall gap the budget alone leaves",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -103,6 +108,7 @@ def main() -> int:
         return round(hits / (len(truth) * KNN_K), 4)
 
     budget = args.budget if args.budget is not None else KNN_SEED_BUDGET
+    iters = args.nnd_iters if args.nnd_iters is not None else NND_ITERS
 
     e = load_table(spark, d, "embeddings")
     t0 = time.monotonic()
@@ -113,7 +119,7 @@ def main() -> int:
     print(f"n={n} b={budget} seed recall {seed_recall}", flush=True)
 
     budgeted = knn_graph_budgeted(
-        e, ivf_assign(e), budget=budget
+        e, ivf_assign(e), budget=budget, iters=iters
     ).localCheckpoint()
     budgeted_secs = round(time.monotonic() - t0, 1)
     budgeted_recall = sampled_recall(budgeted)
@@ -128,7 +134,7 @@ def main() -> int:
         "budget": budget,
         "probes": KNN_SEED_PROBES,
         "bridges": KNN_BRIDGE_R,
-        "nnd_iters": NND_ITERS,
+        "nnd_iters": iters,
         "sample": len(truth),
         "seed_recall": seed_recall,
         "budgeted_recall": budgeted_recall,
@@ -147,11 +153,11 @@ def main() -> int:
             result = json.load(f)
     # keyed by n (default budget) or n_b{budget} (override) so several
     # sizes AND budget points accumulate without clobbering each other
-    key = (
-        str(args.n)
-        if args.budget is None or args.budget == KNN_SEED_BUDGET
-        else f"{args.n}_b{budget}"
-    )
+    key = str(args.n)
+    if args.budget is not None and args.budget != KNN_SEED_BUDGET:
+        key += f"_b{budget}"
+    if args.nnd_iters is not None and args.nnd_iters != NND_ITERS:
+        key += f"_i{iters}"
     slot = result.setdefault("knn_graph_budgeted_recall", {})
     slot[key] = entry
     with open(args.out, "w") as f:
