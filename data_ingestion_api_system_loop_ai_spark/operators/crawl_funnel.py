@@ -170,3 +170,120 @@ UNREGISTERED_CRAWL_ORACLES = {
     "q_crawl_funnel": CRAWL_FUNNEL_ORACLE,
     "q_crawl_funnel_report": CRAWL_FUNNEL_REPORT_ORACLE,
 }
+
+
+# --------------------------------------------------------------------
+# Streaming closure: the live crawl front door. A micro-batch of WARC
+# files arrives per trigger; each batch runs the SAME verdict chain as
+# q_crawl_funnel — framing (the page's URL is the response record's
+# WARC-Target-URI, the production shape, not a synthesized column) →
+# robots policy → extraction/thin gate → INCREMENTAL URL dedup against
+# the persisted canonical index — and the kept pages land in out_path
+# while their canonicals append to the index, both under ONE unit whose
+# marker commits LAST (the dedup_stream_writer transaction: a crash
+# anywhere before the marker leaves directories no reader resolves; an
+# ever-published unit label skips everything on replay).
+
+import os as _os
+
+from pyspark.sql import functions as _F
+
+from ..sources import commit_protocol as _cp
+from .urls import incremental_url_dedup
+
+
+def crawl_stream_writer(
+    spark: SparkSession,
+    warc_stream: DataFrame,
+    rules: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """foreachBatch writer over a streaming (doc_id, warc binary)
+    relation: verdicts per page (torn/blocked/thin/url_dup/kept), kept
+    pages (doc_id, url, content) land under ``out_path/unit=<b>`` and
+    their canonical URLs append to the index as the SAME unit —
+    exactly-once via the marker-last protocol + the ever-published
+    guard. ``rules`` is the static robots relation (host, rule_type,
+    prefix). Returns the configured writeStream."""
+    from .html_extract import extract_main_content as _extract
+    from .robots import robots_filter as _robots
+    from .urls import canonicalize_urls as _canon
+    from .warc import warc_records as _records
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"b{batch_id:06d}"
+        names, superseded = _cp.marker_state(index_path)
+        if unit in names or unit in superseded:
+            return  # effects fully published; replay is a no-op
+        recs = _records(batch_df)
+        resp = recs.filter(
+            (_F.col("warc_type") == "response") & _F.col("error").isNull()
+        ).select("doc_id", _F.col("target_uri").alias("url"),
+                 _F.col("body").alias("html"))
+        policy = _robots(
+            _canon(resp.select("doc_id", "url")).select(
+                "doc_id", "canonical_url"
+            ),
+            rules,
+        ).select("doc_id", "allowed")
+        content = _extract(resp.select("doc_id", "html")).select(
+            "doc_id", "content", "content_chars"
+        )
+        eligible = (
+            resp.select("doc_id", "url")
+            .join(policy, "doc_id")
+            .join(content, "doc_id")
+            .filter(
+                _F.col("allowed")
+                & (_F.col("content_chars") >= MIN_CONTENT_CHARS)
+            )
+        )
+        verdicts = incremental_url_dedup(
+            spark, eligible.select("doc_id", "url"), index_path,
+            exclude_unit=unit,
+        )
+        kept = eligible.join(
+            verdicts.filter(_F.col("status") == "kept").select(
+                "doc_id", "canonical_url"
+            ),
+            "doc_id",
+        ).persist()
+        try:
+            kept.select("doc_id", "url", "content").write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(out_path, f"unit={unit}"))
+            kept.select(
+                "canonical_url", _F.col("doc_id").alias("canonical_id")
+            ).write.mode("overwrite").parquet(
+                _os.path.join(index_path, "canon", f"unit={unit}")
+            )
+            _cp.commit_unit(index_path, unit)
+        finally:
+            kept.unpersist()
+
+    return (
+        warc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def read_crawled(
+    spark: SparkSession, out_path: str, index_path: str
+) -> DataFrame:
+    """The kept-pages corpus over COMMITTED units only (the index's
+    markers govern out_path too — one marker per unit covers both
+    stores, so out can never serve a unit the index hasn't published)."""
+    units = [
+        u
+        for u in _cp.committed_units(index_path)
+        if _os.path.isdir(_os.path.join(out_path, f"unit={u}"))
+    ]
+    if not units:
+        return spark.createDataFrame(
+            [], "doc_id long, url string, content string"
+        )
+    return spark.read.schema("doc_id long, url string, content string").parquet(
+        *[_os.path.join(out_path, f"unit={u}") for u in units]
+    )

@@ -150,3 +150,94 @@ def test_crawl_funnel_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q_crawl_funnel(spark, sf_dir).collect()))
     b = sorted(map(tuple, q_crawl_funnel(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_crawl_stream_writer_end_to_end(spark, tmp_path):
+    """The live crawl front door: three triggers through the composed
+    verdict chain — fresh kept, robots-blocked dropped, torn dropped,
+    thin dropped, re-crawl of an earlier trigger's canonical URL
+    dropped against the PERSISTED index — with the kept corpus and the
+    URL index publishing under one marker per trigger."""
+    import os as _o
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
+        crawl_stream_writer,
+        read_crawled,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.robots import (
+        parse_robots_rules,
+        synthesize_robots,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        _read_url_index,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+        build_warc_file,
+    )
+
+    good = (
+        "<html><body><h1>big clean title</h1><p>"
+        + "plain honest prose word " * 10
+        + "</p></body></html>"
+    )
+    thin = "<html><body><p>tiny page</p></body></html>"
+
+    def warc(doc_id, html, torn=False):
+        p = build_warc_file(doc_id, html)
+        return p[: len(p) - len(p) // 4] if torn else p
+
+    triggers = [
+        # doc 1 (site1, item-1): kept; doc 5 (site0): robots-blocked;
+        # doc 0: torn
+        [(1, warc(1, good)), (5, warc(5, good)), (0, warc(0, good, torn=True))],
+        # doc 86 (site1, item-1 == doc 1's canonical): url_dup vs the
+        # index; doc 7: thin; doc 2 (site2, item-2): kept
+        [(86, warc(86, good)), (7, warc(7, thin)), (2, warc(2, good))],
+    ]
+    src = tmp_path / "warc_in"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    for i, rows in enumerate(triggers):
+        df = spark.createDataFrame(
+            [(d, bytearray(p)) for d, p in rows], "doc_id long, warc binary"
+        )
+        sdir = str(stage / f"s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(
+            f for f in _o.listdir(sdir) if f.endswith(".parquet")
+        )
+        dst = src / f"b{i}.parquet"
+        _sh.copy(_o.path.join(sdir, part), dst)
+        _o.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, warc binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    ix, out, ckpt = (str(tmp_path / d) for d in ("urlix", "kept", "ckpt"))
+    rules = parse_robots_rules(synthesize_robots(spark))
+    q = (
+        crawl_stream_writer(spark, stream, rules, ix, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = {r["doc_id"]: r for r in read_crawled(spark, out, ix).collect()}
+    assert set(kept) == {1, 2}
+    assert kept[1]["url"] == "http://site1.example.com/news/item-1"
+    assert "big clean title" in kept[1]["content"]
+    # the index holds exactly the kept canonicals, doc 86's canonical
+    # resolving to doc 1 (first fetch won across triggers)
+    ixrows = {
+        r["canonical_url"]: r["canonical_id"]
+        for r in _read_url_index(spark, ix).collect()
+    }
+    assert ixrows == {
+        "http://site1.example.com/news/item-1": 1,
+        "http://site2.example.com/news/item-2": 2,
+    }
