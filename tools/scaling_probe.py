@@ -80,6 +80,8 @@ DOC_QUERIES = {
     "q_url_dedup",
     "q_warc_pipeline",
     "q_robots_filter",
+    "q_crawl_funnel_report",
+    "q_charset_sniff",
 }
 # Skew variants: same query fns, but the synthesized corpus plants a
 # shared boilerplate paragraph into BOILER_FRAC of the docs — the
@@ -322,6 +324,12 @@ def main() -> int:
     from data_ingestion_api_system_loop_ai_spark.operators.warc import (
         q_warc_pipeline,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.charset import (
+        q_charset_sniff,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
+        q_crawl_funnel_report,
+    )
 
     qfns = {
         "q_knn_graph": q_knn_graph,
@@ -343,6 +351,8 @@ def main() -> int:
         "q_url_dedup": q_url_dedup,
         "q_warc_pipeline": q_warc_pipeline,
         "q_robots_filter": q_robots_filter,
+        "q_crawl_funnel_report": q_crawl_funnel_report,
+        "q_charset_sniff": q_charset_sniff,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
