@@ -79,6 +79,7 @@ HEADLINE = [
     "q_crawl_funnel_report",
     "q_charset_sniff",
     "q_zorder_layout",
+    "q_text_normalize",
     "q_decontaminate",
     "q_quality_filter",
     "q_domain_mix",
@@ -261,6 +262,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.layout import (
         q_zorder_layout as _zorder_layout,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.textnorm import (
+        q_text_normalize as _text_normalize,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.relational_ext import (
         q_tpch_q13,
@@ -644,6 +648,7 @@ def _extra_queries():
         "q_crawl_funnel_report": _crawl_funnel_report,
         "q_charset_sniff": _charset_sniff,
         "q_zorder_layout": _zorder_layout,
+        "q_text_normalize": _text_normalize,
         "q_tpch_q13": q_tpch_q13,
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,

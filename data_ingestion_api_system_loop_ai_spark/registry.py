@@ -147,6 +147,8 @@ _UNREGISTERED_MODULES: list[str] = [
     # audit (B127)
     ".operators.charset",
     ".operators.layout",
+    # r10 second session: unicode text normalization (B128)
+    ".operators.textnorm",
 ]
 
 
