@@ -82,6 +82,7 @@ DOC_QUERIES = {
     "q_robots_filter",
     "q_crawl_funnel_report",
     "q_charset_sniff",
+    "q_text_normalize",
 }
 # Skew variants: same query fns, but the synthesized corpus plants a
 # shared boilerplate paragraph into BOILER_FRAC of the docs — the
@@ -330,6 +331,9 @@ def main() -> int:
     from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
         q_crawl_funnel_report,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.textnorm import (
+        q_text_normalize,
+    )
 
     qfns = {
         "q_knn_graph": q_knn_graph,
@@ -353,6 +357,7 @@ def main() -> int:
         "q_robots_filter": q_robots_filter,
         "q_crawl_funnel_report": q_crawl_funnel_report,
         "q_charset_sniff": q_charset_sniff,
+        "q_text_normalize": q_text_normalize,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
