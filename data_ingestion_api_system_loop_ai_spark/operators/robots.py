@@ -5,9 +5,10 @@ canonicalization (B123): respectful web corpora (C4 famously) honor
 robots exclusion. Semantics implemented are the REP as standardized in
 RFC 9309 (formerly the Google spec):
 
-- a robots.txt is LINE-GROUPED: ``User-agent:`` lines open a group,
-  ``Allow:``/``Disallow:`` lines belong to the most recent group —
-  rules from groups for OTHER agents are ignored entirely;
+- a robots.txt is LINE-GROUPED: CONSECUTIVE ``User-agent:`` lines
+  form one group (RFC 9309 §2.1 stacking) and the ``Allow:``/
+  ``Disallow:`` lines that follow belong to ALL of them — rules from
+  groups for other agents are ignored entirely;
 - per URL, the matching rule with the LONGEST path prefix wins
   (``Disallow: /news`` loses to ``Allow: /news/item-12`` on
   ``/news/item-12``, even though both match);
@@ -61,8 +62,13 @@ AGENT = "*"
 #           prefix — Allow must win)
 #   site 4: plain prefix block      (Disallow: /news/item-14 — item
 #           ids on site 4 are ≡ 4 mod 5, so 14 really occurs there)
-# every host also carries a trailing `badbot` group disallowing
-# everything, which a correct group-tracker ignores for agent '*'.
+# every host also carries a trailing STACKED group (badbot AND
+# otherbot sharing one Disallow — the RFC 9309 §2.1 consecutive-UA
+# form), which a correct group-tracker ignores for agent '*' while
+# binding the rule to BOTH stacked agents.
+# Documented out of scope (fixtures contain none): '*'/'$' wildcards
+# inside rule paths (§2.2.3), case-insensitive directive names, and
+# comment stripping.
 ROBOTS_SQL = (
     "concat("
     "'User-agent: *', chr(10),"
@@ -75,7 +81,8 @@ ROBOTS_SQL = (
     " 'Allow: /news/item-3') "
     "ELSE 'Disallow: /news/item-14' END,"
     "chr(10),"
-    "'User-agent: badbot', chr(10), 'Disallow: /'"
+    "'User-agent: badbot', chr(10), 'User-agent: otherbot', chr(10),"
+    " 'Disallow: /'"
     ")"
 )
 
@@ -94,11 +101,17 @@ def synthesize_robots(spark: SparkSession) -> DataFrame:
 
 def parse_robots_rules(robots: DataFrame, agent: str = AGENT) -> DataFrame:
     """(host, rule_type, prefix): the rules of ``agent``'s group(s) in
-    each host's robots.txt. Group tracking: a rule line belongs to the
-    last User-agent line above it — implemented as a running max of
-    User-agent line positions plus a join back to the agent names
-    (portable to the DuckDB twin verbatim; the window partition is one
-    KB-sized robots file, never corpus-sized)."""
+    each host's robots.txt.
+
+    Group tracking is RUN-based per RFC 9309 §2.1: CONSECUTIVE
+    ``User-agent`` lines share the rule block that follows (the
+    standard ``User-agent: a\\nUser-agent: b\\nDisallow: /x`` stacking
+    — a last-UA-line-wins tracker would bind the rules to ``b`` only).
+    Implementation: a UA line STARTS a run iff the previous line is
+    not a UA line (lag); every line's run id is the running max of run
+    starts; rules join to ALL agent names of their run. Both windows
+    partition by HOST over a KB-sized robots file — never
+    corpus-sized — and port to the DuckDB twin verbatim."""
     lines = robots.select(
         "host",
         F.posexplode(F.split("robots", "\n")).alias("pos", "line"),
@@ -108,20 +121,28 @@ def parse_robots_rules(robots: DataFrame, agent: str = AGENT) -> DataFrame:
         "host", "pos", "line",
         F.when(ua != "", ua).alias("ua"),
     )
-    grp = tagged.withColumn(
-        "ua_pos",
-        F.max(F.when(F.col("ua").isNotNull(), F.col("pos"))).over(
-            W.partitionBy("host").orderBy("pos")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    wseq = W.partitionBy("host").orderBy("pos")
+    wrun = wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # two projections — a window function may not nest inside another
+    grp = (
+        tagged.withColumn(
+            "_prev_ua", F.lag(F.col("ua").isNotNull(), 1, False).over(wseq)
+        )
+        .withColumn(
+            "_run_start",
+            F.when(
+                F.col("ua").isNotNull() & ~F.col("_prev_ua"), F.col("pos")
+            ),
+        )
+        .withColumn("run_id", F.max("_run_start").over(wrun))
     )
-    ua_names = tagged.filter(F.col("ua").isNotNull()).select(
-        "host", F.col("pos").alias("ua_pos"), "ua"
+    ua_names = grp.filter(F.col("ua").isNotNull()).select(
+        "host", "run_id", "ua"
     )
     rule_type = F.regexp_extract("line", "^(Allow|Disallow): *", 1)
     prefix = F.regexp_extract("line", "^(Allow|Disallow): *(.*)$", 2)
     return (
-        grp.drop("ua").join(ua_names, ["host", "ua_pos"])
+        grp.drop("ua").join(ua_names, ["host", "run_id"])
         .filter((F.col("ua") == agent) & (rule_type != ""))
         .select(
             "host",
@@ -131,6 +152,9 @@ def parse_robots_rules(robots: DataFrame, agent: str = AGENT) -> DataFrame:
         # the empty-Disallow idiom matches nothing: drop it here so the
         # matcher needs no special case (an empty Allow is equally void)
         .filter(F.col("prefix") != "")
+        # a duplicated agent line inside one run must not duplicate its
+        # rules
+        .dropDuplicates(["host", "rule_type", "prefix"])
     )
 
 
@@ -218,21 +242,29 @@ tagged AS (
               THEN regexp_extract(line, '^User-agent: *(.*)$', 1) END AS ua
   FROM lines
 ),
-grp AS (
-  SELECT host, pos, line,
-         max(CASE WHEN ua IS NOT NULL THEN pos END) OVER (
-           PARTITION BY host ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua_pos
+runs AS (
+  SELECT host, pos, line, ua,
+         CASE WHEN ua IS NOT NULL AND NOT coalesce(
+                lag(ua IS NOT NULL) OVER (PARTITION BY host ORDER BY pos),
+                FALSE)
+              THEN pos END AS _run_start
   FROM tagged
 ),
+grp AS (
+  SELECT host, pos, line, ua,
+         max(_run_start) OVER (
+           PARTITION BY host ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs
+),
 ua_names AS (
-  SELECT host, pos AS ua_pos, ua FROM tagged WHERE ua IS NOT NULL
+  SELECT host, run_id, ua FROM grp WHERE ua IS NOT NULL
 ),
 rules AS (
-  SELECT g.host,
+  SELECT DISTINCT g.host,
          regexp_extract(g.line, '^(Allow|Disallow): *', 1) AS rule_type,
          regexp_extract(g.line, '^(Allow|Disallow): *(.*)$', 2) AS prefix
-  FROM grp g JOIN ua_names n USING (host, ua_pos)
+  FROM grp g JOIN ua_names n USING (host, run_id)
   WHERE n.ua = '{AGENT}'
     AND regexp_extract(g.line, '^(Allow|Disallow): *', 1) <> ''
     AND regexp_extract(g.line, '^(Allow|Disallow): *(.*)$', 2) <> ''

@@ -398,15 +398,25 @@ def ingest_url_batch(
     return verdicts
 
 
-def compact_url_index(spark: SparkSession, index_path: str) -> dict:
+def compact_url_index(
+    spark: SparkSession, index_path: str, out_path: str | None = None
+) -> dict:
     """Consolidate every committed unit into ONE (the
     ``compact_dedup_index`` discipline): re-aggregate min(canonical_id)
     per canonical URL — the invariant the probe re-derives on every
     read, now materialized — into a single ``c``-unit whose marker
     retires the source units in the same atomic rename. Cleanup of
     superseded directories is lazy and restartable. Single-maintainer
-    assumption, like the dedup compactor. Returns {"unit",
-    "compacted_units", "rows"}."""
+    assumption, like the dedup compactor.
+
+    ``out_path`` MUST be passed when the index's units also back a
+    kept-pages corpus (``crawl_stream_writer``): the corpus reader
+    (``crawl_funnel.read_crawled``) resolves out units through THIS
+    index's markers, so an index-only compaction would supersede the
+    b-unit markers and silently empty the corpus view while its
+    parquet files still sit on disk. With ``out_path`` the kept rows
+    are consolidated into the same ``c``-unit the marker publishes.
+    Returns {"unit", "compacted_units", "rows"}."""
     units = _cp.committed_units(index_path)
     if len(units) <= 1:
         return {
@@ -423,6 +433,18 @@ def compact_url_index(spark: SparkSession, index_path: str) -> dict:
     merged.coalesce(1).write.mode("overwrite").parquet(
         _os.path.join(index_path, "canon", f"unit={label}")
     )
+    if out_path is not None:
+        out_units = [
+            u
+            for u in units
+            if _os.path.isdir(_os.path.join(out_path, f"unit={u}"))
+        ]
+        if out_units:
+            spark.read.parquet(
+                *[_os.path.join(out_path, f"unit={u}") for u in out_units]
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(out_path, f"unit={label}")
+            )
     _cp.commit_unit(index_path, label, supersedes=units)
     _names, all_superseded = _cp.marker_state(index_path)
     for u in sorted(all_superseded):
@@ -430,6 +452,10 @@ def compact_url_index(spark: SparkSession, index_path: str) -> dict:
             _os.path.join(index_path, "canon", f"unit={u}"),
             ignore_errors=True,
         )
+        if out_path is not None:
+            _shutil.rmtree(
+                _os.path.join(out_path, f"unit={u}"), ignore_errors=True
+            )
         try:
             _os.remove(_os.path.join(index_path, _cp.COMMITS_DIR, u))
         except FileNotFoundError:

@@ -216,6 +216,13 @@ def _parse_record(payload: bytes, off: int, rec_no: int) -> dict:
         headers[k.strip().decode("ascii")] = v.strip().decode("ascii")
     if "Content-Length" not in headers:
         raise ValueError("WARC record missing Content-Length")
+    # strict digits-only: int() would accept '-4' (which slices an
+    # empty block, matches the header's own CRLFCRLF as the separator
+    # and resumes the walk at a WRONG offset), '+59', ' 59 ', '5_9'
+    if not headers["Content-Length"].isdigit():
+        raise ValueError(
+            f"bad Content-Length: {headers['Content-Length'][:32]!r}"
+        )
     clen = int(headers["Content-Length"])
     block = payload[off: off + clen]
     if len(block) < clen:
@@ -234,9 +241,16 @@ def _parse_record(payload: bytes, off: int, rec_no: int) -> dict:
         "_next": off + clen + 4,
     }
     if rec["warc_type"] == "response":
-        status, body = _parse_http_response(block)
-        rec["http_status"] = status
-        rec["body"] = body
+        # a bad HTTP payload inside a CORRECTLY FRAMED record is a
+        # record-level error, not a walk-level one: the framing gave us
+        # _next, so later records still parse (the salvage discipline —
+        # only a framing failure aborts the walk)
+        try:
+            status, body = _parse_http_response(block)
+            rec["http_status"] = status
+            rec["body"] = body
+        except ValueError as exc:
+            rec["error"] = str(exc)
     return rec
 
 

@@ -71,10 +71,10 @@ def _mini_sf_dir(tmp_path) -> str:
     doc_id 18     -> thin    (18 % 17 == 1 -> site 1 allow-all; tiny
                               text, first of its URL group)
     doc_id 35, 52 -> same identity g=1 as 18 (35%17=1, 52%17=1): both
-                     land on 18's canonical URL -> url_dup (they carry
-                     long text, but 18 wins the URL by min doc_id, so
-                     they fall at the LATER dedup gate only if they
-                     pass the thin gate)
+                     land on 18's canonical URL. 18 is THIN, so it is
+                     not eligible for the dedup gate — the first
+                     ELIGIBLE fetch (35) is kept and 52 is url_dup
+                     (the each-gate-sees-what-passed rule)
     doc_id 2      -> kept   (site 2, allowed, long text, unique URL)
     """
     long_text = "word " * 40  # 200 chars of kept content
@@ -110,9 +110,9 @@ def test_crawl_funnel_every_arm_fires(spark, tmp_path):
     assert out[0]["verdict"] == "torn"
     assert out[85]["verdict"] == "blocked"
     assert out[18]["verdict"] == "thin"
-    # 18 holds the canonical URL (min doc_id of group g=1), so the
-    # long-text twins 35/52 pass the thin gate and fall at dedup
-    assert out[35]["verdict"] == "url_dup"
+    # 18 holds the group's min doc_id but is thin, hence ineligible:
+    # the first ELIGIBLE fetch (35) is kept, 52 dedups against it
+    assert out[35]["verdict"] == "kept"
     assert out[52]["verdict"] == "url_dup"
     assert out[2]["verdict"] == "kept"
     # parity holds on the constructed corpus too (only the documents
@@ -241,3 +241,66 @@ def test_crawl_stream_writer_end_to_end(spark, tmp_path):
         "http://site1.example.com/news/item-1": 1,
         "http://site2.example.com/news/item-2": 2,
     }
+
+
+def test_compact_preserves_crawled_corpus(spark, tmp_path):
+    """Index compaction with out_path consolidates the kept-pages units
+    under the same superseding marker — read_crawled sees the identical
+    corpus before and after (the index-only footgun is documented and
+    test-pinned here)."""
+    import os as _o
+    import shutil as _sh
+
+    from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
+        crawl_stream_writer,
+        read_crawled,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.robots import (
+        parse_robots_rules,
+        synthesize_robots,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        compact_url_index,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+        build_warc_file,
+    )
+
+    good = (
+        "<html><body><h1>big clean title</h1><p>"
+        + "plain honest prose word " * 10
+        + "</p></body></html>"
+    )
+    triggers = [[(1, build_warc_file(1, good))], [(2, build_warc_file(2, good))]]
+    src = tmp_path / "warc_in"
+    src.mkdir()
+    for i, rows in enumerate(triggers):
+        df = spark.createDataFrame(
+            [(d, bytearray(p)) for d, p in rows], "doc_id long, warc binary"
+        )
+        sdir = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in _o.listdir(sdir) if f.endswith(".parquet"))
+        dst = src / f"b{i}.parquet"
+        _sh.copy(_o.path.join(sdir, part), dst)
+        _o.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    ix, out, ckpt = (str(tmp_path / d) for d in ("urlix", "kept", "ckpt"))
+    rules = parse_robots_rules(synthesize_robots(spark))
+    stream = (
+        spark.readStream.schema("doc_id long, warc binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        crawl_stream_writer(spark, stream, rules, ix, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    before = sorted(map(tuple, read_crawled(spark, out, ix).collect()))
+    assert len(before) == 2
+    res = compact_url_index(spark, ix, out_path=out)
+    assert res["compacted_units"] == 2
+    after = sorted(map(tuple, read_crawled(spark, out, ix).collect()))
+    assert before == after

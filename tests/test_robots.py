@@ -53,6 +53,34 @@ def test_parse_robots_group_tracking(spark):
     assert rules == {("Disallow", "/private"), ("Allow", "/private/ok")}
 
 
+def test_parse_robots_stacked_user_agent_run(spark):
+    # RFC 9309 §2.1: CONSECUTIVE User-agent lines share the rule block
+    # that follows — '*' stacked under googlebot must still receive
+    # /shared; a last-UA-wins tracker would bind it to '*'... or lose
+    # it depending on order, so both orders are pinned
+    txt = (
+        "User-agent: googlebot\n"
+        "User-agent: *\n"
+        "Disallow: /shared\n"
+        "User-agent: *\n"
+        "User-agent: badbot\n"
+        "Disallow: /also-starred\n"
+        "User-agent: badbot\n"
+        "Disallow: /bad-only\n"
+    )
+    robots = spark.createDataFrame([("h.com", txt)], "host string, robots string")
+    star = {
+        (r["rule_type"], r["prefix"])
+        for r in parse_robots_rules(robots).collect()
+    }
+    assert star == {("Disallow", "/shared"), ("Disallow", "/also-starred")}
+    bad = {
+        (r["rule_type"], r["prefix"])
+        for r in parse_robots_rules(robots, agent="badbot").collect()
+    }
+    assert bad == {("Disallow", "/also-starred"), ("Disallow", "/bad-only")}
+
+
 def test_robots_filter_golden_verdicts(spark):
     rules = spark.createDataFrame(
         [
@@ -112,4 +140,6 @@ def test_synthesized_robots_shape(spark):
     assert len(texts) == 5
     for host, txt in texts.items():
         assert txt.startswith("User-agent: *\n")
-        assert "User-agent: badbot\nDisallow: /" in txt
+        assert (
+            "User-agent: badbot\nUser-agent: otherbot\nDisallow: /" in txt
+        )

@@ -180,3 +180,36 @@ def test_warc_pipeline_pins_to_html_extract(spark, sf_dir):
         if r["doc_id"] % TORN_MOD != 0
     }
     assert via_warc == direct
+
+
+def test_parse_warc_bad_http_payload_does_not_abort_walk():
+    # record 1: correctly FRAMED response with a garbage HTTP payload
+    # -> record-level error; record 2 still parses (salvage discipline)
+    bad = b"NOT-HTTP nothing"
+    r1 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"Content-Length: {len(bad)}\r\n\r\n".encode()
+        + bad + b"\r\n\r\n"
+    )
+    r2 = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    recs = parse_warc(r1 + r2)
+    assert len(recs) == 2
+    assert recs[0]["warc_type"] == "response"
+    assert "status line" in recs[0]["error"]
+    assert recs[1]["warc_type"] == "warcinfo" and recs[1]["error"] is None
+
+
+def test_parse_warc_rejects_non_digit_content_length():
+    # int() would accept all of these; the digits-only gate must not.
+    # (' 59' is NOT here: header values are whitespace-stripped per the
+    # header grammar before validation, so it is legal.)
+    for cl in (b"-4", b"+59", b"5_9"):
+        raw = (
+            b"WARC/1.0\r\nWARC-Type: request\r\n"
+            b"Content-Length: " + cl + b"\r\n\r\nabcd\r\n\r\n"
+        )
+        recs = parse_warc(raw)
+        assert recs[0]["error"] is not None and "Content-Length" in recs[0]["error"], cl
