@@ -150,11 +150,13 @@ def canonicalize_urls(urls: DataFrame) -> DataFrame:
         .when((F.col("scheme") == "https") & (port == "443"), F.lit(""))
         .otherwise(F.concat(F.lit(":"), port))
     )
+    # the duplicate-slash collapse exists ONCE (ADVICE r10): the
+    # otherwise branch strips the trailing slash off the same Column
     squashed = F.expr("regexp_replace(path, '/+', '/')")
     canon_path = (
         F.when(squashed == "", F.lit("/"))
         .when(squashed == "/", F.lit("/"))
-        .otherwise(F.expr("regexp_replace(regexp_replace(path, '/+', '/'), '/$', '')"))
+        .otherwise(F.regexp_replace(squashed, "/$", ""))
     )
     kept = F.expr(
         "array_join(array_sort(filter(split(substr(query, 2), '&'),"
@@ -375,8 +377,26 @@ def ingest_url_batch(
     contains the batch's own canonicals — every doc would classify as
     a dup of itself. An ever-published unit label therefore skips the
     writes and classifies with ITS OWN unit excluded from the view,
-    returning the identical pre-publish verdicts."""
+    returning the identical pre-publish verdicts.
+
+    Single-maintainer caveat (ADVICE r10): that replay guarantee holds
+    only while the unit is still ITS OWN unit. If ``compact_url_index``
+    ran between the publish and the replay, the batch's rows were
+    folded into the c-unit, ``exclude_unit=label`` no longer hides
+    them, and every doc in the replayed batch would classify as a dup
+    of itself — so a replay of a SUPERSEDED label raises instead of
+    returning silently-wrong verdicts. Do not compact with in-flight /
+    unacknowledged batches (the ``compact_dedup_index`` contract)."""
     label = unit or _cp.next_unit_label(index_path)
+    _names0, superseded0 = _cp.marker_state(index_path)
+    if label in superseded0:
+        raise RuntimeError(
+            f"ingest_url_batch: unit {label!r} was compacted away; a "
+            "compaction ran while this batch was unacknowledged — its "
+            "rows now live in the c-unit and the replay verdicts would "
+            "be wrong (every doc a dup of itself). Re-classify the "
+            "batch under a FRESH unit label instead of replaying."
+        )
     # ALWAYS classify with this batch's own unit excluded from the
     # view: before publish the exclusion is a no-op, after publish it
     # hides exactly the batch's own rows — so the returned relation is
@@ -385,8 +405,8 @@ def ingest_url_batch(
     verdicts = incremental_url_dedup(
         spark, new_urls, index_path, exclude_unit=label
     )
-    names, superseded = _cp.marker_state(index_path)
-    if label in names or label in superseded:
+    names, _superseded = _cp.marker_state(index_path)
+    if label in names:
         return verdicts  # effects already fully published
     kept = verdicts.filter(F.col("status") == "kept").select(
         "canonical_url", F.col("doc_id").alias("canonical_id")
@@ -399,7 +419,10 @@ def ingest_url_batch(
 
 
 def compact_url_index(
-    spark: SparkSession, index_path: str, out_path: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    out_path: str | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Consolidate every committed unit into ONE (the
     ``compact_dedup_index`` discipline): re-aggregate min(canonical_id)
@@ -416,7 +439,18 @@ def compact_url_index(
     b-unit markers and silently empty the corpus view while its
     parquet files still sit on disk. With ``out_path`` the kept rows
     are consolidated into the same ``c``-unit the marker publishes.
+
+    The consolidated writes are NUMBERED repartitions sized from the
+    source bytes (``n_files`` overrides — VERDICT r10 #2: the r10 form
+    funnelled the whole merged index through ``coalesce(1)``, one task
+    materializing billions of canonical rows at crawl scale; the
+    sibling dedup compactor's ``repartition(n)`` idiom is the
+    contract, ``sources/maintenance.py``). The index unit hashes on
+    ``canonical_url`` so equal keys stay file-clustered; the corpus
+    unit is a plain round-robin repartition.
     Returns {"unit", "compacted_units", "rows"}."""
+    from ..sources.maintenance import _dataset_bytes
+
     units = _cp.committed_units(index_path)
     if len(units) <= 1:
         return {
@@ -425,12 +459,25 @@ def compact_url_index(
             "rows": None,
         }
     label = _cp.next_unit_label(index_path, prefix="c")
+
+    def _target_files(root: str, target: int = 128 * 1024 * 1024) -> int:
+        if n_files is not None:
+            return n_files
+        total = sum(
+            _dataset_bytes(_os.path.join(root, f"unit={u}"))
+            for u in units
+            if _os.path.isdir(_os.path.join(root, f"unit={u}"))
+        )
+        return max(1, -(-total // target))
+
     merged = (
         _read_url_index(spark, index_path)
         .groupBy("canonical_url")
         .agg(F.min("canonical_id").alias("canonical_id"))
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(
+    merged.repartition(
+        _target_files(_os.path.join(index_path, "canon")), "canonical_url"
+    ).write.mode("overwrite").parquet(
         _os.path.join(index_path, "canon", f"unit={label}")
     )
     if out_path is not None:
@@ -442,7 +489,9 @@ def compact_url_index(
         if out_units:
             spark.read.parquet(
                 *[_os.path.join(out_path, f"unit={u}") for u in out_units]
-            ).coalesce(1).write.mode("overwrite").parquet(
+            ).repartition(_target_files(out_path)).write.mode(
+                "overwrite"
+            ).parquet(
                 _os.path.join(out_path, f"unit={label}")
             )
     _cp.commit_unit(index_path, label, supersedes=units)

@@ -85,8 +85,16 @@ def _warc_date(doc_id: int) -> str:
 
 def build_warc_file(doc_id: int, html: str) -> bytes:
     """One WARC file: warcinfo + request + response (body = the B121
-    page), framed per ISO 28500."""
-    uri = f"http://site{doc_id % 5}.example.com/news/item-{doc_id % 17}"
+    page), framed per ISO 28500.
+
+    The WARC-Target-URI rides the SAME ``g = doc_id % 17`` page
+    identity as ``urls.synthesize_urls`` (site = g % 5, item = g —
+    ADVICE r10): the batch funnel computes robots/dedup verdicts on
+    the synthesized URL while the streaming writer reads THIS one, and
+    the two must name the same page if the batch funnel ever switches
+    to taking its URL from the response record."""
+    g = doc_id % 17
+    uri = f"http://site{g % 5}.example.com/news/item-{g}"
     date = _warc_date(doc_id)
     info_payload = (
         b"software: data-ingestion-spark/0.1\r\n"
@@ -102,8 +110,8 @@ def build_warc_file(doc_id: int, html: str) -> bytes:
         info_payload,
     )
     req_payload = (
-        f"GET /news/item-{doc_id % 17} HTTP/1.1\r\n"
-        f"Host: site{doc_id % 5}.example.com\r\n"
+        f"GET /news/item-{g} HTTP/1.1\r\n"
+        f"Host: site{g % 5}.example.com\r\n"
         "User-Agent: data-ingestion-bot/0.1\r\n\r\n"
     ).encode()
     req = _warc_record(

@@ -128,7 +128,9 @@ def test_build_parse_round_trip():
     info, req, resp = recs
     assert info["target_uri"] is None
     assert req["target_uri"] == resp["target_uri"]
-    assert resp["target_uri"] == "http://site2.example.com/news/item-8"
+    # site rides the g = doc_id % 17 identity (g % 5 = 8 % 5 = 3), the
+    # same URL space as urls.synthesize_urls (ADVICE r10)
+    assert resp["target_uri"] == "http://site3.example.com/news/item-8"
     assert resp["http_status"] == 200
     assert resp["body"] == html  # byte-identical through utf-8 framing
     # Content-Length counts BYTES of the multibyte body, not chars
