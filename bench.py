@@ -912,10 +912,43 @@ def main() -> None:
     # (VERDICT r04 #8) — near-linear batches/s across tenant counts is
     # the scale-out evidence; plus the listener POST-throughput extra
     # (VERDICT r04 #4). Full detail in the side file, stdout stays lean.
-    drain = {
-        str(nq): _drain_throughput(spark, n_queues=nq) for nq in (1, 8, 64)
+    # MEDIANS of >= 3 runs (VERDICT r10 #5): the query bench has been
+    # median-of-n since r4, but drain/POST were single runs — the last
+    # numbers that could silently lie inside the measured VM noise
+    # phases (the r9->r10 "drift" was exactly this). Each tenant count
+    # and the POST path now record min/median/max across runs.
+    tput_runs = int(os.environ.get("SPARK_GRAFT_TPUT_RUNS", "3"))
+
+    def _stat3(vals: list[float]) -> dict:
+        return {
+            "min": round(min(vals), 2),
+            "median": round(statistics.median(vals), 2),
+            "max": round(max(vals), 2),
+        }
+
+    drain = {}
+    for nq in (1, 8, 64):
+        runs = [
+            _drain_throughput(spark, n_queues=nq) for _ in range(tput_runs)
+        ]
+        drain[str(nq)] = {
+            "n_runs": tput_runs,
+            "ids_per_s": _stat3([r["ids_per_s"] for r in runs]),
+            "batches_per_s": _stat3([r["batches_per_s"] for r in runs]),
+            "wall_s": _stat3([r["wall_s"] for r in runs]),
+            "drained_batches": runs[0]["drained_batches"],
+            "reference_ceiling_ids_per_s": 0.6,
+            "runs": runs,
+        }
+    post_runs = [_post_throughput(spark) for _ in range(tput_runs)]
+    posts = {
+        "n_runs": tput_runs,
+        "posts_per_s": _stat3([r["posts_per_s"] for r in post_runs]),
+        "posts": post_runs[0]["posts"],
+        "concurrency": post_runs[0]["concurrency"],
+        "errors": sum(r["errors"] for r in post_runs),
+        "runs": post_runs,
     }
-    posts = _post_throughput(spark)
     spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json")
     # the one-line build-state sentence SURVEY §8 includes VERBATIM —
     # stamped mechanically so hand-copy drift (r8's 191.5-vs-183.97

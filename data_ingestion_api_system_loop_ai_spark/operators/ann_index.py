@@ -14,6 +14,8 @@ path whose results are pinned identical to the inline forms:
       assignments/   (vec_id, embedding, v_norm, cell)  n rows, clustered by cell
       pq_codebooks/  (m, c, cw)                         M*K rows
       pq_codes/      (vec_id, code array<long>[M])      n rows, ~4 B/vec payload
+      edges/         (query_id, neighbor_id, cosine)    n*k rows — the FINISHED
+                     budgeted kNN graph (VERDICT r10 #1)
       _COMMITTED     marker (temp + atomic rename, written last)
 
 - ``build_ann_index``: one pass deriving all five relations with the
@@ -48,6 +50,26 @@ into one consolidated ``c``-unit whose marker's ``supersedes=`` set
 retires the sources in the same rename — probe results are pinned
 identical before/after, and lazy restartable cleanup removes
 superseded directories.
+
+The kNN-graph EDGES are a build artifact too (VERDICT r10 #1): r10's
+index stored seeds+assignments only, so every from-index graph
+consumer (``q_pagerank_from_index``, ``q_embedding_clusters_from_
+index``, the budgeted-graph probe) re-ran the budgeted seed + the
+NN-Descent rounds PER QUERY — the bench said it plainly (the two
+``_index`` rows paid ~the full build). The graph is built once at
+100 TB and consumed many times; ``build_ann_index`` now runs the
+budgeted build once and persists the finished edge list under the
+same marker, and the from-index graph consumers read STORED edges —
+zero seed/NND work in the query path. ``read_knn_edges`` re-derives
+the per-query top-k over the committed units (max-cosine merge, the
+same rounding/tiebreaks as the build), so append units can only
+IMPROVE a query's neighbor list, never corrupt it. Appends get
+seed-quality edges from a frozen-quantizer budgeted probe (new x
+capped-cell-pool, both orientations — no NND rounds per batch);
+recall on appended nodes drifts toward seed quality, and the rebuild
+trigger is the same as the quantizer's: re-train/rebuild when
+appended vectors exceed a fraction of the build (the FAISS contract
+documented on ``append_ann_index``).
 """
 
 from __future__ import annotations
@@ -72,7 +94,7 @@ from .similarity import (
 )
 
 _MARKER = commit_protocol.BUILD_MARKER
-_UNIT_TABLES = ("assignments", "pq_codes")
+_UNIT_TABLES = ("assignments", "pq_codes", "edges")
 
 
 def _require(index_path: str) -> None:
@@ -119,7 +141,19 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     _code_rows(e, subs, cb_back).write.mode("overwrite").parquet(
         os.path.join(index_path, "pq_codes", f"unit={unit}")
     )
-    # marker order: unit first (both row sets written), then the build
+    # the finished kNN graph (VERDICT r10 #1): the budgeted build runs
+    # ONCE here, over the written-back relations (identical expressions
+    # to the inline q_knn_graph_budgeted, so stored edges are pinned
+    # bit-equal to the inline graph), and from-index graph consumers
+    # never pay seed/NND work again
+    from .nndescent import knn_graph_budgeted
+
+    knn_graph_budgeted(e, asg_back, seeds=seeds_back).select(
+        "query_id", "neighbor_id", "cosine"
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_path, "edges", f"unit={unit}")
+    )
+    # marker order: unit first (all row sets written), then the build
     # marker that unlocks the probes — a crash anywhere above leaves
     # the whole index unreadable, never half-built
     commit_protocol.commit_unit(index_path, unit)
@@ -254,24 +288,87 @@ def append_ann_index(
     contract; drift is bounded by the quantizer's training sample and a
     periodic rebuild re-trains.
 
-    TRANSACTIONAL (VERDICT r04 #1): both row sets land under the same
-    unit label and become visible only when the unit's marker commits
-    AFTER both writes — a crash between assignments and pq_codes leaves
-    a torn unit no probe resolves (kNN/clusters and PQ search can never
-    disagree about membership). Each write overwrites its own unit
-    directory, so replaying the append (same ``unit``, as a streaming
-    maintainer would derive from its batch id) heals the torn unit and
-    commits. Returns the committed unit label."""
+    The EDGES table gets an append unit too (VERDICT r10 #1): a
+    frozen-quantizer budgeted probe scores each new vector against its
+    cell's capped candidate pool (committed assignments ∪ this batch,
+    first ``KNN_SEED_BUDGET`` members per cell by vec_id — the
+    ``knn_graph_seed`` rule) and the scored pairs land in BOTH
+    orientations, so new nodes get seed-quality neighbor lists and
+    existing queries gain candidates toward the new nodes (the
+    read-time max-merge top-k in ``read_knn_edges`` folds them in).
+    No NN-Descent runs per batch — appended-node recall is
+    seed-quality until the periodic rebuild, the same staleness trade
+    as the frozen quantizer itself (re-train/rebuild is the refresh).
+
+    TRANSACTIONAL (VERDICT r04 #1): all three row sets land under the
+    same unit label and become visible only when the unit's marker
+    commits AFTER the writes — a crash between any pair leaves a torn
+    unit no probe resolves (kNN/clusters, PQ search, and graph readers
+    can never disagree about membership). Each write overwrites its
+    own unit directory, so replaying the append (same ``unit``, as a
+    streaming maintainer would derive from its batch id) heals the
+    torn unit and commits. Returns the committed unit label."""
+    from .similarity import KNN_SEED_BUDGET, dot_expr
+
     _require(index_path)
     label = unit or commit_protocol.next_unit_label(index_path)
     seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
-    ivf_assign(new_vecs, seeds=seeds).write.mode("overwrite").parquet(
+    new_asg = ivf_assign(new_vecs, seeds=seeds).localCheckpoint(eager=False)
+    new_asg.write.mode("overwrite").parquet(
         os.path.join(index_path, "assignments", f"unit={label}")
     )
     cb = spark.read.parquet(os.path.join(index_path, "pq_codebooks"))
     subs = pq_subvectors(new_vecs)
     _code_rows(new_vecs, subs, cb).write.mode("overwrite").parquet(
         os.path.join(index_path, "pq_codes", f"unit={label}")
+    )
+    # seed-quality candidate edges: pool = committed assignments ∪ this
+    # batch (so same-batch vectors see each other), capped per cell
+    from pyspark.sql import Window as W
+
+    pool = _read_units(spark, index_path, "assignments").unionByName(new_asg)
+    wc = W.partitionBy("cell").orderBy("neighbor_id")
+    cand = (
+        pool.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+            "cell",
+        )
+        .withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= KNN_SEED_BUDGET)
+        .drop("_crn")
+    )
+    q = new_asg.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "cell",
+    )
+    scored = (
+        q.join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # cosine is symmetric: the same scored rows serve both orientations
+    # (new node's own list, and existing queries gaining the new node)
+    scored.unionByName(
+        scored.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "cosine",
+        )
+    ).groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_path, "edges", f"unit={label}")
     )
     commit_protocol.commit_unit(index_path, label)
     return label
@@ -328,6 +425,15 @@ def compact_ann_index(spark: SparkSession, index_path: str) -> dict:
     ).write.mode("overwrite").parquet(
         os.path.join(index_path, "pq_codes", f"unit={label}")
     )
+    # edges: materialize the read-time invariant (max-cosine merge +
+    # per-query top-k) so the consolidated unit IS what readers derive
+    # — read_knn_edges before/after compaction is pinned identical,
+    # and append candidates that lost the top-k are garbage-collected
+    read_knn_edges(spark, index_path).select(
+        "query_id", "neighbor_id", "cosine"
+    ).repartition(_n_files("edges")).write.mode("overwrite").parquet(
+        os.path.join(index_path, "edges", f"unit={label}")
+    )
     commit_protocol.commit_unit(index_path, label, supersedes=units)
 
     # lazy, restartable cleanup — also sweeps leftovers from any prior
@@ -369,33 +475,66 @@ def q_knn_graph_from_index(
     return knn_graph(e, cent, asg)
 
 
+def read_knn_edges(spark: SparkSession, index_path: str) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rnk): the persisted budgeted kNN
+    graph over COMMITTED edge units (VERDICT r10 #1). The per-query
+    top-k is RE-DERIVED on read — max-cosine merge across units, then
+    the same (cosine DESC, neighbor_id) window the build uses — so:
+
+    - a single-unit index (the common post-build state) reproduces the
+      stored graph bit-for-bit (top-k of a top-k is itself);
+    - append units, which carry seed-quality candidate edges for new
+      nodes AND candidate rows pointing existing queries at the new
+      nodes, can only IMPROVE a query's neighbor list under the merge.
+
+    Cost shape: one scan of n·k-ish rows + one k-bounded window — the
+    near-read-cost query path the from-index forms promise; the seed
+    probes and NN-Descent rounds never run here."""
+    from pyspark.sql import Window as W
+
+    from .similarity import KNN_K
+
+    _require(index_path)
+    merged = (
+        _read_units(spark, index_path, "edges")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+
+
 def q_knn_graph_budgeted_from_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
-    """The SCALE-SAFE graph build probing the persisted index: the
-    assignments (and hence the seed graph's cells) AND the quantizer's
-    seed relation (the two-probe seed's ``ivf_second_cell`` input)
-    come from the stored index — zero quantizer training in the query
-    path; the budgeted seed + NN-Descent rounds are deterministic, so
+    """The scale-safe corpus graph in its PRODUCTION shape: the
+    FINISHED edge list comes from the persisted index (built once by
+    ``build_ann_index``) — zero quantizer training, zero seed probes,
+    zero NN-Descent rounds in the query path (VERDICT r10 #1; the r10
+    form re-ran the whole budgeted build per query and the two
+    ``_index`` bench rows paid ~the full build for it). The stored
+    edges are written by the same deterministic build expressions, so
     the result is pinned IDENTICAL to the inline
-    ``nndescent.q_knn_graph_budgeted`` (direct test)."""
-    from .nndescent import knn_graph_budgeted
-
-    _require(index_path)
-    e = load_table(spark, sf_dir, "embeddings")
-    asg = _read_units(spark, index_path, "assignments")
-    seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
-    return knn_graph_budgeted(e, asg, seeds=seeds)
+    ``nndescent.q_knn_graph_budgeted`` (direct test + a plan assert
+    that the query path never touches the embeddings table)."""
+    del sf_dir  # the graph is fully materialized in the index
+    return read_knn_edges(spark, index_path)
 
 
 def q_embedding_clusters_from_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
     """Semantic clusters probing the persisted ANN index: the kNN
-    edges come from the stored quantizer/assignments (zero training in
-    the query path), the component loop is unchanged — pinned
-    result-identical to the inline ``components.q_embedding_clusters``
-    (both sides re-pointed at the budgeted build, VERDICT r09 #1)."""
+    edges come from the STORED edge artifact (zero training, zero
+    seed/NND work in the query path — VERDICT r10 #1), the component
+    loop is unchanged — pinned result-identical to the inline
+    ``components.q_embedding_clusters`` (both sides on the budgeted
+    build, VERDICT r09 #1)."""
     from .components import EMB_EDGE_TAU, connected_components
 
     _require(index_path)

@@ -205,13 +205,20 @@ GROUP BY verdict
 """
 
 
+# Round-11 rotation (VERDICT r10 #4): the composed crawl-ingest
+# capstone takes a registry slot (funded by q_psi_drift, whose drift
+# sibling q_ks_drift stays registered) — the report composes
+# B121+B122+B123+B124+B125 under one driver-grade hash check, the
+# per-doc verdict relation stays on the unregistered surface with the
+# identical composed oracle.
+CRAWL_QUERIES = {"q_crawl_funnel_report": q_crawl_funnel_report}
+CRAWL_ORACLES = {"q_crawl_funnel_report": CRAWL_FUNNEL_REPORT_ORACLE}
+
 UNREGISTERED_CRAWL_QUERIES = {
     "q_crawl_funnel": q_crawl_funnel,
-    "q_crawl_funnel_report": q_crawl_funnel_report,
 }
 UNREGISTERED_CRAWL_ORACLES = {
     "q_crawl_funnel": CRAWL_FUNNEL_ORACLE,
-    "q_crawl_funnel_report": CRAWL_FUNNEL_REPORT_ORACLE,
 }
 
 
@@ -235,6 +242,91 @@ from ..sources import commit_protocol as _cp
 from .urls import incremental_url_dedup
 
 
+def crawl_batch_ingest(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    rules: DataFrame,
+    index_path: str,
+    out_path: str,
+    effect_hook=None,
+) -> None:
+    """One trigger of the live crawl front door (the foreachBatch body
+    of ``crawl_stream_writer``, module-level so the day-2 crash matrix
+    can drive it directly — the ``day2_ingest_writer`` discipline).
+
+    ``effect_hook(stage, batch_id)`` is a FAULT-INJECTION point called
+    after each durable effect, in order: ``kept_written`` (the
+    kept-pages parquet landed), ``canon_written`` (the index's
+    canonical unit landed) — the marker rename is last and needs no
+    hook after it (a replay of a published unit is the existing
+    ever-published no-op guard). A hook that raises simulates a crash
+    at exactly that seam; replaying the same batch id afterwards must
+    converge to the never-crashed state (tests/test_crawl_funnel.py)."""
+    from .html_extract import extract_main_content as _extract
+    from .robots import robots_filter as _robots
+    from .urls import canonicalize_urls as _canon
+    from .warc import warc_records as _records
+
+    unit = f"b{batch_id:06d}"
+    names, superseded = _cp.marker_state(index_path)
+    if unit in names or unit in superseded:
+        return  # effects fully published; replay is a no-op
+    recs = _records(batch_df)
+    # the byte-level parse feeds four consumers (policy, content,
+    # eligible's base, and the verdicts' canonicalization) — pin it
+    # once per batch instead of re-running the Arrow pass each time
+    resp = recs.filter(
+        (_F.col("warc_type") == "response") & _F.col("error").isNull()
+    ).select("doc_id", _F.col("target_uri").alias("url"),
+             _F.col("body").alias("html")).persist()
+    policy = _robots(
+        _canon(resp.select("doc_id", "url")).select(
+            "doc_id", "canonical_url"
+        ),
+        rules,
+    ).select("doc_id", "allowed")
+    content = _extract(resp.select("doc_id", "html")).select(
+        "doc_id", "content", "content_chars"
+    )
+    eligible = (
+        resp.select("doc_id", "url")
+        .join(policy, "doc_id")
+        .join(content, "doc_id")
+        .filter(
+            _F.col("allowed")
+            & (_F.col("content_chars") >= MIN_CONTENT_CHARS)
+        )
+    )
+    verdicts = incremental_url_dedup(
+        spark, eligible.select("doc_id", "url"), index_path,
+        exclude_unit=unit,
+    )
+    kept = eligible.join(
+        verdicts.filter(_F.col("status") == "kept").select(
+            "doc_id", "canonical_url"
+        ),
+        "doc_id",
+    ).persist()
+    try:
+        kept.select("doc_id", "url", "content").write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(out_path, f"unit={unit}"))
+        if effect_hook is not None:
+            effect_hook("kept_written", batch_id)
+        kept.select(
+            "canonical_url", _F.col("doc_id").alias("canonical_id")
+        ).write.mode("overwrite").parquet(
+            _os.path.join(index_path, "canon", f"unit={unit}")
+        )
+        if effect_hook is not None:
+            effect_hook("canon_written", batch_id)
+        _cp.commit_unit(index_path, unit)
+    finally:
+        kept.unpersist()
+        resp.unpersist()
+
+
 def crawl_stream_writer(
     spark: SparkSession,
     warc_stream: DataFrame,
@@ -250,65 +342,11 @@ def crawl_stream_writer(
     exactly-once via the marker-last protocol + the ever-published
     guard. ``rules`` is the static robots relation (host, rule_type,
     prefix). Returns the configured writeStream."""
-    from .html_extract import extract_main_content as _extract
-    from .robots import robots_filter as _robots
-    from .urls import canonicalize_urls as _canon
-    from .warc import warc_records as _records
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        unit = f"b{batch_id:06d}"
-        names, superseded = _cp.marker_state(index_path)
-        if unit in names or unit in superseded:
-            return  # effects fully published; replay is a no-op
-        recs = _records(batch_df)
-        # the byte-level parse feeds four consumers (policy, content,
-        # eligible's base, and the verdicts' canonicalization) — pin it
-        # once per batch instead of re-running the Arrow pass each time
-        resp = recs.filter(
-            (_F.col("warc_type") == "response") & _F.col("error").isNull()
-        ).select("doc_id", _F.col("target_uri").alias("url"),
-                 _F.col("body").alias("html")).persist()
-        policy = _robots(
-            _canon(resp.select("doc_id", "url")).select(
-                "doc_id", "canonical_url"
-            ),
-            rules,
-        ).select("doc_id", "allowed")
-        content = _extract(resp.select("doc_id", "html")).select(
-            "doc_id", "content", "content_chars"
+        crawl_batch_ingest(
+            spark, batch_df, batch_id, rules, index_path, out_path
         )
-        eligible = (
-            resp.select("doc_id", "url")
-            .join(policy, "doc_id")
-            .join(content, "doc_id")
-            .filter(
-                _F.col("allowed")
-                & (_F.col("content_chars") >= MIN_CONTENT_CHARS)
-            )
-        )
-        verdicts = incremental_url_dedup(
-            spark, eligible.select("doc_id", "url"), index_path,
-            exclude_unit=unit,
-        )
-        kept = eligible.join(
-            verdicts.filter(_F.col("status") == "kept").select(
-                "doc_id", "canonical_url"
-            ),
-            "doc_id",
-        ).persist()
-        try:
-            kept.select("doc_id", "url", "content").write.mode(
-                "overwrite"
-            ).parquet(_os.path.join(out_path, f"unit={unit}"))
-            kept.select(
-                "canonical_url", _F.col("doc_id").alias("canonical_id")
-            ).write.mode("overwrite").parquet(
-                _os.path.join(index_path, "canon", f"unit={unit}")
-            )
-            _cp.commit_unit(index_path, unit)
-        finally:
-            kept.unpersist()
-            resp.unpersist()
 
     return (
         warc_stream.writeStream.foreachBatch(_process)

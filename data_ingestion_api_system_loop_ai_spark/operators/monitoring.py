@@ -282,11 +282,18 @@ def drift_stream_writer(
 
     return write_batch
 
-# Registered in the round-5 rotation (slot funded by q_watermark_late):
-# PSI drift over the events stream, known-shift fixtures in tests.
-MONITORING_QUERIES = {"q_psi_drift": q_psi_drift}
-MONITORING_ORACLES = {"q_psi_drift": PSI_DRIFT_ORACLE}
-# q_ks_drift joins in the round-6 rotation (funded by q_join_shuffle's
+# Registered in the round-5 rotation (slot funded by q_watermark_late);
+# ROTATED OFF in round 11 (VERDICT r10 #4: its slot funds
+# q_crawl_funnel_report, and the drift pair was redundant registry
+# signal — the sibling q_ks_drift stays registered). The full
+# DuckDB-parity oracle stays pinned by the direct test below and the
+# q_psi_drift entry keeps driver-grade coverage on the unregistered
+# surface.
+MONITORING_QUERIES = {}
+MONITORING_ORACLES = {}
+UNREGISTERED_MONITORING_QUERIES = {"q_psi_drift": q_psi_drift}
+UNREGISTERED_MONITORING_ORACLES = {"q_psi_drift": PSI_DRIFT_ORACLE}
+# q_ks_drift joined in the round-6 rotation (funded by q_join_shuffle's
 # slot); it is defined below, so registration happens at module end.
 
 

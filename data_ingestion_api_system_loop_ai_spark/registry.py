@@ -55,6 +55,13 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     # parity tests.
     (".operators.lm_score", "LM_QUERIES", "LM_ORACLES"),
     (".operators.multimodal", "MULTIMODAL_QUERIES", "MULTIMODAL_ORACLES"),
+    # Round-11 rotation (VERDICT r10 #4): the composed crawl-ingest
+    # capstone q_crawl_funnel_report (WARC framing -> robots -> extract
+    # -> URL dedup, one drop-attribution row per verdict) — slot funded
+    # by q_psi_drift, whose registered sibling q_ks_drift keeps the
+    # drift family hash-checked; PSI keeps its full oracle on the
+    # unregistered surface.
+    (".operators.crawl_funnel", "CRAWL_QUERIES", "CRAWL_ORACLES"),
     (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
 ]
 
@@ -125,6 +132,8 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.contamination",
     ".operators.timeseries",
     ".operators.lm_score",
+    # r11 rotation: q_psi_drift's slot funds q_crawl_funnel_report
+    ".operators.monitoring",
     ".operators.corpus_pipeline",
     ".operators.curated_corpus",
     ".operators.multimodal",

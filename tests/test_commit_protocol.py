@@ -178,18 +178,25 @@ def test_ann_compaction_pins_probe_results_and_drops_files(
                     .collect(),
                 )
             ),
+            # the stored-edge graph reader (VERDICT r10 #1) is pinned
+            # across compaction too: the c-unit materializes exactly
+            # the read-time max-merge top-k
+            sorted(
+                map(tuple, ai.read_knn_edges(spark, ix).collect())
+            ),
         )
 
     before = probe_state()
     files_pre = sum(
-        len(parquet_files(os.path.join(ix, t))) for t in ("assignments", "pq_codes")
+        len(parquet_files(os.path.join(ix, t)))
+        for t in ("assignments", "pq_codes", "edges")
     )
     summary = ai.compact_ann_index(spark, ix)
     assert summary["compacted_units"] == 3
     assert summary["files_after"] < files_pre == summary["files_before"]
     assert cp.committed_units(ix) == [summary["unit"]]
     # superseded unit directories are gone (lazy cleanup ran)
-    for t in ("assignments", "pq_codes"):
+    for t in ("assignments", "pq_codes", "edges"):
         units_on_disk = {
             d for d in os.listdir(os.path.join(ix, t)) if d.startswith("unit=")
         }

@@ -304,3 +304,134 @@ def test_compact_preserves_crawled_corpus(spark, tmp_path):
     assert res["compacted_units"] == 2
     after = sorted(map(tuple, read_crawled(spark, out, ix).collect()))
     assert before == after
+
+
+def test_crawl_stream_crash_matrix_replay_converges(spark, tmp_path):
+    """VERDICT r10 #6 — parameterized kill between every adjacent
+    durable-effect pair of the crawl front door (kept-pages write ->
+    canonical-index append -> unit marker): for each crash point,
+    batch 1 is killed right after the named effect lands, then
+    replayed without the fault, and the final state (kept corpus,
+    canonical index, and the re-crawl verdicts a NEXT batch computes)
+    is IDENTICAL to the never-crashed golden run. A replay of a fully
+    published unit is additionally pinned as a wholesale no-op."""
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators.crawl_funnel import (
+        crawl_batch_ingest,
+        read_crawled,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.robots import (
+        parse_robots_rules,
+        synthesize_robots,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        _read_url_index,
+        incremental_url_dedup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.warc import (
+        build_warc_file,
+    )
+
+    good = (
+        "<html><body><h1>big clean title</h1><p>"
+        + "plain honest prose word " * 10
+        + "</p></body></html>"
+    )
+    thin = "<html><body><p>tiny page</p></body></html>"
+
+    def warc(doc_id, html, torn=False):
+        p = build_warc_file(doc_id, html)
+        return p[: len(p) - len(p) // 4] if torn else p
+
+    batches = [
+        # b0: doc 1 kept (site1/item-1); doc 5 robots-blocked (site0)
+        [(1, warc(1, good)), (5, warc(5, good))],
+        # b1 (the killed batch): doc 86 re-crawls doc 1's canonical
+        # (url_dup vs the index), doc 7 thin, doc 2 kept, doc 0 torn
+        [
+            (86, warc(86, good)),
+            (7, warc(7, thin)),
+            (2, warc(2, good)),
+            (0, warc(0, good, torn=True)),
+        ],
+    ]
+    rules = parse_robots_rules(synthesize_robots(spark)).persist()
+
+    def mk_batch(rows):
+        return spark.createDataFrame(
+            [(d, bytearray(p)) for d, p in rows], "doc_id long, warc binary"
+        )
+
+    def run(root, effect_hook=None, crash_expected=False):
+        ix = str(root / "ix")
+        out = str(root / "kept")
+        crashed = False
+        for i, rows in enumerate(batches):
+            df = mk_batch(rows)
+            try:
+                crawl_batch_ingest(
+                    spark, df, i, rules, ix, out, effect_hook=effect_hook
+                )
+            except RuntimeError as exc:
+                assert "injected crash" in str(exc)
+                crashed = True
+                # restart: replay the same batch id without the fault
+                crawl_batch_ingest(spark, df, i, rules, ix, out)
+        assert crashed == crash_expected
+        return ix, out
+
+    def snapshot(ix, out):
+        corpus = sorted(
+            map(tuple, read_crawled(spark, out, ix).collect())
+        )
+        index = sorted(
+            map(tuple, _read_url_index(spark, ix).collect())
+        )
+        # state equivalence via the verdicts a next batch would compute
+        probe = spark.createDataFrame(
+            [
+                (9000, "http://site1.example.com/news/item-1"),
+                (9001, "http://site2.example.com/news/item-2"),
+                (9002, "http://site4.example.com/news/fresh"),
+            ],
+            "doc_id long, url string",
+        )
+        verdicts = sorted(
+            map(tuple, incremental_url_dedup(spark, probe, ix).collect())
+        )
+        return corpus, index, verdicts
+
+    golden_root = tmp_path / "golden"
+    golden_root.mkdir()
+    golden = snapshot(*run(golden_root))
+    # construction sanity: kept = {1, 2}, both canonicals indexed, the
+    # probe dedups both seen URLs and keeps the fresh one
+    assert {r[0] for r in golden[0]} == {1, 2}
+    assert {r[0] for r in golden[1]} == {
+        "http://site1.example.com/news/item-1",
+        "http://site2.example.com/news/item-2",
+    }
+    assert {(v[0], v[2]) for v in golden[2]} == {
+        (9000, "url_dup"), (9001, "url_dup"), (9002, "kept"),
+    }
+
+    for stage in ("kept_written", "canon_written"):
+        def hook(s, batch_id, _stage=stage):
+            if s == _stage and batch_id == 1:
+                raise RuntimeError(f"injected crash after {s}")
+
+        root = tmp_path / f"crash_{stage}"
+        root.mkdir()
+        got = snapshot(*run(root, effect_hook=hook, crash_expected=True))
+        assert got == golden, f"state diverged after crash at {stage}"
+
+    # crash AFTER the marker (before the stream checkpoint records the
+    # batch): the replay hits the ever-published guard and is a no-op
+    root = tmp_path / "post_marker"
+    root.mkdir()
+    ix, out = run(root)
+    before = snapshot(ix, out)
+    crawl_batch_ingest(spark, mk_batch(batches[1]), 1, rules, ix, out)
+    assert snapshot(ix, out) == before
+    rules.unpersist()

@@ -5720,3 +5720,107 @@ def test_pagerank_from_index_matches_inline(spark, sf_dir, tmp_path):
         for r in q_pagerank_from_index(spark, sf_dir, ix).collect()
     }
     assert inline == frozen
+
+
+# --------------------------------------------------------------------
+# persisted kNN-graph edges artifact (VERDICT r10 #1)
+
+
+def test_knn_graph_budgeted_from_index_reads_stored_edges(
+    spark, sf_dir, tmp_path
+):
+    """The from-index budgeted graph (a) returns rows pinned IDENTICAL
+    to the inline build and (b) runs ZERO graph-build work in the
+    query path — its physical plan never touches the embeddings table
+    (no quantizer, no seed probes, no NN-Descent scoring joins), only
+    the stored edge units."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        q_knn_graph_budgeted,
+    )
+
+    ix = str(tmp_path / "edge_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    inline = sorted(
+        map(tuple, q_knn_graph_budgeted(spark, sf_dir).collect())
+    )
+    frozen_df = ai.q_knn_graph_budgeted_from_index(spark, sf_dir, ix)
+    frozen = sorted(map(tuple, frozen_df.collect()))
+    assert inline == frozen and len(frozen) > 0
+    plan = frozen_df._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings" not in plan  # read-only: stored edges, nothing else
+
+
+def test_ann_append_extends_stored_edges_seed_quality(
+    spark, sf_dir, tmp_path
+):
+    """Appending exact copies of existing vectors: the new nodes get
+    neighbor lists from the frozen-quantizer budgeted probe (their
+    copies at cosine 1.0 on top), the COPIED originals gain the new
+    node in their merged top-k (read-time max-merge), and untouched
+    queries' lists are unchanged."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        KNN_K,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "edge_append_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    before = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ai.read_knn_edges(spark, ix).collect()
+    }
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    )
+    new_vecs = spark.createDataFrame(
+        [(940000 + i, r["embedding"]) for i, r in enumerate(src)],
+        "vec_id long, embedding array<float>",
+    )
+    ai.append_ann_index(spark, new_vecs, ix)
+    after_rows = ai.read_knn_edges(spark, ix).collect()
+    after = {}
+    for r in after_rows:
+        after.setdefault(r["query_id"], []).append(r)
+    # new nodes present, each with a full-k list whose top neighbor is
+    # its exact copy at cosine 1.0
+    for i, s in enumerate(src):
+        rows = sorted(after[940000 + i], key=lambda r: r["rnk"])
+        assert 1 <= len(rows) <= KNN_K
+        assert rows[0]["neighbor_id"] == s["vec_id"]
+        assert rows[0]["cosine"] == 1.0
+        # the copied ORIGINAL gains the new node in its merged top-k
+        orig = {r["neighbor_id"] for r in after[s["vec_id"]]}
+        assert 940000 + i in orig
+    # per-query top-k discipline holds globally; old edges only ever
+    # improve (every surviving (q, n) keeps its cosine)
+    for q, rows in after.items():
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+        for r in rows:
+            if (q, r["neighbor_id"]) in before:
+                assert r["cosine"] == before[(q, r["neighbor_id"])]
+
+
+def test_ann_torn_edges_unit_is_invisible(spark, sf_dir, tmp_path):
+    """A crash after the edges write but before the unit marker leaves
+    the graph readers on the pre-append state (the marker gates all
+    three unit tables together)."""
+    import os as _os
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "edge_torn_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    before = sorted(map(tuple, ai.read_knn_edges(spark, ix).collect()))
+    # hand-write an UNCOMMITTED edges unit (the torn half of an append)
+    spark.createDataFrame(
+        [(950000, 0, 1.0)], "query_id long, neighbor_id long, cosine double"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(ix, "edges", "unit=u000007")
+    )
+    assert sorted(map(tuple, ai.read_knn_edges(spark, ix).collect())) == before
