@@ -186,6 +186,7 @@ def knn_graph_budgeted(
     budget: int = KNN_SEED_BUDGET,
     iters: int = NND_ITERS,
     seeds: DataFrame | None = None,
+    probes: int | None = None,
 ) -> DataFrame:
     """The SCALE-SAFE corpus kNN graph (VERDICT r09 #1): the O(n·budget)
     single-probe seed (``similarity.knn_graph_seed``) refined by
@@ -210,12 +211,40 @@ def knn_graph_budgeted(
     # the assignment blocks (n rows x 64-float embeddings — the largest
     # checkpoint in the build) are dead weight for the rest of the run
     asg_ck, release_asg = local_checkpoint_handle(asg, eager=False)
+    if probes is None:
+        from .similarity import KNN_SEED_PROBES
+
+        probes = KNN_SEED_PROBES
     seed = knn_graph_seed(
-        asg_ck, k=k, budget=budget, checkpoint=False, seeds=seeds
+        asg_ck, k=k, budget=budget, checkpoint=False, seeds=seeds,
+        probes=probes,
     )
     out, _obj = nn_descent(e, seed, k=k, iters=iters)
     release_asg()
     return out
+
+
+def seed_params_for(n: int) -> tuple[int, int]:
+    """(budget, probes) for a RECALL-HOLDING budgeted build at corpus
+    size ``n`` — the measured iso-recall-0.90 rule (VERDICT r10 #3).
+
+    The fixed default config (budget 128, probes 2) holds recall
+    0.9048 at the 32 k anchor but decays across octaves (0.644 at
+    128 k): past 32 k the limiting factor is CELL COVERAGE, not
+    per-cell candidates — budget alone saturates (b128/256/512 →
+    0.644/0.775/0.858 at 128 k; +1 NND round → 0.874, still short).
+    The measured fix is BOTH knobs: one more probed cell per 4×
+    octave AND budget ∝ n (b512 p3 → **0.908 at 128 k**, 630 s — all
+    in SCALING.json ``knn_graph_budgeted_recall``). On these RANDOM
+    64-dim vectors (ANN's worst case: no intrinsic low-dim structure)
+    the iso-recall curve costs ~n^1.7; real text/image embeddings sit
+    below it. Validated over the measured range [2 k, 128 k]; past
+    128 k the rule extrapolates (probes would grow again at 512 k) —
+    re-measure with tools/knn_budget_probe.py before trusting it at a
+    new octave, which is also the periodic-rebuild cadence."""
+    if n <= 32_000:
+        return KNN_SEED_BUDGET, 2
+    return min(512, (KNN_SEED_BUDGET * n) // 32_000), 3
 
 
 def q_knn_graph_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:

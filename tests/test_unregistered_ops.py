@@ -5824,3 +5824,83 @@ def test_ann_torn_edges_unit_is_invisible(spark, sf_dir, tmp_path):
         _os.path.join(ix, "edges", "unit=u000007")
     )
     assert sorted(map(tuple, ai.read_knn_edges(spark, ix).collect())) == before
+
+
+def test_knn_seed_third_probe_widens_coverage(spark, sf_dir):
+    """VERDICT r10 #3 (the octave-growth knob): probes=3 adds each
+    vector's third-nearest seed cell — cell3 is always distinct from
+    the assigned cell and cell2, the 3-probe seed's candidate set per
+    query is a SUPERSET of the 2-probe seed's, and the whole thing
+    stays deterministic."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+        ivf_second_cell,
+        ivf_seeds,
+        ivf_third_cell,
+        knn_graph_seed,
+    )
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = ivf_seeds(e)
+    asg = ivf_assign(e).localCheckpoint()
+    c2 = ivf_second_cell(asg, seeds)
+    c3 = ivf_third_cell(asg, seeds, c2)
+    cells = {
+        r["vec_id"]: (r["cell"], r["cell2"], r["cell3"])
+        for r in asg.join(c2, "vec_id").join(c3, "vec_id").collect()
+    }
+    assert cells
+    for vid, (c, two, three) in cells.items():
+        assert three not in (c, two), (vid, c, two, three)
+    # candidate superset: every (query, neighbor) the 2-probe seed
+    # scores is also scored by the 3-probe seed (bridge/cell pairs are
+    # shared; probe3 only ADDS pairs), so per-query top-k can only
+    # improve or tie under more candidates
+    g2 = knn_graph_seed(asg, checkpoint=False, seeds=seeds, probes=2)
+    g3 = knn_graph_seed(asg, checkpoint=False, seeds=seeds, probes=3)
+    s2 = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in g2.collect()}
+    s3 = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in g3.collect()}
+    import collections
+
+    per_q2 = collections.defaultdict(list)
+    per_q3 = collections.defaultdict(list)
+    for (q, _n), cos in s2.items():
+        per_q2[q].append(cos)
+    for (q, _n), cos in s3.items():
+        per_q3[q].append(cos)
+    assert set(per_q2) == set(per_q3)
+    for q in per_q2:
+        a = sorted(per_q2[q], reverse=True)
+        b = sorted(per_q3[q], reverse=True)
+        assert len(b) >= len(a)
+        for i, v in enumerate(a):
+            assert b[i] >= v, (q, i, b[i], v)  # pointwise no-worse
+    # determinism
+    again = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in g3.collect()
+    }
+    assert again == s3
+    # probes > 3 is an explicit error, and probes >= 2 without the seed
+    # relation refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="at most 3"):
+        knn_graph_seed(asg, checkpoint=False, seeds=seeds, probes=4)
+
+
+def test_seed_params_rule_pins_measured_anchors():
+    """The iso-recall-0.90 rule (VERDICT r10 #3) returns exactly the
+    measured SCALING.json anchor configs and is monotone in n."""
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        seed_params_for,
+    )
+
+    assert seed_params_for(2_000) == (128, 2)
+    assert seed_params_for(32_000) == (128, 2)    # 0.9048 measured
+    assert seed_params_for(128_000) == (512, 3)   # 0.908 measured
+    prev_b = 0
+    for n in (1_000, 32_000, 64_000, 128_000, 512_000):
+        b, p = seed_params_for(n)
+        assert b >= prev_b and p in (2, 3)
+        prev_b = b

@@ -57,6 +57,12 @@ def main() -> int:
         help="override NND_ITERS — measures whether an extra recovery "
              "round closes a recall gap the budget alone leaves",
     )
+    ap.add_argument(
+        "--probes", type=int, default=None,
+        help="override KNN_SEED_PROBES — the octave-growth knob "
+             "(VERDICT r10 #3): cell COVERAGE, not per-cell budget, is "
+             "what recall saturates on past 32 k",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -109,22 +115,23 @@ def main() -> int:
 
     budget = args.budget if args.budget is not None else KNN_SEED_BUDGET
     iters = args.nnd_iters if args.nnd_iters is not None else NND_ITERS
+    probes = args.probes if args.probes is not None else KNN_SEED_PROBES
 
     e = load_table(spark, d, "embeddings")
     t0 = time.monotonic()
     seed = knn_graph_seed(
-        ivf_assign(e), budget=budget, seeds=ivf_seeds(e)
+        ivf_assign(e), budget=budget, seeds=ivf_seeds(e), probes=probes
     ).localCheckpoint()
     seed_recall = sampled_recall(seed)
-    print(f"n={n} b={budget} seed recall {seed_recall}", flush=True)
+    print(f"n={n} b={budget} p={probes} seed recall {seed_recall}", flush=True)
 
     budgeted = knn_graph_budgeted(
-        e, ivf_assign(e), budget=budget, iters=iters
+        e, ivf_assign(e), budget=budget, iters=iters, probes=probes
     ).localCheckpoint()
     budgeted_secs = round(time.monotonic() - t0, 1)
     budgeted_recall = sampled_recall(budgeted)
     print(
-        f"n={n} b={budget} budgeted recall {budgeted_recall} "
+        f"n={n} b={budget} p={probes} budgeted recall {budgeted_recall} "
         f"({budgeted_secs}s incl. seed)", flush=True,
     )
 
@@ -132,7 +139,7 @@ def main() -> int:
         "n": args.n,
         "k": KNN_K,
         "budget": budget,
-        "probes": KNN_SEED_PROBES,
+        "probes": probes,
         "bridges": KNN_BRIDGE_R,
         "nnd_iters": iters,
         "sample": len(truth),
@@ -158,6 +165,8 @@ def main() -> int:
         key += f"_b{budget}"
     if args.nnd_iters is not None and args.nnd_iters != NND_ITERS:
         key += f"_i{iters}"
+    if args.probes is not None and args.probes != KNN_SEED_PROBES:
+        key += f"_p{probes}"
     slot = result.setdefault("knn_graph_budgeted_recall", {})
     slot[key] = entry
     with open(args.out, "w") as f:
