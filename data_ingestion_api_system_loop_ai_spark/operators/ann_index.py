@@ -18,10 +18,11 @@ path whose results are pinned identical to the inline forms:
                      budgeted kNN graph (VERDICT r10 #1)
       _COMMITTED     marker (temp + atomic rename, written last)
 
-- ``build_ann_index``: one pass deriving all five relations with the
+- ``build_ann_index``: one pass deriving all six relations with the
   exact expressions of the inline queries (``ivf_seeds``/``ivf_assign``/
-  ``ivf_centroids``; ``pq_codebooks``/``pq_codes_array``), so the
-  from-index probe reproduces the inline results bit-for-bit.
+  ``ivf_centroids``; ``pq_codebooks``/``pq_codes_array``; the budgeted
+  graph build for ``edges``), so every from-index probe reproduces the
+  inline results bit-for-bit.
 - ``q_similarity_ivf_from_index`` / ``q_similarity_pq_from_index``:
   query-only paths — broadcast the tiny trained relations, scan the
   stored assignments/codes; zero training cost per query.
@@ -308,12 +309,18 @@ def append_ann_index(
     own unit directory, so replaying the append (same ``unit``, as a
     streaming maintainer would derive from its batch id) heals the
     torn unit and commits. Returns the committed unit label."""
+    from ..plans.lifecycle import local_checkpoint_handle
     from .similarity import KNN_SEED_BUDGET, dot_expr
 
     _require(index_path)
     label = unit or commit_protocol.next_unit_label(index_path)
     seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
-    new_asg = ivf_assign(new_vecs, seeds=seeds).localCheckpoint(eager=False)
+    # the batch's assignment relation feeds three consumers (its own
+    # unit write, the candidate pool, the edge query side) — pin it
+    # once, release before returning (plans/lifecycle discipline)
+    new_asg, release_asg = local_checkpoint_handle(
+        ivf_assign(new_vecs, seeds=seeds), eager=False
+    )
     new_asg.write.mode("overwrite").parquet(
         os.path.join(index_path, "assignments", f"unit={label}")
     )
@@ -371,6 +378,7 @@ def append_ann_index(
         os.path.join(index_path, "edges", f"unit={label}")
     )
     commit_protocol.commit_unit(index_path, label)
+    release_asg()
     return label
 
 

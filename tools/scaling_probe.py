@@ -335,9 +335,34 @@ def main() -> int:
         q_text_normalize,
     )
 
+    # the stored-edges read path (VERDICT r10 #1): builds the ANN index
+    # ONCE per size (lazily, on the first rep — the median of >= 3 reps
+    # therefore times the query-only reps), then times read_knn_edges.
+    # The gap between this family and q_knn_graph_budgeted IS the
+    # build/probe split's payoff for every graph consumer.
+    import tempfile as _tf
+
+    from data_ingestion_api_system_loop_ai_spark.operators import (
+        ann_index as _ai,
+    )
+
+    _edge_ix: dict = {}
+
+    def q_knn_graph_read(spark, sf_dir):
+        if sf_dir not in _edge_ix:
+            p = os.path.join(
+                _tf.mkdtemp(prefix="scaling_edge_ix_"), "ix"
+            )
+            _ai.build_ann_index(spark, sf_dir, p)
+            _edge_ix[sf_dir] = p
+        return _ai.q_knn_graph_budgeted_from_index(
+            spark, sf_dir, _edge_ix[sf_dir]
+        )
+
     qfns = {
         "q_knn_graph": q_knn_graph,
         "q_knn_graph_budgeted": q_knn_graph_budgeted,
+        "q_knn_graph_read": q_knn_graph_read,
         "q_embedding_clusters": q_embedding_clusters,
         "q_nn_descent": q_nn_descent,
         "q_pagerank": q_pagerank,
