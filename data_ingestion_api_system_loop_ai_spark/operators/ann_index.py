@@ -104,12 +104,23 @@ def _require(index_path: str) -> None:
     )
 
 
-def _read_units(spark: SparkSession, index_path: str, table: str) -> DataFrame:
-    """A unit table (``assignments`` / ``pq_codes``) over the COMMITTED
-    units only — uncommitted (torn) unit directories are invisible. The
-    build guarantees at least unit ``u000000`` exists, so the read list
-    is never empty."""
-    units = commit_protocol.committed_units(index_path)
+def _read_units(
+    spark: SparkSession,
+    index_path: str,
+    table: str,
+    exclude_unit: str | None = None,
+) -> DataFrame:
+    """A unit table (``assignments`` / ``pq_codes`` / ``edges``) over
+    the COMMITTED units only — uncommitted (torn) unit directories are
+    invisible. The build guarantees at least unit ``u000000`` exists,
+    so the read list is never empty. ``exclude_unit`` drops one unit
+    from the view — the replay path's own already-published rows (the
+    ``ingest_url_batch`` discipline)."""
+    units = [
+        u
+        for u in commit_protocol.committed_units(index_path)
+        if u != exclude_unit
+    ]
     root = os.path.join(index_path, table)
     return spark.read.parquet(*[os.path.join(root, f"unit={u}") for u in units])
 
@@ -558,3 +569,163 @@ def q_embedding_clusters_from_index(
         F.col("component").cast("long").alias("component"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------
+# Day-2 SEMANTIC dedup: the embedding-space twin of
+# ``operators/incremental_dedup.py`` (exact/minhash text) and
+# ``operators/urls.py`` (canonical URLs) — a new embedding batch
+# arrives every trigger; which vectors does the 100 TB of history
+# already contain semantically, WITHOUT rescanning history? The probe
+# rides the persisted ANN index: assign each new vector to its
+# frozen-quantizer cell and compare against that cell's stored members
+# only — O(|batch| · cell), never O(history) — and the ingest cycle
+# appends the KEPT vectors through ``append_ann_index``'s existing
+# unit transaction, so the dedup history, the PQ codes, and the kNN
+# edges all advance in the SAME committed unit.
+
+EMB_DUP_TAU = 0.95  # the semantic-duplicate bar (SemDeDup-class)
+
+
+def incremental_embedding_dedup(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_path: str,
+    tau: float = EMB_DUP_TAU,
+    exclude_unit: str | None = None,
+) -> DataFrame:
+    """(vec_id, status, matched_id, cosine): classify each new vector
+    against the index AND the earlier members of its own batch —
+    ``near_dup`` if the best candidate cosine >= ``tau`` (matched_id =
+    that candidate, best cosine first, ties to the smallest id), else
+    ``kept``.
+
+    Probe shape: one frozen-quantizer assignment pass over the batch
+    (broadcast seeds), candidates = committed assignments semi-joined
+    to the BATCH'S OWN CELLS only and capped per cell (the
+    ``KNN_CELL_CAP`` dup-hub guard: a million-copy cluster cannot go
+    quadratic), one equi-join on the cell id. In-batch first-wins: a
+    batch member counts as a candidate only for LARGER vec_ids, so
+    replaying the batch is order-stable. Cosines are rounded like
+    every similarity operator (6 dp), so the tau comparison is
+    deterministic across partitionings."""
+    from pyspark.sql import Window as W
+
+    from .similarity import KNN_CELL_CAP, dot_expr
+
+    _require(index_path)
+    seeds = spark.read.parquet(os.path.join(index_path, "seeds"))
+    q = ivf_assign(new_vecs, seeds=seeds).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "cell",
+    ).localCheckpoint(eager=False)
+    cells = q.select("cell").distinct()
+    hist = (
+        _read_units(spark, index_path, "assignments", exclude_unit=exclude_unit)
+        .join(F.broadcast(cells), "cell", "left_semi")
+        .select("vec_id", "embedding", "v_norm", "cell", F.lit(True).alias("_hist"))
+    )
+    batch_cand = q.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("q_emb").alias("embedding"),
+        F.col("q_norm").alias("v_norm"),
+        "cell",
+        F.lit(False).alias("_hist"),
+    )
+    wc = W.partitionBy("cell").orderBy("vec_id")
+    pool = (
+        hist.unionByName(batch_cand)
+        .withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= KNN_CELL_CAP)
+        .drop("_crn")
+    )
+    cand = pool.select(
+        "cell",
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+        "_hist",
+    )
+    best = (
+        q.join(cand, "cell")
+        # history always competes; batch members only against later ids
+        .filter(F.col("_hist") | (F.col("cand_id") < F.col("query_id")))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.struct(
+                F.round(
+                    dot_expr("q_emb", "c_emb")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine"),
+                (-F.col("cand_id")).alias("neg"),
+                F.col("cand_id").alias("cand_id"),
+            ).alias("s"),
+        )
+        .groupBy("query_id")
+        .agg(F.max("s").alias("b"))
+        .select(
+            "query_id",
+            F.col("b.cosine").alias("best_cos"),
+            F.col("b.cand_id").alias("best_id"),
+        )
+    )
+    joined = q.select("query_id").join(best, "query_id", "left")
+    is_dup = F.col("best_cos") >= tau
+    return joined.select(
+        F.col("query_id").alias("vec_id"),
+        F.when(is_dup, F.lit("near_dup")).otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(is_dup, F.col("best_id")).alias("matched_id"),
+        F.when(is_dup, F.col("best_cos")).alias("cosine"),
+    )
+
+
+def ingest_embedding_batch(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_path: str,
+    tau: float = EMB_DUP_TAU,
+    unit: str | None = None,
+) -> DataFrame:
+    """The day-2 semantic-dedup cycle for one batch: classify against
+    the index, then append the KEPT vectors through
+    ``append_ann_index`` — assignments, PQ codes, and kNN edges all
+    advance under ONE committed unit, so every probe form (dedup,
+    similarity search, graph consumers) sees the batch atomically.
+
+    Replay discipline (the ``ingest_url_batch`` contract): verdicts
+    are ALWAYS computed with this batch's own unit excluded from the
+    view — a no-op before publish, and after a crash-past-the-marker
+    replay it hides exactly the batch's own rows, so the returned
+    relation is stable at any crash point. An ever-published label
+    skips the append; a label a compaction already superseded RAISES
+    (its rows live in the c-unit where the exclusion cannot hide them
+    — do not compact with in-flight batches). Returns the
+    classification relation."""
+    label = unit or commit_protocol.next_unit_label(index_path)
+    _names0, superseded0 = commit_protocol.marker_state(index_path)
+    if label in superseded0:
+        raise RuntimeError(
+            f"ingest_embedding_batch: unit {label!r} was compacted away; "
+            "a compaction ran while this batch was unacknowledged — "
+            "re-classify under a FRESH unit label instead of replaying."
+        )
+    verdicts = incremental_embedding_dedup(
+        spark, new_vecs, index_path, tau=tau, exclude_unit=label
+    )
+    names, _superseded = commit_protocol.marker_state(index_path)
+    if label in names:
+        return verdicts  # effects already fully published
+    kept = new_vecs.join(
+        verdicts.filter(F.col("status") == "kept").select(
+            F.col("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    append_ann_index(spark, kept, index_path, unit=label)
+    return verdicts

@@ -5904,3 +5904,92 @@ def test_seed_params_rule_pins_measured_anchors():
         b, p = seed_params_for(n)
         assert b >= prev_b and p in (2, 3)
         prev_b = b
+
+
+def test_incremental_embedding_dedup_cycle(spark, sf_dir, tmp_path):
+    """Day-2 SEMANTIC dedup (the embedding twin of incremental_dedup /
+    ingest_url_batch): exact copies of stored vectors classify as
+    near_dup of their originals at cosine 1.0, a fresh vector is kept,
+    an in-batch copy dedups against its earlier batch-mate, the kept
+    vectors append through the ONE-unit transaction (visible to the
+    next batch's probe), replays are idempotent, and a
+    compaction-superseded label raises."""
+    import pytest
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "sem_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    fresh = [float((i * 37 % 101) - 50) for i in range(len(src["embedding"]))]
+    batch = spark.createDataFrame(
+        [
+            (960000, src["embedding"]),   # copy of history -> near_dup
+            (960001, fresh),              # fresh -> kept
+            (960002, fresh),              # in-batch copy -> near_dup of 960001
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in ai.ingest_embedding_batch(
+            spark, batch, ix, unit="u000001"
+        ).collect()
+    }
+    assert out[960000]["status"] == "near_dup"
+    assert out[960000]["matched_id"] == src["vec_id"]
+    assert out[960000]["cosine"] == 1.0
+    assert out[960001]["status"] == "kept" and out[960001]["matched_id"] is None
+    assert out[960002]["status"] == "near_dup"
+    assert out[960002]["matched_id"] == 960001
+    # the kept vector is IN the index now: a later batch dedups on it,
+    # and the batch's unit advanced all three tables atomically
+    probe = spark.createDataFrame(
+        [(970000, fresh)], "vec_id long, embedding array<float>"
+    )
+    v = ai.incremental_embedding_dedup(spark, probe, ix).collect()[0]
+    assert v["status"] == "near_dup" and v["matched_id"] == 960001
+    asg_ids = {
+        r["vec_id"]
+        for r in ai._read_units(spark, ix, "assignments")
+        .filter(F.col("vec_id") >= 960000)
+        .collect()
+    }
+    code_ids = {
+        r["vec_id"]
+        for r in ai._read_units(spark, ix, "pq_codes")
+        .filter(F.col("vec_id") >= 960000)
+        .collect()
+    }
+    edge_qs = {
+        r["query_id"]
+        for r in ai.read_knn_edges(spark, ix)
+        .filter(F.col("query_id") >= 960000)
+        .collect()
+    }
+    assert asg_ids == code_ids == edge_qs == {960001}
+    # replay of the published unit: identical verdicts, no double append
+    again = {
+        r["vec_id"]: (r["status"], r["matched_id"])
+        for r in ai.ingest_embedding_batch(
+            spark, batch, ix, unit="u000001"
+        ).collect()
+    }
+    assert again == {
+        k: (r["status"], r["matched_id"]) for k, r in out.items()
+    }
+    from data_ingestion_api_system_loop_ai_spark.sources.commit_protocol import (
+        committed_units,
+    )
+
+    assert committed_units(ix) == ["u000000", "u000001"]
+    # compaction retires the label; replaying it now raises
+    ai.compact_ann_index(spark, ix)
+    with pytest.raises(RuntimeError, match="compacted away"):
+        ai.ingest_embedding_batch(spark, batch, ix, unit="u000001")
