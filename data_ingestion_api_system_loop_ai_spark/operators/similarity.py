@@ -1194,10 +1194,14 @@ def knn_graph_seed(asg: DataFrame, k: int = KNN_K,
                 "(ivf_seeds inline, or the index's stored seeds)"
             )
         c2 = ivf_second_cell(asg, seeds)
-        if probes >= 3:
-            # two consumers (probe2's join and ivf_third_cell's
-            # exclusion) — pin the n x sqrt(n) argmax pass once
-            c2 = c2.localCheckpoint(eager=False)
+        # at probes>=3, c2 has two consumers (probe2's join and
+        # ivf_third_cell's exclusion) and the argmax pass runs twice —
+        # BY DESIGN, not checkpointed: it is pure codegen compute over
+        # the already-checkpointed ``asg`` with a byte-tiny shuffle,
+        # and a checkpoint here could not be released before the
+        # returned seed graph materializes (the lifecycle convention);
+        # the measured 0.908@128k / 630 s number includes this double
+        # pass (self-review r11)
         q2 = (
             q.drop("cell")
             .join(c2.withColumnRenamed("vec_id", "query_id"), "query_id")

@@ -5993,3 +5993,36 @@ def test_incremental_embedding_dedup_cycle(spark, sf_dir, tmp_path):
     ai.compact_ann_index(spark, ix)
     with pytest.raises(RuntimeError, match="compacted away"):
         ai.ingest_embedding_batch(spark, batch, ix, unit="u000001")
+
+
+def test_ann_append_replay_rewrites_identical_edges(spark, sf_dir, tmp_path):
+    """Self-review r11: a post-marker replay of append_ann_index must
+    rewrite the (already visible) edges unit with IDENTICAL content —
+    the pool excludes the unit's own committed rows, so the replayed
+    candidate generation sees exactly the pre-crash view."""
+    import os as _os
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+    ix = str(tmp_path / "replay_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    src = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(2)
+        .collect()
+    )
+    new_vecs = spark.createDataFrame(
+        [(980000 + i, r["embedding"]) for i, r in enumerate(src)],
+        "vec_id long, embedding array<float>",
+    )
+    label = ai.append_ann_index(spark, new_vecs, ix)
+    unit_dir = _os.path.join(ix, "edges", f"unit={label}")
+    first = sorted(map(tuple, spark.read.parquet(unit_dir).collect()))
+    # the crash-after-marker replay: same unit label, effects published
+    assert ai.append_ann_index(spark, new_vecs, ix, unit=label) == label
+    second = sorted(map(tuple, spark.read.parquet(unit_dir).collect()))
+    assert first == second and len(first) > 0
+    full = sorted(map(tuple, ai.read_knn_edges(spark, ix).collect()))
+    assert {q for q, *_ in full} >= {980000, 980001}
