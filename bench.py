@@ -70,6 +70,8 @@ HEADLINE = [
     # exact-content groupBy, pigeonhole-banded near pairs) and HTML
     # boilerplate extraction (pure JVM string ops, DuckDB-oracle-exact)
     "q_phash_dedup",
+    # r11: robust audio fingerprint dedup (B130)
+    "q_audio_dedup",
     "q_html_extract",
     # round-10 third session: the crawl-ingest chain (B122-B126) and
     # its composed capstone
@@ -244,6 +246,9 @@ def _extra_queries():
     )
     from data_ingestion_api_system_loop_ai_spark.operators.phash import (
         q_phash_dedup as _phash_dedup,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.audiofp import (
+        q_audio_dedup as _audio_dedup,
     )
     from data_ingestion_api_system_loop_ai_spark.operators.urls import (
         q_url_dedup as _url_dedup,
@@ -637,6 +642,7 @@ def _extra_queries():
         # round-10: perceptual-hash image dedup (B120) + HTML
         # boilerplate extraction (B121)
         "q_phash_dedup": _phash_dedup,
+        "q_audio_dedup": _audio_dedup,
         "q_html_extract": _html_extract,
         # round-10 second session: URL canonicalization dedup (B123) +
         # WARC framing composed through B121 (B122)

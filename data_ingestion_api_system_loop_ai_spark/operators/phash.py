@@ -341,38 +341,39 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def phash_near_pairs(hashes: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
-    """(phash_a, phash_b, hamming) over DISTINCT hashes, complete for
-    Hamming <= max_hamming by the 4x16-bit pigeonhole bands."""
-    distinct = hashes.filter(F.col("phash").isNotNull()).select("phash").distinct()
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    col: str = "phash",
+) -> DataFrame:
+    """(<col>_a, <col>_b, hamming) over DISTINCT hashes, complete for
+    Hamming <= max_hamming by the 4x16-bit pigeonhole bands. ``col``
+    names the 64-bit hash column — the audio fingerprint (B130) reuses
+    the identical banding on its ``afp`` column."""
+    distinct = hashes.filter(F.col(col).isNotNull()).select(col).distinct()
+    ca, cb = f"{col}_a", f"{col}_b"
     bands = distinct.select(
-        "phash",
+        col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_idx"),
-                    F.expr(f"(phash >> {16 * i}) & 65535").alias("band_val"),
+                    F.expr(f"({col} >> {16 * i}) & 65535").alias("band_val"),
                 )
                 for i in range(PHASH_BANDS)
             ])
         ).alias("b"),
-    ).select("phash", "b.band_idx", "b.band_val")
-    a = bands.select(
-        F.col("phash").alias("phash_a"), "band_idx", "band_val"
-    )
-    b = bands.select(
-        F.col("phash").alias("phash_b"), "band_idx", "band_val"
-    )
+    ).select(col, "b.band_idx", "b.band_val")
+    a = bands.select(F.col(col).alias(ca), "band_idx", "band_val")
+    b = bands.select(F.col(col).alias(cb), "band_idx", "band_val")
     return (
         a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("phash_a") < F.col("phash_b"))
-        .select("phash_a", "phash_b")
+        .filter(F.col(ca) < F.col(cb))
+        .select(ca, cb)
         .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(
-                F.col("phash_a").bitwiseXOR(F.col("phash_b"))
-            ).cast("int"),
+            F.bit_count(F.col(ca).bitwiseXOR(F.col(cb))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

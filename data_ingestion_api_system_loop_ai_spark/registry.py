@@ -158,6 +158,8 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.layout",
     # r10 second session: unicode text normalization (B128)
     ".operators.textnorm",
+    # r11: robust audio fingerprint dedup (B130)
+    ".operators.audiofp",
 ]
 
 
