@@ -83,6 +83,10 @@ DOC_QUERIES = {
     "q_crawl_funnel_report",
     "q_charset_sniff",
     "q_text_normalize",
+    # robust audio fingerprint dedup (round 11, B130): mapInPandas
+    # synth+fingerprint per doc (the narrow stage), hash groupBy,
+    # banded pairs over DISTINCT hashes — claimed linear
+    "q_audio_dedup",
 }
 # Skew variants: same query fns, but the synthesized corpus plants a
 # shared boilerplate paragraph into BOILER_FRAC of the docs — the
@@ -334,6 +338,9 @@ def main() -> int:
     from data_ingestion_api_system_loop_ai_spark.operators.textnorm import (
         q_text_normalize,
     )
+    from data_ingestion_api_system_loop_ai_spark.operators.audiofp import (
+        q_audio_dedup,
+    )
 
     # the stored-edges read path (VERDICT r10 #1): builds the ANN index
     # ONCE per size (lazily, on the first rep — the median of >= 3 reps
@@ -383,6 +390,7 @@ def main() -> int:
         "q_crawl_funnel_report": q_crawl_funnel_report,
         "q_charset_sniff": q_charset_sniff,
         "q_text_normalize": q_text_normalize,
+        "q_audio_dedup": q_audio_dedup,
     }
     names = [q.strip() for q in args.queries.split(",")]
 
