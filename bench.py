@@ -193,6 +193,8 @@ HEADLINE = [
     "q_curated_funnel_models",
     # sliding exact-substring duplication audit (Lee et al. 2022)
     "q_dedup_substrings",
+    # r11: corpus-frequency boilerplate-span removal (RefinedWeb rule)
+    "q_dedup_boilerplate",
     # round-8 second rotation: interpolated Kneser-Ney bigram LM
     # (registered; compare with q_lm2_score's add-one form) and
     # DoReMi-style one-step domain reweighting (registered)
@@ -592,6 +594,7 @@ def _extra_queries():
             "q_mink_contamination"
         ],
         "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
+        "q_dedup_boilerplate": UNREGISTERED_DEDUP_QUERIES["q_dedup_boilerplate"],
         "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
         "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
         "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],

@@ -775,10 +775,65 @@ sh AS (
 )
 """
 
-# Oracle for q_dedup_spans (registered in the round-4 rotation; also
-# exercised directly by tests/test_unregistered_ops.py's semantics
-# tests).
-SPAN_DEDUP_ORACLE = f"""
+BOILER_DF = 3
+
+
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-FREQUENCY boilerplate removal (the RefinedWeb/CCNet
+    repeated-line rule at the same fixed span granularity as
+    q_dedup_spans): a span appearing in >= ``BOILER_DF`` DISTINCT
+    documents is boilerplate (nav bars, license headers, cookie
+    banners — content whose repetition across documents IS the signal)
+    and is removed from EVERY document, including the first. The
+    frequency complement of q_dedup_spans' first-occurrence rule: that
+    one keeps one copy of everything; this one keeps zero copies of
+    the corpus-hot spans and every copy of the rest. Returns per-doc
+    (n_spans_total, n_spans_kept, clean_text).
+
+    100 TB shape: the distinct-doc frequency is ONE hash shuffle on
+    the span text with a map-side-combinable count-distinct over the
+    (span, doc_id)-deduped relation; the removal is a left_anti join
+    of the span rows against the (small: frequency >= threshold) hot
+    set — the hot spans themselves collapse into single aggregate
+    rows, so a license header in a billion documents is one row on
+    the build side of the anti join, never a window partition.
+    Reassembly is the same per-doc sorted collect as q_dedup_spans."""
+    spans = _doc_spans(spark, sf_dir)
+    boiler = (
+        spans.select("span", "doc_id")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("span")
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans_total"))
+    kept = (
+        spans.join(boiler, "span", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_no", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_spans_total",
+        F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# Shared span-relation CTE: q_dedup_spans' first-occurrence oracle and
+# q_dedup_boilerplate's frequency oracle both start from the identical
+# (doc_id, span_no, span) relation + per-doc totals.
+_SPANS_CTE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS ts FROM documents
 ),
@@ -788,7 +843,12 @@ spans AS (
   FROM toks,
        UNNEST(generate_series(1, CAST(ceil(len(ts) / {SPAN_K}.0) AS BIGINT))) AS g(i)
 ),
-totals AS (SELECT doc_id, count(*) AS n_spans_total FROM spans GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_spans_total FROM spans GROUP BY doc_id)"""
+
+# Oracle for q_dedup_spans (registered in the round-4 rotation; also
+# exercised directly by tests/test_unregistered_ops.py's semantics
+# tests).
+SPAN_DEDUP_ORACLE = _SPANS_CTE + """,
 winners AS (
   SELECT doc_id, span_no, span FROM (
     SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_no) AS rn
@@ -805,6 +865,28 @@ SELECT t.doc_id, t.n_spans_total,
        coalesce(k.dedup_text, '') AS dedup_text
 FROM totals t LEFT JOIN kept k USING (doc_id)
 """
+
+# q_dedup_boilerplate's DuckDB twin: the shared span CTE + the
+# frequency rule — a span whose DISTINCT-document count reaches
+# BOILER_DF is removed from every document.
+BOILER_DEDUP_ORACLE = _SPANS_CTE + f""",
+hot AS (
+  SELECT span FROM (
+    SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span
+  ) WHERE df >= {BOILER_DF}
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_spans_kept,
+         string_agg(span, ' ' ORDER BY span_no) AS clean_text
+  FROM spans WHERE span NOT IN (SELECT span FROM hot)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans_total,
+       coalesce(k.n_spans_kept, 0) AS n_spans_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
 
 DEDUP_ORACLES = {
     "q_dedup_exact": """
@@ -907,9 +989,11 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
 # tests/test_properties.py.
 UNREGISTERED_DEDUP_QUERIES = {
     "q_dedup_spans": q_dedup_spans,
+    "q_dedup_boilerplate": q_dedup_boilerplate,
 }
 UNREGISTERED_DEDUP_ORACLES = {
     "q_dedup_spans": SPAN_DEDUP_ORACLE,
+    "q_dedup_boilerplate": BOILER_DEDUP_ORACLE,
 }
 
 # Brute-force all-pairs ground truth over the FULL shingle space — the

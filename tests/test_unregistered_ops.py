@@ -6026,3 +6026,55 @@ def test_ann_append_replay_rewrites_identical_edges(spark, sf_dir, tmp_path):
     assert first == second and len(first) > 0
     full = sorted(map(tuple, ai.read_knn_edges(spark, ix).collect()))
     assert {q for q, *_ in full} >= {980000, 980001}
+
+
+def test_dedup_boilerplate_oracle_parity_and_semantics(spark, sf_dir):
+    """q_dedup_boilerplate (the RefinedWeb corpus-frequency rule, the
+    complement of q_dedup_spans' first-occurrence rule): driver-grade
+    DuckDB parity over the whole pipeline, plus the defining
+    semantics — a span in >= BOILER_DF distinct docs vanishes from
+    EVERY doc (including the first occurrence q_dedup_spans would
+    keep), everything else survives untouched."""
+    from data_ingestion_api_system_loop_ai_spark.operators.dedup import (
+        BOILER_DEDUP_ORACLE,
+        BOILER_DF,
+        _doc_spans,
+        q_dedup_boilerplate,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_dedup_boilerplate(spark, sf_dir), con, BOILER_DEDUP_ORACLE)
+    finally:
+        con.close()
+
+    spans = _doc_spans(spark, sf_dir).collect()
+    by_span: dict = {}
+    for r in spans:
+        by_span.setdefault(r["span"], set()).add(r["doc_id"])
+    hot = {s for s, docs in by_span.items() if len(docs) >= BOILER_DF}
+    assert hot, "fixture corpus must carry corpus-hot spans"
+    out = {r["doc_id"]: r for r in q_dedup_boilerplate(spark, sf_dir).collect()}
+    expect_kept: dict = {}
+    for r in spans:
+        if r["span"] not in hot:
+            expect_kept.setdefault(r["doc_id"], []).append(
+                (r["span_no"], r["span"])
+            )
+    for did, row in out.items():
+        kept = sorted(expect_kept.get(did, []))
+        assert row["n_spans_kept"] == len(kept)
+        assert row["clean_text"] == " ".join(s for _no, s in kept)
+    # the hot spans are gone as SPANS from every doc — including the
+    # first-occurrence copy the span-dedup rule would have kept (a
+    # short hot span may legitimately survive as a SUBSTRING of a
+    # different, colder span — removal is span-granular by design)
+    surviving = {s for rows in expect_kept.values() for _no, s in rows}
+    assert not (hot & surviving)
+    removed_somewhere = [
+        d for d, row in out.items()
+        if row["n_spans_kept"] < row["n_spans_total"]
+    ]
+    assert len(removed_somewhere) >= BOILER_DF  # each hot span hits >= DF docs
