@@ -594,7 +594,8 @@ def _extra_queries():
             "q_mink_contamination"
         ],
         "q_dedup_snm": UNREGISTERED_DEDUP_QUERIES["q_dedup_snm"],
-        "q_dedup_boilerplate": UNREGISTERED_DEDUP_QUERIES["q_dedup_boilerplate"],
+        # registered in the r12 rotation (funded by q_gap_fill)
+        "q_dedup_boilerplate": DEDUP_QUERIES["q_dedup_boilerplate"],
         "q_zipf_fit": UNREGISTERED_TEXT_QUERIES["q_zipf_fit"],
         "q_good_turing": UNREGISTERED_LM_QUERIES["q_good_turing"],
         "q_burstiness": UNREGISTERED_TEXT_QUERIES["q_burstiness"],

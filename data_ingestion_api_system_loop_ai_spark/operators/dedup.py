@@ -989,12 +989,17 @@ SELECT cell, vec_a, vec_b, cosine, rnk FROM (
 # tests/test_properties.py.
 UNREGISTERED_DEDUP_QUERIES = {
     "q_dedup_spans": q_dedup_spans,
-    "q_dedup_boilerplate": q_dedup_boilerplate,
 }
 UNREGISTERED_DEDUP_ORACLES = {
     "q_dedup_spans": SPAN_DEDUP_ORACLE,
-    "q_dedup_boilerplate": BOILER_DEDUP_ORACLE,
 }
+
+# Round-12 rotation (VERDICT r11 #5): corpus-frequency boilerplate
+# removal enters the registry — full-pipeline DuckDB parity via the
+# shared _SPANS_CTE — funded by q_gap_fill (see operators/timeseries.py
+# for where the evicted slot keeps its driver-grade comparison).
+DEDUP_QUERIES["q_dedup_boilerplate"] = q_dedup_boilerplate
+DEDUP_ORACLES["q_dedup_boilerplate"] = BOILER_DEDUP_ORACLE
 
 # Brute-force all-pairs ground truth over the FULL shingle space — the
 # SEMANTIC oracle for q_dedup_prefix (the prefix join must reproduce it

@@ -70,10 +70,16 @@ def nn_descent(
     k: int = KNN_K,
     iters: int = NND_ITERS,
     round_hook=None,
+    return_release=False,
 ) -> tuple[DataFrame, list[float]]:
     """Refine ``graph`` (query_id, neighbor_id, cosine) over vectors
     ``e`` (vec_id, embedding); returns (refined graph with dense per-
-    query rnk, per-round objective).
+    query rnk, per-round objective). With ``return_release=True`` a
+    third element exposes the FINAL round's checkpoint release — for
+    callers (the sharded build's within-shard phase) whose returned
+    relation does NOT ride this graph and must release it once a
+    downstream materialization has consumed it (plans/lifecycle.py:
+    an abandoned-but-persisted checkpoint is a session-lifetime leak).
 
     The objective is the FIXED-SIZE padded mean: mean cosine over
     exactly ``n_queries * k`` slots, absent slots padded with -1 (the
@@ -176,6 +182,8 @@ def nn_descent(
     release_v()
     wq = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     out = g.withColumn("rnk", F.row_number().over(wq).cast("long"))
+    if return_release:
+        return out, objective, release_g
     return out, objective
 
 
@@ -241,7 +249,14 @@ def seed_params_for(n: int) -> tuple[int, int]:
     below it. Validated over the measured range [2 k, 128 k]; past
     128 k the rule extrapolates (probes would grow again at 512 k) —
     re-measure with tools/knn_budget_probe.py before trusting it at a
-    new octave, which is also the periodic-rebuild cadence."""
+    new octave, which is also the periodic-rebuild cadence.
+
+    SUPERSEDED for builds (round 12): ``build_ann_index`` no longer
+    escalates these knobs — past 32 k it runs the SHARD-PARALLEL
+    build (``shardknn.knn_graph_sharded``), which holds recall at
+    CONSTANT per-shard knobs and retires this rule's ~n^1.7 cost
+    curve. The rule stays as the measured record of what the FLAT
+    build requires (and as the comparison baseline in SCALING.json)."""
     if n <= 32_000:
         return KNN_SEED_BUDGET, 2
     return min(512, (KNN_SEED_BUDGET * n) // 32_000), 3

@@ -187,9 +187,11 @@ def q_pagerank_from_index(
     (``ann_index.read_knn_edges`` — VERDICT r10 #1: no quantizer
     training, no seed probes, no NN-Descent rounds in the query path;
     only the rank loop itself runs). Because the stored edges are
-    pinned result-identical to the inline build and ``pagerank`` is
-    bit-deterministic, the ranks are pinned IDENTICAL to
-    ``q_pagerank`` (direct test)."""
+    pinned result-identical to the inline build at n <= ``shardknn.
+    SHARD_TARGET`` and ``pagerank`` is bit-deterministic, the ranks
+    are pinned IDENTICAL to ``q_pagerank`` there (direct test; past
+    the target the stored edges are the sharded build's — see
+    ``ann_index.q_knn_graph_budgeted_from_index``)."""
     from .ann_index import q_knn_graph_budgeted_from_index
 
     g = q_knn_graph_budgeted_from_index(spark, sf_dir, index_path)

@@ -552,10 +552,16 @@ FROM x
 # registry (funded by q_rollup_cube and q_tpch_q6 — see
 # operators/relational.py / relational_ext.py for where those stay
 # hash-checked). Registered here, after the definitions above.
+# Round-12 rotation (VERDICT r11 #5): q_gap_fill's slot funds
+# q_dedup_boilerplate — the gap-fill shape (dense-grid explode +
+# forward/backward window fill) stays idiom-checked by the registered
+# q_scd2/q_sessionize windows, and the evicted slot keeps the
+# driver-grade DuckDB comparison in
+# tests/test_unregistered_ops.py::test_gap_fill_oracle_parity.
 TIMESERIES_QUERIES["q_scd2"] = q_scd2
 TIMESERIES_ORACLES["q_scd2"] = SCD2_ORACLE
-TIMESERIES_QUERIES["q_gap_fill"] = q_gap_fill
-TIMESERIES_ORACLES["q_gap_fill"] = GAP_FILL_ORACLE
+UNREGISTERED_TIMESERIES_QUERIES["q_gap_fill"] = q_gap_fill
+UNREGISTERED_TIMESERIES_ORACLES["q_gap_fill"] = GAP_FILL_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -87,14 +87,21 @@ def build_warc_file(doc_id: int, html: str) -> bytes:
     """One WARC file: warcinfo + request + response (body = the B121
     page), framed per ISO 28500.
 
-    The WARC-Target-URI rides the SAME ``g = doc_id % 17`` page
-    identity as ``urls.synthesize_urls`` (site = g % 5, item = g —
-    ADVICE r10): the batch funnel computes robots/dedup verdicts on
-    the synthesized URL while the streaming writer reads THIS one, and
-    the two must name the same page if the batch funnel ever switches
-    to taking its URL from the response record."""
+    The WARC-Target-URI carries the FULL ``g = doc_id % 17`` page
+    identity of ``urls.synthesize_urls`` (ADVICE r11 #4 — r10's fix
+    shared only the site/item path): scheme (https for odd g), the
+    canonical-affecting :8080 port (g % 7 = 0), and the id/section
+    query, so the two URLs canonicalize into the SAME group and the
+    batch funnel's robots/dedup verdicts stay page-equal if it ever
+    switches to taking its URL from the response record. The WARC
+    form is the CLEAN canonical spelling (a crawler records the URL
+    it actually fetched); the synthesized form adds the case/slash/
+    tracking mess the canonicalizer strips."""
     g = doc_id % 17
-    uri = f"http://site{g % 5}.example.com/news/item-{g}"
+    scheme = "https" if g % 2 else "http"
+    port = ":8080" if g % 7 == 0 else ""
+    path_q = f"/news/item-{g}?id={g}&section={g % 3}"
+    uri = f"{scheme}://site{g % 5}.example.com{port}{path_q}"
     date = _warc_date(doc_id)
     info_payload = (
         b"software: data-ingestion-spark/0.1\r\n"
@@ -110,8 +117,8 @@ def build_warc_file(doc_id: int, html: str) -> bytes:
         info_payload,
     )
     req_payload = (
-        f"GET /news/item-{g} HTTP/1.1\r\n"
-        f"Host: site{g % 5}.example.com\r\n"
+        f"GET {path_q} HTTP/1.1\r\n"
+        f"Host: site{g % 5}.example.com{port}\r\n"
         "User-Agent: data-ingestion-bot/0.1\r\n\r\n"
     ).encode()
     req = _warc_record(

@@ -160,6 +160,8 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.textnorm",
     # r11: robust audio fingerprint dedup (B130)
     ".operators.audiofp",
+    # r12: shard-parallel kNN-graph build (VERDICT r11 #1)
+    ".operators.shardknn",
 ]
 
 

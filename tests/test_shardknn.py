@@ -1,0 +1,192 @@
+"""Shard-parallel kNN-graph build (VERDICT r11 #1, ``operators/
+shardknn.py``).
+
+The SEED stage (per-shard quantizer + capped cell pools + second-cell
+probe + in-shard bridges + cross-shard global-cell stitch) is
+SQL-expressible and gets driver-grade DuckDB parity at a FORCED shard
+count; the composed build is pinned to the inline budgeted build at
+S=1, deterministic at S>1, and its multi-shard recall is measured
+against exact brute force (the scale evidence lives in SCALING.json
+``knn_graph_sharded_recall`` via tools/knn_budget_probe.py --sharded).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_api_system_loop_ai_spark.operators import shardknn as sk
+from data_ingestion_api_system_loop_ai_spark.operators.similarity import KNN_K
+from data_ingestion_api_system_loop_ai_spark.sources.loader import load_table
+
+from .oracle_utils import compare, duckdb_con
+
+FORCED_SHARDS = 4
+
+
+def _shard_target(n: int) -> int:
+    return -(-n // FORCED_SHARDS)
+
+
+def test_shard_seed_stage_oracle_parity(spark, sf_dir):
+    """Driver-grade DuckDB parity for the FULL pre-NND prefix (local
+    top-k ∪ stitch top-k, max-dedup) at a forced S=4 — every stage of
+    the sharded seed (per-shard systematic seeds, shard-local argmax
+    assignment, budget cap, second-cell probe, in-shard LCG bridges,
+    cross-shard global-cell stitch) must reproduce in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    con = duckdb_con(sf_dir)
+    try:
+        compare(
+            sk.sharded_seed_merged(e, shard_target=_shard_target(n)),
+            con,
+            sk.shard_seed_oracle(FORCED_SHARDS),
+        )
+    finally:
+        con.close()
+
+
+def test_sharded_is_inline_budgeted_at_one_shard(spark, sf_dir):
+    """S=1 pin: at n <= shard_target the sharded build IS the inline
+    ``knn_graph_budgeted`` with the same defaults — bit-equal output —
+    so the from-index parity claims stay exact at every fixture size."""
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        knn_graph_budgeted,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_graph_budgeted(e, ivf_assign(e)).collect()
+    }
+    one = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sk.knn_graph_sharded(e).collect()
+    }
+    assert one == flat and len(one) > 0
+
+
+def test_sharded_multi_shard_deterministic_and_well_formed(spark, sf_dir):
+    """S=4: repeated runs return the identical graph; every node has a
+    dense per-query rnk 1..<=k; shard counts really split the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    st = _shard_target(n)
+    assert sk.n_shards_for(n, st) == FORCED_SHARDS
+    g = sk.knn_graph_sharded(e, shard_target=st)
+    rows = g.collect()
+    first = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in rows}
+    again = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in sk.knn_graph_sharded(e, shard_target=st).collect()
+    }
+    assert first == again
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert len(per_q) == n
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= KNN_K
+
+
+def test_sharded_recall_not_worse_than_flat(spark, sf_dir):
+    """Multi-shard recall vs exact brute force at the fixture size:
+    the sharded build (S=4) must land within 0.02 of the flat budgeted
+    build's recall (measured at sf0.001 it actually EXCEEDS flat —
+    within-shard pools cover their smaller cells fully; the scale
+    anchors live in SCALING.json knn_graph_sharded_recall)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
+        knn_graph_budgeted,
+    )
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    n = emb.shape[0]
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    truth = {}
+    for q in range(n):
+        cos = unit @ unit[q]
+        cos[q] = -2.0
+        order = np.lexsort((np.arange(n), -np.round(cos, 6)))
+        truth[q] = set(int(i) for i in order[:KNN_K])
+
+    def recall(pairs) -> float:
+        got: dict = {}
+        for qid, nid in pairs:
+            got.setdefault(qid, set()).add(nid)
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+            len(truth) * KNN_K
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = recall(
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_graph_budgeted(e, ivf_assign(e)).collect()
+    )
+    sharded = recall(
+        (r["query_id"], r["neighbor_id"])
+        for r in sk.knn_graph_sharded(e, shard_target=_shard_target(n)).collect()
+    )
+    assert sharded >= flat - 0.02, (sharded, flat)
+
+
+def test_stitch_pairs_are_cross_shard_only(spark, sf_dir):
+    """Every stitch candidate pair crosses shards — the within-shard
+    work belongs exclusively to the per-shard builds."""
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    S = FORCED_SHARDS
+    bad = (
+        sk.stitch_pairs(ivf_assign(e), S)
+        .filter(
+            F.pmod(F.col("query_id"), F.lit(S))
+            == F.pmod(F.col("neighbor_id"), F.lit(S))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert n > 0
+
+
+def test_build_ann_index_persists_build_config(spark, sf_dir, tmp_path):
+    """ADVICE r11 #2: the index records which build (and which knobs)
+    produced the stored edges; appends read the stored budget for
+    their candidate caps; a pre-config index reads as the inline
+    defaults."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
+        KNN_SEED_BUDGET,
+        KNN_SEED_PROBES,
+    )
+
+    ix = str(tmp_path / "cfg_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    cfg = ai.read_build_config(ix)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert cfg["n"] == n
+    assert cfg["mode"] == ("inline" if n <= sk.SHARD_TARGET else "sharded")
+    assert cfg["budget"] == KNN_SEED_BUDGET
+    assert cfg["probes"] == KNN_SEED_PROBES
+    assert cfg["shards"] == sk.n_shards_for(n)
+    # legacy index (no config file): the fixed defaults that built it
+    os.remove(os.path.join(ix, "build_config.json"))
+    legacy = ai.read_build_config(ix)
+    assert legacy["mode"] == "inline"
+    assert legacy["budget"] == KNN_SEED_BUDGET
+    assert legacy["shards"] == 1

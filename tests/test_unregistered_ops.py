@@ -5995,6 +5995,53 @@ def test_incremental_embedding_dedup_cycle(spark, sf_dir, tmp_path):
         ai.ingest_embedding_batch(spark, batch, ix, unit="u000001")
 
 
+def test_incremental_embedding_dedup_batch_survives_hot_cell_cap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r11 observation #1 pinned: a cell whose history already
+    holds >= KNN_CELL_CAP members with smaller vec_ids must NOT evict
+    the batch's own members from the candidate pool — the second of
+    two identical batch vectors classifies as near_dup of the first.
+    (The old single cap window over history ∪ batch let low-id history
+    fill every slot; history and batch are now capped separately.)"""
+    import os as _os
+
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+    from data_ingestion_api_system_loop_ai_spark.operators import similarity as sim
+
+    ix = str(tmp_path / "hot_ix")
+    ai.build_ann_index(spark, sf_dir, ix)
+    # shrink the hub-guard cap so sf0.001's ~22-member cells are "hot"
+    monkeypatch.setattr(sim, "KNN_CELL_CAP", 4)
+    dim = len(
+        spark.read.parquet(_os.path.join(ix, "seeds")).first()["seed_emb"]
+    )
+    fresh = [float((i * 53 % 97) - 48) for i in range(dim)]
+    batch = spark.createDataFrame(
+        [(960100, fresh), (960101, fresh)],
+        "vec_id long, embedding array<float>",
+    )
+    # precondition: the batch's cell really is over the (shrunk) cap
+    # with smaller-id history, so the old window would have evicted
+    # both batch members
+    seeds = spark.read.parquet(_os.path.join(ix, "seeds"))
+    cell = sim.ivf_assign(batch, seeds=seeds).first()["cell"]
+    n_hist = (
+        ai._read_units(spark, ix, "assignments")
+        .filter(F.col("cell") == cell)
+        .count()
+    )
+    assert n_hist >= 4
+    out = {
+        r["vec_id"]: r
+        for r in ai.incremental_embedding_dedup(spark, batch, ix).collect()
+    }
+    assert out[960100]["status"] == "kept"
+    assert out[960101]["status"] == "near_dup"
+    assert out[960101]["matched_id"] == 960100
+    assert out[960101]["cosine"] == 1.0
+
+
 def test_ann_append_replay_rewrites_identical_edges(spark, sf_dir, tmp_path):
     """Self-review r11: a post-marker replay of append_ann_index must
     rewrite the (already visible) edges unit with IDENTICAL content —

@@ -128,13 +128,49 @@ def test_build_parse_round_trip():
     info, req, resp = recs
     assert info["target_uri"] is None
     assert req["target_uri"] == resp["target_uri"]
-    # site rides the g = doc_id % 17 identity (g % 5 = 8 % 5 = 3), the
-    # same URL space as urls.synthesize_urls (ADVICE r10)
-    assert resp["target_uri"] == "http://site3.example.com/news/item-8"
+    # the URI carries the FULL g = doc_id % 17 identity of
+    # urls.synthesize_urls (ADVICE r11 #4): g=8 → scheme http (even),
+    # site g%5=3, no :8080 (g%7=1), id/section query (section g%3=2)
+    assert (
+        resp["target_uri"]
+        == "http://site3.example.com/news/item-8?id=8&section=2"
+    )
     assert resp["http_status"] == 200
     assert resp["body"] == html  # byte-identical through utf-8 framing
     # Content-Length counts BYTES of the multibyte body, not chars
     assert resp["content_length"] > len(html)
+
+
+def test_warc_uri_canonical_group_equals_synthesized_url(spark):
+    """ADVICE r11 #4 pinned: the WARC Target-URI and the synthesized
+    messy URL canonicalize into the SAME canonical group for every
+    doc_id across two full g-cycles — so a funnel that swaps its URL
+    source between the two sees identical robots/dedup verdicts."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_api_system_loop_ai_spark.operators.urls import (
+        canonicalize_urls,
+        synthesize_urls,
+    )
+
+    rows = []
+    for doc_id in range(0, 34):
+        recs = parse_warc(build_warc_file(doc_id, "<p>x</p>"))
+        uri = [r for r in recs if r["warc_type"] == "response"][0][
+            "target_uri"
+        ]
+        rows.append((doc_id, uri))
+    warc_urls = spark.createDataFrame(rows, "doc_id long, url string")
+    syn = synthesize_urls(spark.range(34).withColumnRenamed("id", "doc_id"))
+    cw = canonicalize_urls(warc_urls).select(
+        "doc_id", F.col("canonical_url").alias("cw")
+    )
+    cs = canonicalize_urls(syn).select(
+        "doc_id", F.col("canonical_url").alias("cs")
+    )
+    joined = cw.join(cs, "doc_id").collect()
+    assert len(joined) == 34
+    assert all(r["cw"] == r["cs"] for r in joined)
 
 
 # ----------------------------------------------------- engine surface
