@@ -209,15 +209,22 @@ def build_dedup_index(
 
 
 def _read_index(
-    spark: SparkSession, index_path: str
+    spark: SparkSession, index_path: str, exclude_unit: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(exact, bands) over the COMMITTED units only. A missing or
     empty index is EMPTY HISTORY, not an error (ADVICE r03): a fresh
     stream's first micro-batch classifies everything against nothing,
     keeps it all, and seeds the index itself — no manual
     build_dedup_index bootstrap required. Explicit schemas make
-    zero-file units (e.g. a trigger that kept nothing) readable."""
-    units = committed_units(index_path)
+    zero-file units (e.g. a trigger that kept nothing) readable.
+    ``exclude_unit`` hides one unit from the view — the replay path's
+    own already-published rows (the ``ingest_url_batch`` /
+    ``ann_index._read_units`` discipline), so a crash-past-the-marker
+    replay classifies against exactly the pre-batch history instead of
+    matching every doc to its own committed fingerprints."""
+    units = [
+        u for u in committed_units(index_path) if u != exclude_unit
+    ]
     if not units:
         return (
             spark.createDataFrame([], _EXACT_SCHEMA),
@@ -240,7 +247,10 @@ def _read_index(
 
 
 def incremental_dedup(
-    spark: SparkSession, new_docs: DataFrame, index_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    exclude_unit: str | None = None,
 ) -> DataFrame:
     """Classify each incoming doc against the index AND the rest of its
     own batch: ``exact_dup`` (sha256 present in history, or an exact
@@ -257,7 +267,7 @@ def incremental_dedup(
     members match it (a matched_id may itself have been dropped as a
     near-dup of something earlier — its cluster's canonical survives
     transitively, the q_dedup_components contract)."""
-    exact_raw, bands_ix = _read_index(spark, index_path)
+    exact_raw, bands_ix = _read_index(spark, index_path, exclude_unit)
     # Re-aggregate at probe time: the same sha can occur in several
     # committed units (history re-ingested across batches). min()
     # restores the one-canonical-per-sha invariant and keeps the left

@@ -160,8 +160,10 @@ _UNREGISTERED_MODULES: list[str] = [
     ".operators.textnorm",
     # r11: robust audio fingerprint dedup (B130)
     ".operators.audiofp",
-    # r12: shard-parallel kNN-graph build (VERDICT r11 #1)
+    # r12: shard-parallel kNN-graph build (VERDICT r11 #1), video
+    # content fingerprint dedup (B132, VERDICT r11 #2)
     ".operators.shardknn",
+    ".operators.videofp",
 ]
 
 

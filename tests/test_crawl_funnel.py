@@ -229,7 +229,9 @@ def test_crawl_stream_writer_end_to_end(spark, tmp_path):
 
     kept = {r["doc_id"]: r for r in read_crawled(spark, out, ix).collect()}
     assert set(kept) == {1, 2}
-    assert kept[1]["url"] == "http://site1.example.com/news/item-1"
+    # the WARC URI carries the full g-identity since ADVICE r11 #4:
+    # scheme https for odd g, id/section query
+    assert kept[1]["url"] == "https://site1.example.com/news/item-1?id=1&section=1"
     assert "big clean title" in kept[1]["content"]
     # the index holds exactly the kept canonicals, doc 86's canonical
     # resolving to doc 1 (first fetch won across triggers)
@@ -238,8 +240,8 @@ def test_crawl_stream_writer_end_to_end(spark, tmp_path):
         for r in _read_url_index(spark, ix).collect()
     }
     assert ixrows == {
-        "http://site1.example.com/news/item-1": 1,
-        "http://site2.example.com/news/item-2": 2,
+        "https://site1.example.com/news/item-1?id=1&section=1": 1,
+        "http://site2.example.com/news/item-2?id=2&section=2": 2,
     }
 
 
@@ -389,10 +391,13 @@ def test_crawl_stream_crash_matrix_replay_converges(spark, tmp_path):
             map(tuple, _read_url_index(spark, ix).collect())
         )
         # state equivalence via the verdicts a next batch would compute
+        # (probe URLs are MESSY spellings that canonicalize into the
+        # kept pages' groups — the full-identity WARC URIs of ADVICE
+        # r11 #4)
         probe = spark.createDataFrame(
             [
-                (9000, "http://site1.example.com/news/item-1"),
-                (9001, "http://site2.example.com/news/item-2"),
+                (9000, "HTTPS://WWW.Site1.Example.COM:443/news//item-1?section=1&id=1&utm_campaign=x"),
+                (9001, "http://site2.example.com/news/item-2/?id=2&section=2&fbclid=abc"),
                 (9002, "http://site4.example.com/news/fresh"),
             ],
             "doc_id long, url string",
@@ -409,8 +414,8 @@ def test_crawl_stream_crash_matrix_replay_converges(spark, tmp_path):
     # probe dedups both seen URLs and keeps the fresh one
     assert {r[0] for r in golden[0]} == {1, 2}
     assert {r[0] for r in golden[1]} == {
-        "http://site1.example.com/news/item-1",
-        "http://site2.example.com/news/item-2",
+        "https://site1.example.com/news/item-1?id=1&section=1",
+        "http://site2.example.com/news/item-2?id=2&section=2",
     }
     assert {(v[0], v[2]) for v in golden[2]} == {
         (9000, "url_dup"), (9001, "url_dup"), (9002, "kept"),

@@ -147,13 +147,14 @@ def test_stitch_pairs_are_cross_shard_only(spark, sf_dir):
     work belongs exclusively to the per-shard builds."""
     from data_ingestion_api_system_loop_ai_spark.operators.similarity import (
         ivf_assign,
+        ivf_seeds,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
     S = FORCED_SHARDS
     bad = (
-        sk.stitch_pairs(ivf_assign(e), S)
+        sk.stitch_pairs(ivf_assign(e), S, seeds=ivf_seeds(e))
         .filter(
             F.pmod(F.col("query_id"), F.lit(S))
             == F.pmod(F.col("neighbor_id"), F.lit(S))

@@ -63,6 +63,30 @@ def main() -> int:
              "(VERDICT r10 #3): cell COVERAGE, not per-cell budget, is "
              "what recall saturates on past 32 k",
     )
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="measure shardknn.knn_graph_sharded instead of the flat "
+             "budgeted build (VERDICT r11 #1) — constant per-shard "
+             "knobs; writes the knn_graph_sharded_recall family",
+    )
+    ap.add_argument(
+        "--iters-local", type=int, default=None,
+        help="(--sharded) override LOCAL_ITERS — within-shard NND "
+             "rounds before the stitch",
+    )
+    ap.add_argument(
+        "--iters-stitch", type=int, default=None,
+        help="(--sharded) override STITCH_ITERS — NND rounds over the "
+             "merged (shard graphs + stitch) graph",
+    )
+    ap.add_argument(
+        "--stitch-budget", type=int, default=None,
+        help="(--sharded) override the cross-shard global-cell pool cap",
+    )
+    ap.add_argument(
+        "--stitch-probes", type=int, default=None,
+        help="(--sharded) probed global cells per node in the stitch",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -118,6 +142,61 @@ def main() -> int:
     probes = args.probes if args.probes is not None else KNN_SEED_PROBES
 
     e = load_table(spark, d, "embeddings")
+
+    if args.sharded:
+        from data_ingestion_api_system_loop_ai_spark.operators import (
+            shardknn as sk,
+        )
+
+        il = args.iters_local if args.iters_local is not None else sk.LOCAL_ITERS
+        ist = (
+            args.iters_stitch
+            if args.iters_stitch is not None
+            else sk.STITCH_ITERS
+        )
+        sb = (
+            args.stitch_budget
+            if args.stitch_budget is not None
+            else KNN_SEED_BUDGET
+        )
+        sp = args.stitch_probes if args.stitch_probes is not None else 1
+        t0 = time.monotonic()
+        g = sk.knn_graph_sharded(
+            e, budget=budget, probes=probes, stitch_budget=sb,
+            stitch_probes=sp, iters_local=il, iters_stitch=ist, n=n,
+        ).localCheckpoint()
+        secs = round(time.monotonic() - t0, 1)
+        rec = sampled_recall(g)
+        S = sk.n_shards_for(n)
+        print(
+            f"n={n} sharded S={S} b={budget} sb={sb} sp={sp} il={il} "
+            f"is={ist} recall {rec} ({secs}s)", flush=True,
+        )
+        entry = {
+            "n": args.n, "k": KNN_K, "shards": S, "budget": budget,
+            "probes": probes, "stitch_budget": sb, "stitch_probes": sp,
+            "iters_local": il, "iters_stitch": ist, "sample": len(truth),
+            "sharded_recall": rec, "total_seconds": secs,
+        }
+        key = str(args.n)
+        for flag, val, default in (
+            ("b", budget, KNN_SEED_BUDGET),
+            ("sb", sb, KNN_SEED_BUDGET),
+            ("sp", sp, 1),
+            ("il", il, sk.LOCAL_ITERS),
+            ("is", ist, sk.STITCH_ITERS),
+        ):
+            if val != default:
+                key += f"_{flag}{val}"
+        result = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                result = json.load(f)
+        result.setdefault("knn_graph_sharded_recall", {})[key] = entry
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(entry))
+        return 0
     t0 = time.monotonic()
     seed = knn_graph_seed(
         ivf_assign(e), budget=budget, seeds=ivf_seeds(e), probes=probes
