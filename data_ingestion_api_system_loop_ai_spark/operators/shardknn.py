@@ -705,10 +705,13 @@ def sharded_seed_merged(
     shard_target: int = SHARD_TARGET,
 ) -> DataFrame:
     """The SQL-expressible merged seed (local top-k ∪ stitch top-k,
-    max-dedup) — exactly what ``knn_graph_sharded`` feeds its stitch
-    NND rounds when ``iters_local=0``; the relation
-    ``shard_seed_oracle`` reproduces. Split out so the parity test
-    pins the ENTIRE pre-NND prefix against DuckDB."""
+    max-dedup) — the same stage expressions ``knn_graph_sharded``
+    composes (pinned here at k and the TWO-probe stitch so the oracle
+    covers every stage including the optional second global probe;
+    the production build runs the identical expressions at work_k and
+    its own stitch knobs). ``shard_seed_oracle`` reproduces this
+    relation; the parity test pins the ENTIRE pre-NND prefix against
+    DuckDB at a forced shard count."""
     from .similarity import ivf_seeds
 
     n = e.count()
