@@ -99,9 +99,14 @@ LOCAL_ITERS = 1
 WORK_K_MULT = 2
 
 
-def n_shards_for(n: int, shard_target: int = SHARD_TARGET) -> int:
+def n_shards_for(n: int, shard_target: int | None = None) -> int:
     """ceil(n / shard_target), min 1 — shard count grows with the
-    corpus so per-shard size (and every per-shard knob) stays fixed."""
+    corpus so per-shard size (and every per-shard knob) stays fixed.
+    The default resolves to ``SHARD_TARGET`` at CALL time (module
+    attribute lookup), so tests can shrink the target to force S > 1
+    on small fixtures."""
+    if shard_target is None:
+        shard_target = SHARD_TARGET
     return max(1, -(-n // shard_target))
 
 
@@ -400,7 +405,7 @@ def knn_graph_sharded(
     bridges: int = KNN_BRIDGE_R,
     stitch_budget: int = KNN_SEED_BUDGET,
     stitch_probes: int = 1,
-    shard_target: int = SHARD_TARGET,
+    shard_target: int | None = None,
     iters_local: int = LOCAL_ITERS,
     iters_stitch: int = STITCH_ITERS,
     work_k: int | None = None,
@@ -419,6 +424,8 @@ def knn_graph_sharded(
     tiebreaks at every stage)."""
     from .nndescent import NND_ITERS, knn_graph_budgeted, nn_descent
 
+    if shard_target is None:
+        shard_target = SHARD_TARGET  # call-time lookup: test-shrinkable
     if n is None:
         n = e.count()
     S = n_shards_for(n, shard_target)
@@ -702,7 +709,7 @@ def sharded_seed_merged(
     probes: int = KNN_SEED_PROBES,
     bridges: int = KNN_BRIDGE_R,
     stitch_budget: int = KNN_SEED_BUDGET,
-    shard_target: int = SHARD_TARGET,
+    shard_target: int | None = None,
 ) -> DataFrame:
     """The SQL-expressible merged seed (local top-k ∪ stitch top-k,
     max-dedup) — the same stage expressions ``knn_graph_sharded``

@@ -165,6 +165,38 @@ def test_stitch_pairs_are_cross_shard_only(spark, sf_dir):
     assert n > 0
 
 
+def test_build_ann_index_sharded_regime_integration(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The S>1 index path end-to-end (the fixture corpora are all
+    under SHARD_TARGET, so without shrinking the target the sharded
+    build only ever runs in the scaling probes): with the target
+    shrunk to force S=3, build_ann_index stores SHARDED edges, the
+    config records mode=sharded, the from-index graph is pinned
+    identical to the inline sharded build at the same target, and the
+    plan assert (query path never touches the embeddings table)
+    still holds."""
+    from data_ingestion_api_system_loop_ai_spark.operators import ann_index as ai
+
+    ix = str(tmp_path / "sharded_ix")
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    st = -(-n // 3)
+    monkeypatch.setattr(sk, "SHARD_TARGET", st)
+    ai.build_ann_index(spark, sf_dir, ix)
+    cfg = ai.read_build_config(ix)
+    assert cfg["mode"] == "sharded"
+    assert cfg["shards"] == 3 and cfg["shard_target"] == st
+    inline = sorted(
+        map(tuple, sk.knn_graph_sharded(e, shard_target=st).collect())
+    )
+    frozen_df = ai.q_knn_graph_budgeted_from_index(spark, sf_dir, ix)
+    frozen = sorted(map(tuple, frozen_df.collect()))
+    assert inline == frozen and len(frozen) > 0
+    plan = frozen_df._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings" not in plan  # stored edges only
+
+
 def test_build_ann_index_persists_build_config(spark, sf_dir, tmp_path):
     """ADVICE r11 #2: the index records which build (and which knobs)
     produced the stored edges; appends read the stored budget for
