@@ -45,11 +45,16 @@ problem size constant per shard:
   cross-shard bridge rounds").
 
 Cost shape: per-shard quantizer n·sqrt(m) dots (linear, m fixed),
-within-shard pairs n·budget·probes (linear), global assignment
-n·sqrt(n) broadcast-crossJoin codegen compute (the shape every build
-already pays; FREE inside ``build_ann_index``, which has the stored
-assignments), stitch pairs n·stitch_budget (linear), NND rounds
-O(n·k²) each (linear). Measured iso-recall growth is recorded in
+within-shard pairs n·budget·probes (linear), stitch pairs
+n·stitch_budget (linear), NND rounds O(n·k²) each (linear). Stitch
+BANDING is the one context-dependent term: per-node global cells
+cost an n·sqrt(n) broadcast-crossJoin (free inside
+``build_ann_index``, which stores the assignment for the IVF probes
+anyway — that is its default there), while the standalone default is
+``stitch_pairs_banded`` — band by the shard-cell SEED's global cell,
+one argmax over S·sqrt(m) x sqrt(n) seed pairs, keeping the WHOLE
+standalone build linear (measured at 256 k: same recall, 1.5x less
+wall than the global banding). Measured iso-recall growth is recorded in
 SCALING.json ``knn_graph_sharded_recall`` by
 ``tools/knn_budget_probe.py --sharded``; recall is measured against
 exact brute force at the same anchors as the flat rule.
@@ -382,6 +387,74 @@ def stitch_pairs(
     return pairs
 
 
+def stitch_pairs_banded(
+    sasg: DataFrame,
+    sseeds: DataFrame,
+    gseeds: DataFrame,
+    S: int,
+    stitch_budget: int = KNN_SEED_BUDGET,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine): the LINEAR-cost stitch — a
+    node's band is the global cell of its SHARD-CELL'S SEED vector,
+    not of the node itself. The per-node n·√n global assignment (the
+    term that dominates the standalone build's growth past 128 k —
+    506 seed dots/row at 256 k) collapses to ONE argmax over the
+    S·√m shard seeds x √n global seeds (~n/180 x √n dots — ~180×
+    cheaper), broadcast back as a (cell → band) map of S·√m rows.
+    Nodes far from their shard-cell seed get a coarser band than
+    their true global cell — an entry-point-quality trade the stitch
+    NND rounds absorb (measured: SCALING.json
+    ``knn_graph_sharded_recall`` ``*_bandseed`` keys). Pool capping
+    and the cross-shard filter are identical to ``stitch_pairs``."""
+    g = gseeds.select(
+        F.col("seed_id").alias("g_id"),
+        F.col("seed_emb").alias("g_emb"),
+        F.col("seed_norm").alias("g_norm"),
+    )
+    best = F.max(
+        F.struct(
+            (
+                dot_expr("seed_emb", "g_emb")
+                / (F.col("seed_norm") * F.col("g_norm"))
+            ).alias("c"),
+            (-F.col("g_id")).alias("neg"),
+            F.col("g_id").alias("band"),
+        )
+    ).alias("b")
+    bmap = (
+        sseeds.crossJoin(F.broadcast(g))
+        .groupBy("seed_id")
+        .agg(best)
+        .select(F.col("seed_id").alias("cell"), F.col("b.band").alias("band"))
+    )
+    nodes = sasg.join(F.broadcast(bmap), "cell").select(
+        "vec_id", "embedding", "v_norm", "band"
+    )
+    q = nodes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "band",
+    )
+    wb = W.partitionBy("band").orderBy("neighbor_id")
+    cand = (
+        nodes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("v_norm").alias("c_norm"),
+            "band",
+        )
+        .withColumn("_crn", F.row_number().over(wb))
+        .filter(F.col("_crn") <= stitch_budget)
+        .drop("_crn")
+    )
+    return (
+        q.join(cand, "band")
+        .filter(_shard("query_id", S) != _shard("neighbor_id", S))
+        .select("query_id", "neighbor_id", _score())
+    )
+
+
 def _topk(pairs: DataFrame, k: int) -> DataFrame:
     """Max-dedup then the per-query top-k window — the same rounding
     and (cosine DESC, neighbor_id) tiebreaks as every graph form."""
@@ -405,6 +478,7 @@ def knn_graph_sharded(
     bridges: int = KNN_BRIDGE_R,
     stitch_budget: int = KNN_SEED_BUDGET,
     stitch_probes: int = 1,
+    stitch_band: str | None = None,
     shard_target: int | None = None,
     iters_local: int = LOCAL_ITERS,
     iters_stitch: int = STITCH_ITERS,
@@ -465,21 +539,47 @@ def knn_graph_sharded(
         local_graph = refined.select("query_id", "neighbor_id", "cosine")
     else:
         local_graph = local_seed
-    # ---- cross-shard stitch entry points from the GLOBAL cells
-    if gasg is None:
-        gasg = ivf_assign(e)
-    if seeds is None and stitch_probes >= 2:
+    # ---- cross-shard stitch entry points. Banding resolves to the
+    # caller's situation (measured, SCALING.json: at 256 k both bands
+    # sit at recall 0.96; global costs 400-445 s standalone because of
+    # its per-node n·√n assignment, seed costs 271 s): a caller that
+    # ALREADY HAS the global assignment (build_ann_index — it stores
+    # it for the IVF probes regardless) bands by true global cells for
+    # free; a standalone build bands by shard-cell seeds and stays
+    # linear.
+    if stitch_band is None:
+        stitch_band = "global" if gasg is not None else "seed"
+    release_gasg = None
+    if stitch_band == "seed":
+        # LINEAR banding: band nodes by their shard-cell seed's global
+        # cell — no per-node global assignment anywhere (the scale
+        # path for standalone builds; inside build_ann_index the
+        # stored global assignment makes "global" banding free)
         from .similarity import ivf_seeds
 
-        seeds = ivf_seeds(e)
-    gasg_ck, release_gasg = local_checkpoint_handle(gasg, eager=False)
-    stitch = _topk(
-        stitch_pairs(
-            gasg_ck, S, stitch_budget=stitch_budget, seeds=seeds,
-            probes=stitch_probes,
-        ),
-        wk,
-    )
+        if seeds is None:
+            seeds = ivf_seeds(e)
+        stitch = _topk(
+            stitch_pairs_banded(
+                sasg, sseeds, seeds, S, stitch_budget=stitch_budget
+            ),
+            wk,
+        )
+    else:
+        if gasg is None:
+            gasg = ivf_assign(e)
+        if seeds is None and stitch_probes >= 2:
+            from .similarity import ivf_seeds
+
+            seeds = ivf_seeds(e)
+        gasg_ck, release_gasg = local_checkpoint_handle(gasg, eager=False)
+        stitch = _topk(
+            stitch_pairs(
+                gasg_ck, S, stitch_budget=stitch_budget, seeds=seeds,
+                probes=stitch_probes,
+            ),
+            wk,
+        )
     # keep BOTH per-node lists (<= 2*wk rows/node): every node enters
     # the stitch rounds with its wk best local AND wk best cross-shard
     # candidates — guaranteed cross-shard entry points; the first
@@ -500,7 +600,8 @@ def knn_graph_sharded(
     if release_local is not None:
         release_local()
     release_sasg()
-    release_gasg()
+    if release_gasg is not None:
+        release_gasg()
     return out
 
 

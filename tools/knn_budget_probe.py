@@ -87,6 +87,11 @@ def main() -> int:
         "--stitch-probes", type=int, default=None,
         help="(--sharded) probed global cells per node in the stitch",
     )
+    ap.add_argument(
+        "--stitch-band", default=None, choices=("global", "seed"),
+        help="(--sharded) stitch banding: per-node global cells "
+             "(default) or the linear shard-cell-seed banding",
+    )
     args = ap.parse_args()
 
     from data_ingestion_api_system_loop_ai_spark.operators.nndescent import (
@@ -160,29 +165,35 @@ def main() -> int:
             else KNN_SEED_BUDGET
         )
         sp = args.stitch_probes if args.stitch_probes is not None else 1
+        # the tool is the STANDALONE build (no prebuilt global assignment),
+        # so the shipped default resolves to the linear seed banding
+        band = args.stitch_band if args.stitch_band is not None else "seed"
         t0 = time.monotonic()
         g = sk.knn_graph_sharded(
             e, budget=budget, probes=probes, stitch_budget=sb,
-            stitch_probes=sp, iters_local=il, iters_stitch=ist, n=n,
+            stitch_probes=sp, stitch_band=band, iters_local=il,
+            iters_stitch=ist, n=n,
         ).localCheckpoint()
         secs = round(time.monotonic() - t0, 1)
         rec = sampled_recall(g)
         S = sk.n_shards_for(n)
         print(
-            f"n={n} sharded S={S} b={budget} sb={sb} sp={sp} il={il} "
-            f"is={ist} recall {rec} ({secs}s)", flush=True,
+            f"n={n} sharded S={S} b={budget} sb={sb} sp={sp} band={band} "
+            f"il={il} is={ist} recall {rec} ({secs}s)", flush=True,
         )
         entry = {
             "n": args.n, "k": KNN_K, "shards": S, "budget": budget,
             "probes": probes, "stitch_budget": sb, "stitch_probes": sp,
-            "iters_local": il, "iters_stitch": ist, "sample": len(truth),
-            "sharded_recall": rec, "total_seconds": secs,
+            "stitch_band": band, "iters_local": il, "iters_stitch": ist,
+            "sample": len(truth), "sharded_recall": rec,
+            "total_seconds": secs,
         }
         key = str(args.n)
         for flag, val, default in (
             ("b", budget, KNN_SEED_BUDGET),
             ("sb", sb, KNN_SEED_BUDGET),
             ("sp", sp, 1),
+            ("band", band, "seed"),
             ("il", il, sk.LOCAL_ITERS),
             ("is", ist, sk.STITCH_ITERS),
         ):
