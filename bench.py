@@ -56,7 +56,10 @@ HEADLINE = [
     "q_stats_agg",
     "q_grouping_sets",
     "q_source_ingest",
+    # r13 rotation: q_range_join moved to the unregistered surface
+    # (funding q_shard_seed); both keep their cost rows here
     "q_range_join",
+    "q_shard_seed",
     "q_tpch_q14",
     "q_dedup_minhash_banded",
     "q_text_profile",
@@ -352,6 +355,7 @@ def _extra_queries():
     from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
         q_gap_fill,
         q_pit_join,
+        q_range_join,
     )
 
     from data_ingestion_api_system_loop_ai_spark.operators import semdedup as sdd
@@ -669,6 +673,8 @@ def _extra_queries():
         "q_tpch_q18": q_tpch_q18,
         "q_bm25_rank": q_bm25_rank,
         "q_gap_fill": q_gap_fill,
+        # r13 rotation eviction (funded q_shard_seed)
+        "q_range_join": q_range_join,
         "q_sketch_rollup": q_sketch_rollup,
         "q_lm_score": q_lm_score,
         "q_embedding_outliers": q_embedding_outliers,

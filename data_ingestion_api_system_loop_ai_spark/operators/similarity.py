@@ -138,14 +138,21 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     (embeddings never enter the rank shuffle; seed vectors are fetched
     back by a broadcast semi-join of k ids). The assignment is one
     broadcast of the seed relation (k rows) against the corpus; the
-    per-vector argmax is a map-side-combinable ``max(struct(...))``
-    (lexicographic: cosine, then -seed_id), NOT a window — no n*k-row
-    shuffle, partial aggregation reduces to one row per vector before
-    the exchange. Embedding and norm ride inside the max struct (never
-    reached by the comparison: cosine ties between distinct seeds are
-    broken by -seed_id first). Passing ``seeds`` assigns against a
-    FROZEN quantizer (the persisted-index append path, ``ann_index``)
-    instead of deriving one from ``e``."""
+    per-vector argmax is a ``max(struct(...))`` over 24-BYTE PRIMITIVE
+    rows (lexicographic: cosine, then -seed_id), NOT a window — no
+    n*k-row shuffle reaches the exchange, and the winner's embedding is
+    re-attached by one n-row equi-join on vec_id AFTER the argmax.
+    The embedding must NOT ride inside the max struct (the r13 512 k
+    diagnosis, SURVEY §6): an array-typed aggregation buffer is not
+    HashAggregate-mutable, so Spark runs ObjectHashAggregate, whose
+    sort-based fallback (128 distinct keys per partition) externally
+    SORTS the full n*k pair relation — with the ~600-byte embedding on
+    every row that sort spills superlinearly (measured: the sharded
+    build's assignment stage read 18.8/73.6/711 s at 128 k/256 k/512 k
+    carrying embeddings; 24-byte rows sort in execution memory at every
+    measured size). Passing ``seeds`` assigns against a FROZEN
+    quantizer (the persisted-index append path, ``ann_index``) instead
+    of deriving one from ``e``."""
     if seeds is None:
         seeds = ivf_seeds(e)
     # the n*k dot-product crossJoin is the CPU-heavy stage: spread a
@@ -162,8 +169,6 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
             ).alias("c"),
             (-F.col("seed_id")).alias("neg"),
             F.col("seed_id").alias("cell"),
-            F.col("embedding").alias("emb"),
-            F.col("v_norm").alias("vn"),
         )
     ).alias("b")
     # the trailing repartition(cell) is a deliberate REUSE BARRIER (the
@@ -177,16 +182,15 @@ def ivf_assign(e: DataFrame, seeds: DataFrame | None = None) -> DataFrame:
     # and this relation is byte-tiny but feeds CPU-heavy per-cell pair
     # joins — the column-only form was coalesced to 1-2 tasks (the
     # q_dsir_select lesson).
-    return (
+    win = (
         v.crossJoin(F.broadcast(seeds))
         .groupBy("vec_id")
         .agg(best)
-        .select(
-            "vec_id",
-            F.col("b.emb").alias("embedding"),
-            F.col("b.vn").alias("v_norm"),
-            F.col("b.cell").alias("cell"),
-        )
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    return (
+        v.join(win, "vec_id")
+        .select("vec_id", "embedding", "v_norm", "cell")
         .repartition(
             e.sparkSession.sparkContext.defaultParallelism, F.col("cell")
         )

@@ -240,9 +240,16 @@ TIMESERIES_QUERIES = {
     "q_sessionize": q_sessionize,
     "q_watermark_late": q_watermark_late,
     "q_asof_join": q_asof_join,
-    "q_range_join": q_range_join,
     "q_pivot_wide": q_pivot_wide,
 }
+
+RANGE_JOIN_ORACLE = f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS diff_ms
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= {RANGE_JOIN_MS}
+"""
 
 TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -252,13 +259,6 @@ FROM events GROUP BY 1, 2
 """
 
 TIMESERIES_ORACLES = {
-    "q_range_join": f"""
-SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
-       abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS diff_ms
-FROM events a JOIN events b
-  ON a.user_id = b.user_id AND a.event_id < b.event_id
- AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= {RANGE_JOIN_MS}
-""",
     "q_stream_sliding": """
 WITH slotted AS (
   SELECT value,
@@ -562,6 +562,14 @@ TIMESERIES_QUERIES["q_scd2"] = q_scd2
 TIMESERIES_ORACLES["q_scd2"] = SCD2_ORACLE
 UNREGISTERED_TIMESERIES_QUERIES["q_gap_fill"] = q_gap_fill
 UNREGISTERED_TIMESERIES_ORACLES["q_gap_fill"] = GAP_FILL_ORACLE
+# Round-13 rotation (VERDICT r12 #3): q_range_join's slot funds
+# q_shard_seed (operators/shardknn.py) — the bucketed-interval
+# equi-join idiom stays idiom-checked by the registered q_asof_join
+# (same bucket-explode + equi-join + residual-predicate shape), and
+# the evicted slot keeps its driver-grade DuckDB comparison in
+# tests/test_unregistered_ops.py::test_range_join_oracle_parity.
+UNREGISTERED_TIMESERIES_QUERIES["q_range_join"] = q_range_join
+UNREGISTERED_TIMESERIES_ORACLES["q_range_join"] = RANGE_JOIN_ORACLE
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,12 @@ _OPERATOR_MODULES: list[tuple[str, str, str]] = [
     # drift family hash-checked; PSI keeps its full oracle on the
     # unregistered surface.
     (".operators.crawl_funnel", "CRAWL_QUERIES", "CRAWL_ORACLES"),
+    # Round-13 rotation (VERDICT r12 #3): the sharded kNN build's full
+    # SQL-expressible seed prefix q_shard_seed at forced S=4 — slot
+    # funded by q_range_join, whose bucketed-interval equi-join idiom
+    # stays idiom-checked by the registered q_asof_join; range-join
+    # keeps its full oracle on the unregistered surface.
+    (".operators.shardknn", "SHARDKNN_QUERIES", "SHARDKNN_ORACLES"),
     (".streaming.live", "STREAMING_QUERIES", "STREAMING_ORACLES"),
 ]
 

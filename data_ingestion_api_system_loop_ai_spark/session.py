@@ -62,6 +62,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # AQE can only COALESCE reducer partitions, never split them (the
+    # skew-join splitter covers joins only): with shuffle.partitions ==
+    # core count, per-partition bytes of every wide relation GROW with
+    # the corpus until tasks spill (the r13 512 k sharded-build
+    # diagnosis — see SURVEY §6). initialPartitionNum gives AQE a
+    # higher starting point to coalesce DOWN from, so small stages stay
+    # cheap (the 64k floor above still applies) while big shuffles get
+    # bounded per-task memory. Env-tunable for scale probes; unset
+    # keeps the session exactly as before.
+    ip = os.environ.get("SPARK_GRAFT_INITIAL_PARTS")
+    if ip:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", ip
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

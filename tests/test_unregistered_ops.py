@@ -1113,6 +1113,25 @@ def test_bm25_semantics_on_constructed_docs(spark):
     assert s[3]["bm25"] < 4 * s[2]["bm25"]
 
 
+def test_range_join_oracle_parity(spark, sf_dir):
+    """Bucketed interval self-join (B35, unregistered since the r13
+    rotation funded q_shard_seed): driver-grade DuckDB comparison —
+    the bucket-explode equi-join + residual |Δt| predicate must equal
+    the naive theta-join oracle exactly."""
+    from data_ingestion_api_system_loop_ai_spark.operators.timeseries import (
+        RANGE_JOIN_ORACLE,
+        q_range_join,
+    )
+
+    from .oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    try:
+        compare(q_range_join(spark, sf_dir), con, RANGE_JOIN_ORACLE)
+    finally:
+        con.close()
+
+
 def test_gap_fill_oracle_parity(spark, sf_dir):
     """Gap fill + linear interpolation (B55, unregistered): driver-grade
     DuckDB comparison — grid materialization, exact-decimal hourly
