@@ -274,6 +274,34 @@ def _fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _synth_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused synth -> decode -> fingerprint (r13, guide §4.1): the
+    two-stage form shipped every WAV payload Python -> JVM -> Python
+    through two Arrow boundaries just to hand it back to the next
+    mapInPandas; fusing keeps the payload inside one Python worker and
+    each clip leaves as one 8-byte row. Fingerprints are identical by
+    construction (same ``afp_payload`` bytes through the same
+    ``decode_clip_wav``/``afp64``); ``afp_assets`` remains the payload
+    relation for byte-level consumers/tests."""
+    for pdf in batches:
+        ids, fps, errs = [], [], []
+        for d in pdf["doc_id"]:
+            ids.append(int(d))
+            try:
+                fps.append(afp64(decode_clip_wav(afp_payload(int(d)))))
+                errs.append(None)
+            except (ValueError, struct.error) as exc:
+                fps.append(None)
+                errs.append(str(exc))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.array(ids, dtype="int64"),
+                "afp": pd.array(fps, dtype="Int64"),
+                "error": pd.array(errs, dtype="string"),
+            }
+        )
+
+
 def afp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy small scan: same spread discipline as B120 (without it
     # the whole synth+fingerprint pipeline lands on one task)
@@ -284,10 +312,14 @@ def afp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def afp_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(asset_id, afp, error): decode + fingerprint in one narrow
-    Arrow stage — each clip leaves as one 8-byte row."""
-    return afp_assets(spark, sf_dir).mapInPandas(
-        _fp_batch, "asset_id long, afp long, error string"
+    """(asset_id, afp, error): synth + decode + fingerprint in ONE
+    narrow Arrow stage — each clip leaves as one 8-byte row and the
+    payload bytes never cross the Python/JVM boundary."""
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return d.mapInPandas(
+        _synth_fp_batch, "asset_id long, afp long, error string"
     )
 
 

@@ -124,10 +124,14 @@ def bpe_train(
     words = (
         word_counts(docs)
         .select("word", _initial_symbols(F.col("word")).alias("symbols"), "n")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
+        # LAZY checkpoints (r13): each round's top-pair collect is the
+        # only action — it materializes the pending merge checkpoint it
+        # reads. The eager form launched a second full job per merge
+        # (48 jobs for 24 merges) over the same Zipf-bounded relation.
         top = (
             _pair_counts(words)
             .orderBy(F.col("cnt").desc(), F.col("left"), F.col("right"))
@@ -140,7 +144,7 @@ def bpe_train(
         merges.append((left, right, int(cnt)))
         words = words.withColumn(
             "symbols", _merge_expr(F.col("symbols"), left, right)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, words
 
 

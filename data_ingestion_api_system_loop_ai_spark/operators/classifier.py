@@ -197,12 +197,38 @@ def gd_step(
     )
 
 
+def feature_pairs(feats: DataFrame) -> DataFrame:
+    """(doc_id, fa, fb, x): the per-document feature self-join the
+    Newton curvature aggregates over, with x = (cnt_a/n)·(cnt_b/n)
+    spelled in exactly the fold order the inline join used (the 12-dp
+    rounding downstream sees identical doubles). This relation is
+    ITERATION-INVARIANT — only the per-doc IRLS weight p(1−p) changes
+    between Newton passes — so ``train_classifier`` materializes it
+    once and every pass re-reads it instead of re-running the
+    O(nnz²/doc) self-join (guide §2.4: the same exchange shared across
+    rounds; measured sf0.1: the 6-pass train dropped 33.6 s → see
+    OPTIMIZATION_r13.md)."""
+    return (
+        feats.alias("a")
+        .join(feats.alias("b"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("a.feat").alias("fa"),
+            F.col("b.feat").alias("fb"),
+            (
+                F.col("a.cnt") / F.col("a.n") * F.col("b.cnt") / F.col("b.n")
+            ).alias("x"),
+        )
+    )
+
+
 def newton_step(
     spark: SparkSession,
     feats: DataFrame,
     labels: DataFrame,
     weights: DataFrame,
     ridge: float = 1e-6,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """One IRLS / distributed-Newton step — the training loop that
     actually makes sense at 100 TB: logistic regression reaches the
@@ -226,7 +252,12 @@ def newton_step(
     import numpy as np
 
     d = HASH_DIM + 1
-    scored = (
+    # the per-doc residual/IRLS-weight relation feeds BOTH aggregates;
+    # it is one row per doc (corpus-count bounded, tiny next to the
+    # pair relation) — BROADCAST it so neither aggregate shuffles its
+    # big side at all (guide §3.1; before: two sort-merge joins each
+    # re-deriving the margins subtree)
+    scored = F.broadcast(
         margins(feats, weights)
         .join(labels, "doc_id")
         .select(
@@ -240,33 +271,39 @@ def newton_step(
             (F.col("p") * (1 - F.col("p"))).alias("wt"),
         )
     )
-    g_rows = (
-        feats.join(scored, "doc_id")
-        .groupBy("feat")
-        .agg(
-            F.sum(
-                F.round(F.col("resid") * F.col("cnt") / F.col("n"), 12).cast(
-                    _GDEC
-                )
-            ).alias("g")
-        )
-        .collect()
+    if pairs is None:
+        pairs = feature_pairs(feats)
+    # gradient and curvature in ONE union-aggregation job (the per-
+    # round fixed cost was two agg jobs plus two broadcast builds;
+    # union-tagging the gradient rows with fb = -1 makes the groups
+    # disjoint, the per-group decimal sums identical, and the broadcast
+    # subtree IDENTICAL in both branches so the physical planner's
+    # ReuseExchange ships `scored` once)
+    g_terms = feats.join(scored, "doc_id").select(
+        F.col("feat").alias("fa"),
+        F.lit(-1).cast("long").alias("fb"),
+        F.round(F.col("resid") * F.col("cnt") / F.col("n"), 12).cast(
+            _GDEC
+        ).alias("v"),
     )
-    x = F.col("a.cnt") / F.col("a.n") * F.col("b.cnt") / F.col("b.n")
-    h_rows = (
-        feats.alias("a")
-        .join(feats.alias("b"), "doc_id")
-        .join(scored, "doc_id")
-        .groupBy(F.col("a.feat").alias("fa"), F.col("b.feat").alias("fb"))
-        .agg(F.sum(F.round(F.col("wt") * x, 12).cast(_GDEC)).alias("h"))
+    h_terms = pairs.join(scored, "doc_id").select(
+        "fa",
+        "fb",
+        F.round(F.col("wt") * F.col("x"), 12).cast(_GDEC).alias("v"),
+    )
+    rows = (
+        g_terms.unionByName(h_terms)
+        .groupBy("fa", "fb")
+        .agg(F.sum("v").alias("v"))
         .collect()
     )
     grad = np.zeros(d)
-    for r in g_rows:
-        grad[r["feat"]] = float(r["g"])
     hess = np.eye(d) * ridge
-    for r in h_rows:
-        hess[r["fa"], r["fb"]] += float(r["h"])
+    for r in rows:
+        if r["fb"] < 0:
+            grad[r["fa"]] = float(r["v"])
+        else:
+            hess[r["fa"], r["fb"]] += float(r["v"])
     delta = np.linalg.solve(hess, grad)
     w_now = {r["feat"]: float(r["w"]) for r in weights.collect()}
     new = [
@@ -321,6 +358,12 @@ def train_classifier(
     labels = labels.join(
         feats.select("doc_id").distinct(), "doc_id", "left_semi"
     ).persist()
+    # the curvature's pair relation is iteration-invariant (only the
+    # per-doc IRLS weight changes) — materialize the self-join ONCE and
+    # let all n_iters Newton passes re-read it (guide §2.4; measured
+    # sf0.1 with the fused union-aggregation in newton_step: the 6-pass
+    # train dropped 33.6 s -> ~11.5 s warm, weights bit-identical)
+    pairs = feature_pairs(feats).persist() if method == "newton" else None
     try:
         n_docs = labels.count()
         weights = zero_weights(spark)
@@ -329,7 +372,9 @@ def train_classifier(
             if track_loss:
                 losses.append(mean_logloss(feats, labels, weights))
             if method == "newton":
-                weights = newton_step(spark, feats, labels, weights)
+                weights = newton_step(
+                    spark, feats, labels, weights, pairs=pairs
+                )
             else:
                 rows = gd_step(
                     feats, labels, weights, n_docs, lr_inv
@@ -346,6 +391,8 @@ def train_classifier(
     finally:
         feats.unpersist()
         labels.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 def score_documents(docs: DataFrame, weights: DataFrame) -> DataFrame:

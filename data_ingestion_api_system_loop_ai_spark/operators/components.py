@@ -92,13 +92,18 @@ def connected_components(
                 .alias("_chg"),
             )
         )
-        # truncate lineage; loop stays O(1) plan depth. Round r-1's
-        # label blocks are released once round r is materialized
-        # (checkpoint lifecycle, round 10 — plans/lifecycle.py)
-        updated, release_updated = local_checkpoint_handle(updated)
+        # truncate lineage; loop stays O(1) plan depth. LAZY checkpoint
+        # (r13): the convergence count below is the round's
+        # materializing action — the eager form paid a second full job
+        # per round. Round r-1's label blocks are released only AFTER
+        # that count has materialized round r (they feed its plan —
+        # checkpoint lifecycle, round 10, plans/lifecycle.py)
+        updated, release_updated = local_checkpoint_handle(
+            updated, eager=False
+        )
+        changed = updated.filter(F.col("_chg")).limit(1).count()
         release_labels()
         release_labels = release_updated
-        changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
             break

@@ -128,17 +128,28 @@ def kmeans_fit(
     # assignment/centroid blocks are released as soon as round r is
     # materialized; only the returned (asg, centroids) pair outlives
     # the fit
+    # (r13 note: an all-lazy-checkpoint variant of this loop was tried
+    # and MEASURED SLOWER — 5.1 s -> 12.0 s at sf0.1 — because the
+    # pending centroid checkpoint then materializes inside the next
+    # round's broadcast-exchange build instead of as a clean parallel
+    # job; the eager per-round materialization stays.)
     centroids, release_cent = local_checkpoint_handle(kmeans_seeds(e, k))
     objective: list[float] = []
     asg, release_asg = None, None
     for _ in range(iters):
+        # LAZY assignment checkpoint: the objective collect right below
+        # is its materializing action (one job instead of two); the
+        # centroid checkpoint stays EAGER so it never materializes
+        # inside the next round's broadcast-exchange build (the all-lazy
+        # variant above). Old assignment blocks are released only after
+        # the collect — they feed the pending centroid plan's lineage.
         new_asg, release_new_asg = local_checkpoint_handle(
-            kmeans_assign(e, centroids)
+            kmeans_assign(e, centroids), eager=False
         )
+        objective.append(new_asg.agg(F.avg("cos")).collect()[0][0])
         if release_asg is not None:
             release_asg()
         asg, release_asg = new_asg, release_new_asg
-        objective.append(asg.agg(F.avg("cos")).collect()[0][0])
         new_cent, release_new_cent = local_checkpoint_handle(
             _recompute(e, asg)
         )

@@ -93,7 +93,13 @@ def zorder_layout_audit(li: DataFrame) -> DataFrame:
         F.expr(
             BUCKET_SQL.format(v="l_suppkey", mn="_mns", mx="_mxs", n=n_cells)
         ).alias("b2"),
-    ).withColumn("z", F.expr(ZVALUE_SQL))
+        # STAGE BOUNDARY (r13): both layouts' two-phase ranks reference
+        # this relation twice each (local rank + bucket offsets), so the
+        # scan + bucket arithmetic + 16-term Morton interleave ran FOUR
+        # times per audit (measured sf0.1: 1.4 s/instantiation of an
+        # 11 s query). One lazy localCheckpoint materializes it once —
+        # the same boundary funnel_stages places before its layout tail.
+    ).withColumn("z", F.expr(ZVALUE_SQL)).localCheckpoint(eager=False)
 
     def files(df: DataFrame, layout: str, bucket_col, order_cols) -> DataFrame:
         ranked = global_row_number(

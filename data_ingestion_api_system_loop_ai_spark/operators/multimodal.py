@@ -131,29 +131,45 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    import numpy as np
+
     bpp = 3
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     raw = bytearray()
-    prev = bytes(width * bpp)
+    prev = np.zeros(width * bpp, dtype=np.int32)
     for y in range(height):
         row = (row_fn or _png_pixel_row)(width, seed, y)
         ftype = y % 5
         raw.append(ftype)
-        for i in range(len(row)):
-            a = row[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                raw.append(row[i])
-            elif ftype == 1:
-                raw.append((row[i] - a) % 256)
-            elif ftype == 2:
-                raw.append((row[i] - b) % 256)
-            elif ftype == 3:
-                raw.append((row[i] - (a + b) // 2) % 256)
-            else:
-                raw.append((row[i] - _paeth(a, b, c)) % 256)
-        prev = row
+        # vectorized filters (r13): every predictor reads RAW
+        # neighbors only, so each row filters in whole-array integer
+        # arithmetic — byte-identical to the per-byte loop (pure
+        # integer ops; goldens pin the stream bytes) at a fraction of
+        # the Python dispatch cost (guide §4.2)
+        r = np.frombuffer(row, dtype=np.uint8).astype(np.int32)
+        a = np.zeros_like(r)
+        a[bpp:] = r[:-bpp]
+        if ftype == 0:
+            f = r
+        elif ftype == 1:
+            f = (r - a) % 256
+        elif ftype == 2:
+            f = (r - prev) % 256
+        elif ftype == 3:
+            f = (r - (a + prev) // 2) % 256
+        else:
+            c = np.zeros_like(prev)
+            c[bpp:] = prev[:-bpp]
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                a,
+                np.where(pb <= pc, prev, c),
+            )
+            f = (r - pred) % 256
+        raw += f.astype(np.uint8).tobytes()
+        prev = r
     z = zlib.compress(bytes(raw), 6)
     mid = max(1, len(z) // 2)
     return (
@@ -913,6 +929,8 @@ def _png_raster(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    import numpy as np
+
     bpp, stride = 3, 1 + w * 3
     if len(raw) != h * stride:
         raise ValueError("PNG scanline length mismatch")
@@ -923,22 +941,37 @@ def _png_raster(payload: bytes) -> tuple[int, int, bytes]:
         if ftype > 4:
             raise ValueError(f"PNG bad filter type {ftype}")
         line = raw[y * stride + 1 : (y + 1) * stride]
-        recon = bytearray(w * bpp)
-        for i in range(w * bpp):
-            a = recon[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                v = line[i]
-            elif ftype == 1:
-                v = (line[i] + a) % 256
-            elif ftype == 2:
-                v = (line[i] + b) % 256
-            elif ftype == 3:
-                v = (line[i] + (a + b) // 2) % 256
-            else:
-                v = (line[i] + _paeth(a, b, c)) % 256
-            recon[i] = v
+        # vectorized unfilter for the predictors without a
+        # reconstructed-left dependency (r13): None copies, Up adds the
+        # previous reconstructed row, Sub telescopes to a per-channel
+        # running sum (cumsum in int64, mod 256 — exact integer
+        # arithmetic, byte-identical to the sequential chain). Average
+        # and Paeth read the CURRENT row's reconstructed left neighbor
+        # through a nonlinear predictor, so they stay per-byte.
+        if ftype == 0:
+            recon = bytearray(line)
+        elif ftype == 1:
+            l = np.frombuffer(line, dtype=np.uint8).astype(np.int64)
+            recon = bytearray(
+                (np.cumsum(l.reshape(w, bpp), axis=0) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif ftype == 2:
+            l = np.frombuffer(line, dtype=np.uint8).astype(np.int32)
+            p = np.frombuffer(prev, dtype=np.uint8).astype(np.int32)
+            recon = bytearray(((l + p) % 256).astype(np.uint8).tobytes())
+        else:
+            recon = bytearray(w * bpp)
+            for i in range(w * bpp):
+                a = recon[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 3:
+                    v = (line[i] + (a + b) // 2) % 256
+                else:
+                    v = (line[i] + _paeth(a, b, c)) % 256
+                recon[i] = v
         out += recon
         prev = bytes(recon)
     return w, h, bytes(out)

@@ -139,9 +139,19 @@ def nn_descent(
             .select("query_id", "neighbor_id")
             .distinct()
         )
+        # BROADCAST the vector relation into both scoring joins (guide
+        # §3.1): the candidate relation is ~(2k)² rows per node — two
+        # orders of magnitude more rows than vectors — and the checkpoint-
+        # backed vector relation has no size statistics, so the planner
+        # fell back to sort-merge joins that shuffled every candidate
+        # row carrying the just-attached 64-double embedding (~540 B/row,
+        # the dominant shuffle of every round). The vector side always
+        # fits: inline builds are capped at SHARD_TARGET=32 k vectors
+        # (~16 MB framed) — past that the sharded build runs this loop
+        # per shard at the same bound.
         scored = (
-            cand.join(qa, "query_id")
-            .join(nb, "neighbor_id")
+            cand.join(F.broadcast(qa), "query_id")
+            .join(F.broadcast(nb), "neighbor_id")
             .select(
                 "query_id",
                 "neighbor_id",
@@ -161,15 +171,20 @@ def nn_descent(
         g, release_new = local_checkpoint_handle(
             merged.withColumn("rnk", F.row_number().over(wq).cast("long"))
             .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cosine")
+            .select("query_id", "neighbor_id", "cosine"),
+            eager=False,
         )
-        # the new round is materialized (eager checkpoint): the previous
-        # round's blocks are provably dead — release them now
-        release_g()
-        release_g = release_new
+        # LAZY checkpoint + the objective aggregate as the materializing
+        # action (r13): the eager form ran one full job for the
+        # checkpoint and a second for the objective — same work, two
+        # job launches per round. The previous round's blocks are
+        # released only AFTER the collect below has materialized the
+        # new round (they feed its plan; the lifecycle caveat).
         row = g.agg(
             F.sum("cosine").alias("s"), F.count("*").alias("m")
         ).collect()[0]
+        release_g()
+        release_g = release_new
         objective.append(
             (row["s"] + (n_q * k - row["m"]) * -1.0) / (n_q * k)
         )

@@ -110,6 +110,9 @@ def pagerank(
                 / F.lit(float(n))
             ).alias("d_mass")
         )
+        # LAZY checkpoint (r13): the delta collect below is the round's
+        # materializing action — the eager form paid a second full job
+        # per round just to write the checkpoint first
         new, release_new = local_checkpoint_handle(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(d_mass))
@@ -126,7 +129,8 @@ def pagerank(
                     ),
                     12,
                 ).alias("rank"),
-            )
+            ),
+            eager=False,
         )
         delta = (
             new.join(ranks.withColumnRenamed("rank", "old"), "node")

@@ -107,7 +107,22 @@ def _resample32(luma: np.ndarray) -> np.ndarray:
     mean of source block [r*h//32, max(+1, (r+1)*h//32)) x [likewise in
     c] — plain downsample averaging when the image is larger than 32,
     nearest-row/col replication when smaller (the JPEG fixtures go down
-    to 16px). Deterministic float64 folds."""
+    to 16px). Deterministic float64 folds.
+
+    Vectorized (r13, guide §4.2): the loop form issued d² = 1024 scalar
+    ``.mean()`` calls per image — pure numpy dispatch overhead that
+    dominated BOTH perceptual-hash families (measured: 97% of the video
+    fingerprint stage, ~60% of the image hash stage). The vector form
+    accumulates each block with EXPLICIT left-to-right offset adds
+    (``s = s + block_element_k``, one vectorized add per offset), which
+    is bit-identical to the loop's two-stage row-block-mean ->
+    col-block-mean fold because numpy's ``.mean()`` sums small blocks
+    sequentially too — only at >= 8 elements does its partial-pairwise
+    accumulation diverge (np.add.reduceat was 1 ulp off for exactly
+    that reason on the contiguous axis), so blocks of >= 8 (sources
+    >= 256 px — none in any corpus here) take the legacy loop instead.
+    Equality is pinned over every source shape in
+    tests/test_phash.py::test_resample32_vectorized_bit_identical."""
     h, w = luma.shape
     d = PHASH_DOWN
     r_idx = np.arange(d)
@@ -115,6 +130,19 @@ def _resample32(luma: np.ndarray) -> np.ndarray:
     rhi = np.maximum(rlo + 1, ((r_idx + 1) * h) // d)
     clo = (r_idx * w) // d
     chi = np.maximum(clo + 1, ((r_idx + 1) * w) // d)
+    m = rhi - rlo
+    k = chi - clo
+    if m.max() <= 7 and k.max() <= 7:
+        rs = luma[rlo, :].copy()
+        for off in range(1, int(m.max())):
+            sel = np.nonzero(m > off)[0]
+            rs[sel, :] += luma[rlo[sel] + off, :]
+        row_means = rs / m[:, None]
+        cs = row_means[:, clo].copy()
+        for off in range(1, int(k.max())):
+            sel = np.nonzero(k > off)[0]
+            cs[:, sel] += row_means[:, clo[sel] + off]
+        return cs / k[None, :]
     out = np.empty((d, d))
     for r in range(d):
         col_mean = luma[rlo[r] : rhi[r], :].mean(axis=0)
@@ -333,11 +361,53 @@ def phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_synth_batch, "asset_id long, payload binary")
 
 
+def _synth_hash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fused synth -> decode -> hash (r13, guide §4.1): the two-stage
+    form shipped every ~15 KB image payload Python -> JVM -> Python
+    through two Arrow boundaries just to hand it back to the next
+    mapInPandas; fusing keeps the payload inside one Python worker and
+    each asset leaves as one 8-byte row. Hashes are identical by
+    construction (same ``phash_payload`` bytes through the same
+    ``_raster_of``/``phash64``); ``phash_assets`` remains the payload
+    relation for byte-level consumers/tests."""
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            aid = int(d)
+            try:
+                w, h, raster = _raster_of(phash_payload(aid))
+                rows.append(
+                    {"asset_id": aid,
+                     "phash": phash64(w, h, raster), "error": None}
+                )
+            except ValueError as exc:
+                rows.append(
+                    {"asset_id": aid, "phash": None, "error": str(exc)}
+                )
+        yield pd.DataFrame(
+            {
+                "asset_id": [r["asset_id"] for r in rows],
+                "phash": pd.array(
+                    [r["phash"] for r in rows], dtype="Int64"
+                ),
+                "error": pd.array(
+                    [r["error"] for r in rows], dtype=object
+                ),
+            }
+        )
+
+
 def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(asset_id, phash, error): decode + hash in one narrow Arrow
-    stage — each asset leaves as one 8-byte hash row."""
-    return phash_assets(spark, sf_dir).mapInPandas(
-        _hash_batch, "asset_id long, phash long, error string"
+    """(asset_id, phash, error): synth + decode + hash in ONE narrow
+    Arrow stage — each asset leaves as one 8-byte hash row and the
+    payload bytes never cross the Python/JVM boundary."""
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return d.mapInPandas(
+        _synth_hash_batch, "asset_id long, phash long, error string"
     )
 
 

@@ -220,3 +220,41 @@ def test_phash_resample_paths():
     # seed's image relative to the match radius
     other = phash64(64, 64, smooth_raster(64, 64, seed=4))
     assert hamming64(h64, other) > PHASH_MAX_HAMMING
+
+
+def test_resample32_vectorized_bit_identical():
+    """r13 optimization pin: the vectorized offset-add box resample is
+    BIT-IDENTICAL to the original per-cell ``.mean()`` loop over every
+    source shape class the corpora produce (phash fixtures 16-80 px,
+    video luma 48x32) and across the guard boundary where the legacy
+    loop takes over (blocks >= 8 elements, i.e. sources >= 256 px)."""
+    from data_ingestion_api_system_loop_ai_spark.operators.phash import (
+        PHASH_DOWN,
+        _resample32,
+    )
+
+    d = PHASH_DOWN
+
+    def legacy(luma):
+        h, w = luma.shape
+        r_idx = np.arange(d)
+        rlo = (r_idx * h) // d
+        rhi = np.maximum(rlo + 1, ((r_idx + 1) * h) // d)
+        clo = (r_idx * w) // d
+        chi = np.maximum(clo + 1, ((r_idx + 1) * w) // d)
+        out = np.empty((d, d))
+        for r in range(d):
+            col_mean = luma[rlo[r] : rhi[r], :].mean(axis=0)
+            for c in range(d):
+                out[r, c] = col_mean[clo[c] : chi[c]].mean()
+        return out
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    shapes = [
+        (16, 16), (16, 64), (31, 33), (32, 48), (32, 32), (48, 80),
+        (64, 64), (65, 80), (79, 79), (80, 48), (96, 113), (128, 200),
+        (223, 223), (224, 64), (255, 257), (256, 256), (300, 80),
+    ]
+    for h, w in shapes:
+        a = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+        assert _resample32(a).tobytes() == legacy(a).tobytes(), (h, w)
