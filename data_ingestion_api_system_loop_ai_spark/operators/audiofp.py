@@ -62,7 +62,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, spread_small_scan
 from .phash import _dct_matrix, phash_near_pairs
 
 AFP_SR = 8000          # fixture sample rate (Hz)
@@ -303,22 +302,24 @@ def _synth_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def afp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CPU-heavy small scan: same spread discipline as B120 (without it
-    # the whole synth+fingerprint pipeline lands on one task)
-    d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    # one shared asset-id universe with the fused fingerprint relation
+    # (phash._asset_id_scan — ADVICE r13 #4); CPU-heavy small scan:
+    # same spread discipline as B120
+    from .phash import _asset_id_scan
+
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
+        _synth_batch, "asset_id long, payload binary"
     )
-    return d.mapInPandas(_synth_batch, "asset_id long, payload binary")
 
 
 def afp_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(asset_id, afp, error): synth + decode + fingerprint in ONE
     narrow Arrow stage — each clip leaves as one 8-byte row and the
-    payload bytes never cross the Python/JVM boundary."""
-    d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
-    )
-    return d.mapInPandas(
+    payload bytes never cross the Python/JVM boundary. Derives its
+    asset-id universe from the same scan as ``afp_assets``."""
+    from .phash import _asset_id_scan
+
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
         _synth_fp_batch, "asset_id long, afp long, error string"
     )
 

@@ -68,6 +68,16 @@ LR_INV = 2
 N_ITERS = 6  # Newton/IRLS passes — logistic regression converges in ~6
 _WDEC = "decimal(18,12)"
 _GDEC = "decimal(28,12)"
+# Broadcast-hint bound for the per-doc (resid, wt) relation inside
+# newton_step (r14, VERDICT r13 #7): one ~50-byte-framed row per
+# LABELED training document, so 20 M labels is ~1 GB — comfortably
+# under the 8 GB / 512 M-row broadcast relation cap and a driver heap
+# that holds the (D+1)² solve anyway. A labeled set is curated (human
+# or model annotations), so in practice it is millions, not corpus-
+# sized; past the cap the hint drops out and both aggregates fall back
+# to the planner's shuffle join — weights are bit-identical either way
+# (the decimal sums are order-independent).
+NEWTON_BCAST_DOC_CAP = 20_000_000
 
 
 def feature_rel(docs: DataFrame) -> DataFrame:
@@ -229,6 +239,7 @@ def newton_step(
     weights: DataFrame,
     ridge: float = 1e-6,
     pairs: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """One IRLS / distributed-Newton step — the training loop that
     actually makes sense at 100 TB: logistic regression reaches the
@@ -253,11 +264,21 @@ def newton_step(
 
     d = HASH_DIM + 1
     # the per-doc residual/IRLS-weight relation feeds BOTH aggregates;
-    # it is one row per doc (corpus-count bounded, tiny next to the
-    # pair relation) — BROADCAST it so neither aggregate shuffles its
-    # big side at all (guide §3.1; before: two sort-merge joins each
-    # re-deriving the margins subtree)
-    scored = F.broadcast(
+    # it is one row per LABELED doc (tiny next to the pair relation) —
+    # BROADCAST it so neither aggregate shuffles its big side at all
+    # (guide §3.1; before: two sort-merge joins each re-deriving the
+    # margins subtree). The hint is GATED on the caller's label count
+    # (r14, VERDICT r13 #7): labeled sets are curated-small in
+    # practice, but the relation is corpus-proportional in principle,
+    # so past NEWTON_BCAST_DOC_CAP (or when the count is unknown) the
+    # hint drops out and the planner shuffles — same weights either
+    # way, the decimal sums are order-independent.
+    bcast = (
+        F.broadcast
+        if n_docs is not None and n_docs <= NEWTON_BCAST_DOC_CAP
+        else (lambda df: df)
+    )
+    scored = bcast(
         margins(feats, weights)
         .join(labels, "doc_id")
         .select(
@@ -373,7 +394,8 @@ def train_classifier(
                 losses.append(mean_logloss(feats, labels, weights))
             if method == "newton":
                 weights = newton_step(
-                    spark, feats, labels, weights, pairs=pairs
+                    spark, feats, labels, weights, pairs=pairs,
+                    n_docs=n_docs,
                 )
             else:
                 rows = gd_step(

@@ -83,7 +83,14 @@ def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("warc_type") == "response") & F.col("error").isNull()
     ).select("doc_id", F.col("body").alias("html"))
 
-    canon = canonicalize_urls(synthesize_urls(docs))
+    # the canonical-URL relation feeds THREE consumers (robots policy,
+    # the eligible-group min, the keep_url attribution) and each
+    # reference re-instantiates the synthesize+canonicalize expression
+    # chain (r14, guide §2.4 — same boundary discipline as ``recs``
+    # above); one lazy checkpoint materializes it once
+    canon = canonicalize_urls(synthesize_urls(docs)).localCheckpoint(
+        eager=False
+    )
     policy = robots_filter(
         canon.select("doc_id", "canonical_url"),
         parse_robots_rules(synthesize_robots(spark)),

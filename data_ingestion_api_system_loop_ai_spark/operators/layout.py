@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.lifecycle import local_checkpoint_handle
 from ..plans.ranking import global_row_number
 from ..sources.loader import load_table
 
@@ -68,10 +69,22 @@ ZVALUE_SQL = " + ".join(
 )
 
 
-def zorder_layout_audit(li: DataFrame) -> DataFrame:
+def zorder_layout_audit(li: DataFrame, return_release: bool = False):
     """(layout, file_id, n_rows, min_partkey, max_partkey, min_suppkey,
     max_suppkey, span_partkey, span_suppkey) for the 'linear' (sort by
-    partkey) and 'zorder' (sort by Morton code) layouts of ``li``."""
+    partkey) and 'zorder' (sort by Morton code) layouts of ``li``.
+
+    The returned plan rides an internal ``localCheckpoint`` of the
+    bucket+Morton relation (the r13 stage boundary — four subtree
+    instantiations collapsed to one). With ``return_release=True`` a
+    second element exposes that checkpoint's release closure (the
+    ``nn_descent`` convention — plans/lifecycle.py): call it once the
+    returned relation has been materialized and no longer needs to be
+    recomputed. The default leaves the blocks to the caller's harness
+    sweep (bench.py releases between timed windows), same as the
+    funnel-stage checkpoints — note a released checkpoint CANNOT be
+    recomputed, so releasing and then re-materializing the returned
+    DataFrame fails."""
     stats = F.broadcast(
         li.agg(
             F.min("l_partkey").alias("_mnp"),
@@ -99,7 +112,10 @@ def zorder_layout_audit(li: DataFrame) -> DataFrame:
         # times per audit (measured sf0.1: 1.4 s/instantiation of an
         # 11 s query). One lazy localCheckpoint materializes it once —
         # the same boundary funnel_stages places before its layout tail.
-    ).withColumn("z", F.expr(ZVALUE_SQL)).localCheckpoint(eager=False)
+        # r14 (VERDICT r13 #8): routed through local_checkpoint_handle
+        # so the blocks have an owner — see the docstring.
+    ).withColumn("z", F.expr(ZVALUE_SQL))
+    bucketed, release = local_checkpoint_handle(bucketed, eager=False)
 
     def files(df: DataFrame, layout: str, bucket_col, order_cols) -> DataFrame:
         ranked = global_row_number(
@@ -157,7 +173,10 @@ def zorder_layout_audit(li: DataFrame) -> DataFrame:
         F.expr(f"CAST(floor(z / {n_cells}) AS BIGINT)"),
         ["z", "l_orderkey", "l_linenumber"],
     )
-    return linear.unionByName(zorder)
+    out = linear.unionByName(zorder)
+    if return_release:
+        return out, release
+    return out
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,18 @@ from .similarity import (
 
 NND_ITERS = 2
 
+# Broadcast-hint bound for the vector relation inside the scoring
+# joins (r14, ADVICE r13): the hint is only safe when the CALLER can
+# prove the vector count — at ~540 B framed per 64-double row, 32 k
+# vectors is ~17 MB (the same per-shard ceiling as
+# shardknn.SHARD_TARGET, kept as a literal here because shardknn
+# imports this module). Callers that refine the FULL corpus graph
+# (knn_graph_sharded's within-shard and stitch rounds, budgeted builds
+# over an uncounted relation) pass the true count and the hint drops
+# out past the cap — an unconditional broadcast there would grow with
+# the corpus straight into the 8 GB relation cap / driver OOM.
+NND_BCAST_VECTORS_CAP = 32_000
+
 
 def nn_descent(
     e: DataFrame,
@@ -71,6 +83,7 @@ def nn_descent(
     iters: int = NND_ITERS,
     round_hook=None,
     return_release=False,
+    n_vectors: int | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """Refine ``graph`` (query_id, neighbor_id, cosine) over vectors
     ``e`` (vec_id, embedding); returns (refined graph with dense per-
@@ -88,7 +101,12 @@ def nn_descent(
     a better one displaces it, and a NEW edge replaces a -1 pad with a
     cosine >= -1 — whereas the naive mean over present edges can
     DECREASE when an under-filled query gains a genuine but low-cosine
-    neighbor."""
+    neighbor.
+
+    ``n_vectors`` is the caller's bound on ``e``'s row count; the
+    scoring joins broadcast the vector relation only when it is known
+    to fit (``<= NND_BCAST_VECTORS_CAP``). ``None`` means unknown —
+    no hint, the planner's shuffle join (the scale-safe default)."""
     # checkpoint LIFECYCLE (round 10): every round's checkpoint is
     # released the moment the next round is materialized — a long
     # session (118-query bench, multi-size scaling probe) otherwise
@@ -140,18 +158,24 @@ def nn_descent(
             .distinct()
         )
         # BROADCAST the vector relation into both scoring joins (guide
-        # §3.1): the candidate relation is ~(2k)² rows per node — two
-        # orders of magnitude more rows than vectors — and the checkpoint-
-        # backed vector relation has no size statistics, so the planner
-        # fell back to sort-merge joins that shuffled every candidate
-        # row carrying the just-attached 64-double embedding (~540 B/row,
-        # the dominant shuffle of every round). The vector side always
-        # fits: inline builds are capped at SHARD_TARGET=32 k vectors
-        # (~16 MB framed) — past that the sharded build runs this loop
-        # per shard at the same bound.
+        # §3.1) — but only under a PROVEN bound (r14, ADVICE r13): the
+        # candidate relation is ~(2k)² rows per node — two orders of
+        # magnitude more rows than vectors — and the checkpoint-backed
+        # vector relation has no size statistics, so the planner
+        # otherwise falls back to sort-merge joins that shuffle every
+        # candidate row carrying the just-attached 64-double embedding
+        # (~540 B/row, the dominant shuffle of every round). The r13
+        # form asserted the bound unconditionally, which was FALSE for
+        # the sharded build's full-corpus refinement calls; now the
+        # caller passes its count and the hint drops out past the cap.
+        bcast = (
+            F.broadcast
+            if n_vectors is not None and n_vectors <= NND_BCAST_VECTORS_CAP
+            else (lambda df: df)
+        )
         scored = (
-            cand.join(F.broadcast(qa), "query_id")
-            .join(F.broadcast(nb), "neighbor_id")
+            cand.join(bcast(qa), "query_id")
+            .join(bcast(nb), "neighbor_id")
             .select(
                 "query_id",
                 "neighbor_id",
@@ -210,6 +234,7 @@ def knn_graph_budgeted(
     iters: int = NND_ITERS,
     seeds: DataFrame | None = None,
     probes: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """The SCALE-SAFE corpus kNN graph (VERDICT r09 #1): the O(n·budget)
     single-probe seed (``similarity.knn_graph_seed``) refined by
@@ -242,7 +267,12 @@ def knn_graph_budgeted(
         asg_ck, k=k, budget=budget, checkpoint=False, seeds=seeds,
         probes=probes,
     )
-    out, _obj = nn_descent(e, seed, k=k, iters=iters)
+    # the refinement rounds' broadcast hint needs a PROVEN vector
+    # count (see nn_descent); count once when the caller didn't pass
+    # one — a column-less scan, the cheapest possible corpus pass
+    if n is None:
+        n = e.count()
+    out, _obj = nn_descent(e, seed, k=k, iters=iters, n_vectors=n)
     release_asg()
     return out
 

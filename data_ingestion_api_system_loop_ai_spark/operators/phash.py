@@ -349,16 +349,25 @@ def _hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the doc_id relation is byte-tiny (one parquet split), but every
-    # row fans out into milliseconds of Python decode+hash work — the
-    # CPU-heavy-small-scan case spread_small_scan exists for (without
-    # it the whole synth+hash pipeline ran as ONE task: measured 38.9 s
-    # for ~1.2 s of 32-core work at sf0.1)
-    d = spread_small_scan(
+def _asset_id_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asset-id universe BOTH the payload relation and the fused
+    hash relation derive from (r14, ADVICE r13 #4: one definition, so
+    a filter/spec change here cannot silently diverge the byte-level
+    payload relation from the hash relation its tests compare against).
+    The doc_id relation is byte-tiny (one parquet split), but every
+    row fans out into milliseconds of Python decode+hash work — the
+    CPU-heavy-small-scan case spread_small_scan exists for (without
+    it the whole synth+hash pipeline ran as ONE task: measured 38.9 s
+    for ~1.2 s of 32-core work at sf0.1)."""
+    return spread_small_scan(
         load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
-    return d.mapInPandas(_synth_batch, "asset_id long, payload binary")
+
+
+def phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
+        _synth_batch, "asset_id long, payload binary"
+    )
 
 
 def _synth_hash_batch(
@@ -403,10 +412,7 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(asset_id, phash, error): synth + decode + hash in ONE narrow
     Arrow stage — each asset leaves as one 8-byte hash row and the
     payload bytes never cross the Python/JVM boundary."""
-    d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
-    )
-    return d.mapInPandas(
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
         _synth_hash_batch, "asset_id long, phash long, error string"
     )
 

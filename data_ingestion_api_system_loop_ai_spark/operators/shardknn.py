@@ -511,7 +511,7 @@ def knn_graph_sharded(
         asg = gasg if gasg is not None else ivf_assign(e)
         return knn_graph_budgeted(
             e, asg, k=k, budget=budget, iters=NND_ITERS,
-            seeds=seeds, probes=probes,
+            seeds=seeds, probes=probes, n=n,
         )
     # the graph is BUILT at a working k above the query k (WORK_K_MULT
     # x k by default — the standard NN-Descent practice): wider
@@ -537,8 +537,13 @@ def knn_graph_sharded(
         # within-shard refinement: the seed's edges and bridges are all
         # in-shard, so the 2-hop closure stays in-shard — these rounds
         # run all S per-shard builds at once
+        # n_vectors is the FULL corpus count here (every shard refines
+        # at once over the whole vector relation), so the broadcast
+        # hint drops out past the cap — the r13 form's per-shard-bound
+        # claim did not hold for this caller (ADVICE r13)
         refined, _obj, release_local = nn_descent(
-            e, local_seed, k=wk, iters=iters_local, return_release=True
+            e, local_seed, k=wk, iters=iters_local, return_release=True,
+            n_vectors=n,
         )
         local_graph = refined.select("query_id", "neighbor_id", "cosine")
     else:
@@ -593,7 +598,9 @@ def knn_graph_sharded(
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
     )
-    wide, _obj = nn_descent(e, merged, k=wk, iters=iters_stitch)
+    wide, _obj = nn_descent(
+        e, merged, k=wk, iters=iters_stitch, n_vectors=n
+    )
     # final truncation: the wide build's per-query window order IS the
     # output order, so rnk <= k is exactly the top-k graph
     out = wide.filter(F.col("rnk") <= k)
@@ -815,6 +822,7 @@ def sharded_seed_merged(
     bridges: int = KNN_BRIDGE_R,
     stitch_budget: int = KNN_SEED_BUDGET,
     shard_target: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """The SQL-expressible merged seed (local top-k ∪ stitch top-k,
     max-dedup) — the same stage expressions ``knn_graph_sharded``
@@ -823,22 +831,44 @@ def sharded_seed_merged(
     the production build runs the identical expressions at work_k and
     its own stitch knobs). ``shard_seed_oracle`` reproduces this
     relation; the parity test pins the ENTIRE pre-NND prefix against
-    DuckDB at a forced shard count."""
+    DuckDB at a forced shard count.
+
+    STAGE BOUNDARIES (r14, guide §2.4): the two assignment relations
+    are the expensive argmax passes and each is referenced by SEVERAL
+    downstream subtrees — ``sasg`` five times inside
+    ``within_shard_pairs`` (query side, capped pool, second-cell
+    probe, bridge stats, bridge targets) and the global ``gasg`` three
+    times inside ``stitch_pairs`` (query side, capped pool,
+    ``ivf_second_cell``) — and divergently-pruned subtrees never
+    canonicalize equal, so without a boundary every reference re-ran
+    the full n·√m / n·√n argmax (measured sf0.1: the registered
+    q_shard_seed row carried a 248 KB plan with ~30 scan subtrees at
+    6.4-7.5 s; the production ``knn_graph_sharded`` has checkpointed
+    these same relations since r12). Lazy ``localCheckpoint`` per the
+    funnel-stage precedent: the returned plan rides the blocks, so
+    release belongs to the harness sweep between queries
+    (plans/lifecycle.py), exactly like ``funnel_stages``."""
     from .similarity import ivf_seeds
 
-    n = e.count()
+    if n is None:
+        n = e.count()
     S = n_shards_for(n, shard_target)
-    sseeds = shard_seeds(e, S)
-    sasg = shard_assign(e, sseeds, S)
+    sseeds = shard_seeds(e, S).localCheckpoint(eager=False)
+    sasg = shard_assign(e, sseeds, S).localCheckpoint(eager=False)
     local = _topk(
         within_shard_pairs(
             sasg, sseeds, S, budget=budget, probes=probes, bridges=bridges
         ),
         k,
     )
+    gasg = ivf_assign(e).localCheckpoint(eager=False)
+    # ivf_seeds (√n rows) is NOT checkpointed: measured SLOWER —
+    # the checkpoint strips the relation's size statistics and demotes
+    # the seed-side broadcast joins inside stitch_pairs to sort-merge,
+    # costing more than the 4 duplicate scans it saved
     stitch = _topk(
         stitch_pairs(
-            ivf_assign(e), S, stitch_budget, seeds=ivf_seeds(e), probes=2
+            gasg, S, stitch_budget, seeds=ivf_seeds(e), probes=2
         ),
         k,
     )
@@ -871,7 +901,10 @@ def q_shard_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is oracle-checked). Registered r13."""
     e = load_table(spark, sf_dir, "embeddings")
     n = e.count()
-    return sharded_seed_merged(e, shard_target=-(-n // REGISTERED_SHARDS))
+    # n threads through so the merged seed does not re-count (one job)
+    return sharded_seed_merged(
+        e, shard_target=-(-n // REGISTERED_SHARDS), n=n
+    )
 
 
 SHARDKNN_QUERIES = {"q_shard_seed": q_shard_seed}

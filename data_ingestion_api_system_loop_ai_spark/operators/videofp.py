@@ -78,7 +78,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table, spread_small_scan
 from .phash import _resample32, phash_near_pairs
 
 VFP_W = 48             # fixture frame size (4:2:0 wants even dims)
@@ -373,21 +372,24 @@ def _synth_fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def vfp_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CPU-heavy small scan: same spread discipline as B120/B130
-    d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    # one shared asset-id universe with the fused fingerprint relation
+    # (phash._asset_id_scan — ADVICE r13 #4); CPU-heavy small scan:
+    # same spread discipline as B120/B130
+    from .phash import _asset_id_scan
+
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
+        _synth_batch, "asset_id long, payload binary"
     )
-    return d.mapInPandas(_synth_batch, "asset_id long, payload binary")
 
 
 def vfp_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(asset_id, vfp, error): synth + decode + fingerprint in ONE
     narrow Arrow stage — each clip leaves as one 8-byte row and the
-    payload bytes never cross the Python/JVM boundary."""
-    d = spread_small_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
-    )
-    return d.mapInPandas(
+    payload bytes never cross the Python/JVM boundary. Derives its
+    asset-id universe from the same scan as ``vfp_assets``."""
+    from .phash import _asset_id_scan
+
+    return _asset_id_scan(spark, sf_dir).mapInPandas(
         _synth_fp_batch, "asset_id long, vfp long, error string"
     )
 

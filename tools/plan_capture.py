@@ -1,6 +1,7 @@
 """Capture ``explain('formatted')`` plans for named queries into
-``plans/r13/<name>_<suffix>.txt`` — the optimization round's evidence
-files (the judge checks plan claims against these).
+``plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<suffix>.txt`` (round dir
+defaults to ``r14``) — the optimization round's evidence files (the
+judge checks plan claims against these).
 
 Usage:
     python tools/plan_capture.py <suffix> <query_name> [<query_name> ...]
@@ -35,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
