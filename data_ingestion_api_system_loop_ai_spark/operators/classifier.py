@@ -240,7 +240,8 @@ def newton_step(
     ridge: float = 1e-6,
     pairs: DataFrame | None = None,
     n_docs: int | None = None,
-) -> DataFrame:
+    w_rows: list | None = None,
+) -> tuple[DataFrame, list]:
     """One IRLS / distributed-Newton step — the training loop that
     actually makes sense at 100 TB: logistic regression reaches the
     optimum in ~5-8 Newton iterations, and at corpus scale FIVE full
@@ -259,7 +260,15 @@ def newton_step(
 
     The ridge term keeps separable corpora from diverging. The solve
     is numpy on the collected (D+1)² cells — the same driver-sized
-    touchpoint as the k-means centroid update."""
+    touchpoint as the k-means centroid update.
+
+    ``w_rows`` is the driver-side [(feat, w-as-double)] mirror of
+    ``weights`` (r14: the loop THREADS it between passes instead of
+    paying a per-pass ``weights.collect()`` job — exact because
+    ``float(CAST(round(x,12) AS decimal(18,12)))`` round-trips to the
+    same double: |w| stays far below the 1e6 scale where a 12-dp grid
+    step would near a double ulp). Returns (weights DataFrame, its
+    driver-side rows) so the caller can thread."""
     import numpy as np
 
     d = HASH_DIM + 1
@@ -326,14 +335,17 @@ def newton_step(
         else:
             hess[r["fa"], r["fb"]] += float(r["v"])
     delta = np.linalg.solve(hess, grad)
-    w_now = {r["feat"]: float(r["w"]) for r in weights.collect()}
+    if w_rows is None:
+        w_rows = [(r["feat"], float(r["w"])) for r in weights.collect()]
+    w_now = dict(w_rows)
     new = [
         (f, round(w_now.get(f, 0.0) + float(delta[f]), 12))
         for f in range(d)
     ]
-    return spark.createDataFrame(new, "feat long, w double").select(
+    new_df = spark.createDataFrame(new, "feat long, w double").select(
         "feat", F.col("w").cast(_WDEC).alias("w")
     )
+    return new_df, new
 
 
 def mean_logloss(feats: DataFrame, labels: DataFrame, weights: DataFrame) -> float:
@@ -388,14 +400,17 @@ def train_classifier(
     try:
         n_docs = labels.count()
         weights = zero_weights(spark)
+        # driver-side mirror of the weight relation, threaded between
+        # Newton passes so no pass pays a weights.collect() job (r14)
+        w_rows: list | None = [(f, 0.0) for f in range(HASH_DIM + 1)]
         losses: list[float] = []
         for _ in range(n_iters):
             if track_loss:
                 losses.append(mean_logloss(feats, labels, weights))
             if method == "newton":
-                weights = newton_step(
+                weights, w_rows = newton_step(
                     spark, feats, labels, weights, pairs=pairs,
-                    n_docs=n_docs,
+                    n_docs=n_docs, w_rows=w_rows,
                 )
             else:
                 rows = gd_step(

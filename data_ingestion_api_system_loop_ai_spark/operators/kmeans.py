@@ -116,12 +116,23 @@ def _recompute(e: DataFrame, asg: DataFrame) -> DataFrame:
 
 
 def kmeans_fit(
-    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    e: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    track_objective: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Run ``iters`` Lloyd rounds; returns (assignment, centroids,
     per-round objective). The objective is the mean cosine of vectors
     to their assigned (normalized) centroid — non-decreasing across
-    rounds up to float noise, which the tests pin."""
+    rounds up to float noise, which the tests pin.
+
+    ``track_objective=False`` (r14) skips the per-round objective
+    collect — a DIAGNOSTIC action, not part of the fit: every engine
+    query path discards the list, and with it off each round is ONE
+    job (the eager centroid checkpoint materializes the pending lazy
+    assignment inside its own shuffle job) instead of two. The
+    assignment/centroid relations are bit-identical either way; the
+    objective list comes back empty."""
     from ..plans.lifecycle import local_checkpoint_handle
 
     # checkpoint lifecycle (round 10, plans/lifecycle.py): round r-1's
@@ -146,7 +157,11 @@ def kmeans_fit(
         new_asg, release_new_asg = local_checkpoint_handle(
             kmeans_assign(e, centroids), eager=False
         )
-        objective.append(new_asg.agg(F.avg("cos")).collect()[0][0])
+        if track_objective:
+            objective.append(new_asg.agg(F.avg("cos")).collect()[0][0])
+        # the old assignment is not in the new one's lineage (the
+        # assignment derives from e + the EAGER centroid checkpoint),
+        # so releasing here is safe in both modes
         if release_asg is not None:
             release_asg()
         asg, release_asg = new_asg, release_new_asg
@@ -165,7 +180,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-step DuckDB parity, determinism, and objective monotonicity
     in tests/test_unregistered_ops.py.)"""
     e = load_table(spark, sf_dir, "embeddings")
-    asg, _cent, _obj = kmeans_fit(e)
+    asg, _cent, _obj = kmeans_fit(e, track_objective=False)
     return asg.select(
         "vec_id", "cell", F.round("cos", 6).alias("cos")
     )
@@ -322,7 +337,7 @@ def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit arithmetic is direct-tested against an independent numpy
     replay in tests/test_unregistered_ops.py.)"""
     e = load_table(spark, sf_dir, "embeddings")
-    asg, cent, _obj = kmeans_fit(e)
+    asg, cent, _obj = kmeans_fit(e, track_objective=False)
     return davies_bouldin(asg, cent)
 
 

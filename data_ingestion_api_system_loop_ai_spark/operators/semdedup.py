@@ -79,7 +79,7 @@ def semdedup(
     if centroids is not None:
         asg = kmeans_assign(e, centroids)
     else:
-        asg, _cent, _obj = kmeans_fit(e, k, iters)
+        asg, _cent, _obj = kmeans_fit(e, k, iters, track_objective=False)
     m = (
         e.join(asg.select("vec_id", "cell", F.col("cos").alias("cos_centroid")), "vec_id")
         .select(
