@@ -121,11 +121,24 @@ def bpe_train(
 
     Driver traffic: exactly one 3-field row per round. Rounds with no
     remaining pair (tiny corpora) stop early."""
-    words = (
+    from ..plans.lifecycle import local_checkpoint_handle
+
+    words, release_words = local_checkpoint_handle(
         word_counts(docs)
-        .select("word", _initial_symbols(F.col("word")).alias("symbols"), "n")
-        .localCheckpoint(eager=False)
+        .select("word", _initial_symbols(F.col("word")).alias("symbols"), "n"),
+        eager=False,
     )
+    # checkpoint LIFECYCLE (r14, §5): the loop chains one checkpoint
+    # generation per merge; without releases all n_merges+1 generations
+    # of the vocabulary relation stay pinned until the harness sweep —
+    # at corpus scale that is ~25x the distinct-word relation held for
+    # nothing. Generation g-1's blocks feed PENDING generation g's
+    # plan, so g-1 is released only after the NEXT round's collect has
+    # materialized g; the loop therefore holds at most TWO generations,
+    # and the last two stay alive at return (the returned ``words`` may
+    # still be pending — its parent must survive until a caller
+    # materializes it; a released local checkpoint cannot recompute).
+    release_parent = None
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         # LAZY checkpoints (r13): each round's top-pair collect is the
@@ -138,13 +151,23 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the collect materialized the current generation: its
+        # grandparent (superseded last round) is now unreachable
+        if release_parent is not None:
+            release_parent()
         if not top:
             break
         left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
         merges.append((left, right, int(cnt)))
-        words = words.withColumn(
-            "symbols", _merge_expr(F.col("symbols"), left, right)
-        ).localCheckpoint(eager=False)
+        new_words, new_release = local_checkpoint_handle(
+            words.withColumn(
+                "symbols", _merge_expr(F.col("symbols"), left, right)
+            ),
+            eager=False,
+        )
+        release_parent, words, release_words = (
+            release_words, new_words, new_release
+        )
     return merges, words
 
 

@@ -189,16 +189,25 @@ def ingest_corpus_batch(
         os.path.join(dedup_out, f"unit={unit}")
     )
 
-    # ---- stage 3: pure gates (no durable effects — recompute freely)
-    q_keep = quality_profile(text_kept).filter("keep").select("doc_id")
-    after_quality = text_kept.join(q_keep, "doc_id", "left_semi")
+    # ---- stage 3: pure gates (no durable effects — recompute freely).
+    # FLAT FLAGS, not a chained survivor relation (r14, guide §2.4/7.3
+    # — the heuristic_flags discipline from corpus_pipeline.py): every
+    # gate verdict here is PER-DOCUMENT against frozen state (Gopher
+    # battery: per-doc; contamination: per-doc vs the frozen holdout,
+    # whose ubiquity cutoff derives from the EVAL side only; LM keep
+    # band: per-doc surprisal under the frozen unigram model;
+    # classifier: per-doc margin under frozen weights), so computing
+    # each flag over ``text_kept`` and folding with boolean algebra is
+    # row-for-row identical to the old gate-on-survivors chain — but
+    # the old chain DOUBLED the plan per gate (survivors ⋈ verdict(
+    # survivors) re-instantiates the whole prefix on both sides: 2⁴
+    # text_kept subtrees in after_cls, ~2⁶ in the curated write), and
+    # every downstream action re-planned and re-broadcast that
+    # exponential tree (measured sf0.001: ONE 2-doc batch = 125 s /
+    # 167 jobs; flat = linear plans). At 100 TB the blow-up is driver
+    # planning time per micro-batch — the same Catalyst-tree cost the
+    # storage boundary above already bounds for the dedup stage.
     holdout = _eval_holdout(spark, models_root)
-    contaminated = (
-        contamination_report(after_quality, holdout)
-        .filter("contaminated")
-        .select("doc_id")
-    )
-    after_decontam = after_quality.join(contaminated, "doc_id", "left_anti")
     commit_protocol.require_marker(
         os.path.join(models_root, "text_models"),
         what="text models", builder="build_text_models",
@@ -213,21 +222,45 @@ def ingest_corpus_batch(
     totals = spark.read.parquet(
         os.path.join(models_root, "text_models", "unigram_totals")
     )
-    lm_keep = (
-        lm_scores(after_decontam, freq=freq, totals=totals)
-        .filter("keep")
-        .select("doc_id")
-    )
-    after_lm = after_decontam.join(lm_keep, "doc_id", "left_semi")
     weights = spark.read.parquet(
         os.path.join(models_root, "classifier", "weights")
     )
-    cls_keep = (
-        score_documents(after_lm, weights)
-        .filter("predicted")
-        .select("doc_id")
+    q_flag = (
+        quality_profile(text_kept).filter("keep")
+        .select("doc_id", F.lit(True).alias("_qual"))
     )
-    after_cls = after_lm.join(cls_keep, "doc_id", "left_semi")
+    contam_flag = (
+        contamination_report(text_kept, holdout)
+        .filter("contaminated")
+        .select("doc_id", F.lit(True).alias("_contam"))
+    )
+    lm_flag = (
+        lm_scores(text_kept, freq=freq, totals=totals)
+        .filter("keep")
+        .select("doc_id", F.lit(True).alias("_lm"))
+    )
+    cls_flag = (
+        score_documents(text_kept, weights)
+        .filter("predicted")
+        .select("doc_id", F.lit(True).alias("_cls"))
+    )
+    flagged = (
+        text_kept.select("doc_id")
+        .join(q_flag, "doc_id", "left")
+        .join(contam_flag, "doc_id", "left")
+        .join(lm_flag, "doc_id", "left")
+        .join(cls_flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_qual", F.lit(False)).alias("_qual"),
+            F.coalesce("_contam", F.lit(False)).alias("_contam"),
+            F.coalesce("_lm", F.lit(False)).alias("_lm"),
+            F.coalesce("_cls", F.lit(False)).alias("_cls"),
+        )
+    )
+    after_cls = flagged.filter(
+        F.col("_qual") & ~F.col("_contam") & F.col("_lm") & F.col("_cls")
+    ).select("doc_id")
 
     # ---- stage 4: semantic dedup + ANN advance (one committed unit;
     # ingest_embedding_batch carries its own replay/superseded guards)
@@ -257,18 +290,24 @@ def ingest_corpus_batch(
         commit_protocol.commit_unit(curated, unit)
 
     # ---- the report: first-drop attribution over the whole batch
+    # first-drop attribution straight off the flag relation (identical
+    # sets to the old chained anti-joins: each stage's membership is
+    # "passed every earlier gate, failed this one")
     stage_sets = [
         ("exact_dup", text_verdicts.filter("status = 'exact_dup'")
          .select("doc_id")),
         ("near_dup", text_verdicts.filter("status = 'near_dup'")
          .select("doc_id")),
-        ("low_quality", text_kept.select("doc_id")
-         .join(q_keep, "doc_id", "left_anti")),
-        ("contaminated", contaminated),
-        ("lm_filtered", after_decontam.select("doc_id")
-         .join(lm_keep, "doc_id", "left_anti")),
-        ("classifier_rejected", after_lm.select("doc_id")
-         .join(cls_keep, "doc_id", "left_anti")),
+        ("low_quality", flagged.filter(~F.col("_qual")).select("doc_id")),
+        ("contaminated", flagged.filter(
+            F.col("_qual") & F.col("_contam")).select("doc_id")),
+        ("lm_filtered", flagged.filter(
+            F.col("_qual") & ~F.col("_contam") & ~F.col("_lm")
+        ).select("doc_id")),
+        ("classifier_rejected", flagged.filter(
+            F.col("_qual") & ~F.col("_contam") & F.col("_lm")
+            & ~F.col("_cls")
+        ).select("doc_id")),
         ("semantic_dup", sem_drop),
     ]
     attributed = None

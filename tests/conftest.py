@@ -13,6 +13,26 @@ TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    # TEST-PROFILE latency knob (r14, VERDICT r13 #2 — the driver's
+    # pytest no longer finished inside its window). At sf0.001 the
+    # suite's cost is pure per-action orchestration (measured: ~4.5 k
+    # stages in the first 17 min, executors idle, one core busy in
+    # Janino/C2): every test compiles fresh whole-stage-codegen
+    # fragments it executes exactly once over a few hundred rows.
+    # Codegen is a pure performance feature — interpreted evaluation
+    # computes identical results — so the TEST session turns it off.
+    # The bench/production session (session.py) keeps it ON;
+    # tests/test_plans.py re-enables it module-locally because it
+    # asserts the production plan shapes. AQE stays ON: an AQE-off
+    # experiment here surfaced "Can't zip RDDs with unequal numbers of
+    # partitions" in checkpoint-partitioning-sensitive joins (the r13
+    # spread_small_scan failure class) — AQE's runtime re-planning is
+    # what keeps those co-partitionings aligned, so it is semantics-
+    # adjacent for this engine, not just a perf feature. Env override:
+    # SPARK_GRAFT_TEST_CODEGEN=1 runs the suite under the production
+    # profile.
+    if os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "0") != "1":
+        s.conf.set("spark.sql.codegen.wholeStage", "false")
     yield s
 
 

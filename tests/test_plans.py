@@ -10,7 +10,21 @@ query silently fell off the scale path even though results still match.
 
 from __future__ import annotations
 
+import pytest
+
 from data_ingestion_api_system_loop_ai_spark.registry import QUERIES
+
+
+@pytest.fixture(autouse=True)
+def _production_planning_profile(spark):
+    """This module asserts PRODUCTION plan shapes (whole-stage codegen
+    subtrees), so it runs with the session.py profile even though
+    conftest's test profile turns codegen off for suite latency (r14).
+    Restores the test profile after each test."""
+    before = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    yield
+    spark.conf.set("spark.sql.codegen.wholeStage", before)
 
 
 def _plan(spark, sf_dir, name: str) -> str:
